@@ -1,0 +1,139 @@
+"""Delta + variable-byte posting-list codec (numpy-vectorized).
+
+Reference semantics: the compressed index stores, per term, the varint bytes
+of ``[df, Δdoc₁, tf₁, Δdoc₂, tf₂, …]`` — encode at
+/root/reference/indexing/index_compressor/compression.py:48-65 (vbcode lib),
+decode at /root/reference/search/retrieval/retrieval_helpers/index_decoder.py:8-37.
+
+Ours is block-oriented for scale: posting lists are chunked into bounded
+blocks; each block payload is ``varint([n, doc₀, Δdoc₁.., tf₁..tfₙ])`` with
+docs and tfs stored as separate runs (better delta locality than the
+reference's interleaving) plus per-block max-tf / max-score metadata for
+Block-Max WAND pruning (BASELINE.json north_star, C5 in SURVEY §2.4).
+
+Varint wire format = the classic 7-bit variable-byte code used by the
+reference's ``vbcode``: big-endian 7-bit groups, continuation bit set on the
+LAST byte of each integer (Manning et al., IIR §5.3 — public).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_BYTES = 10  # enough for uint64
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Vectorized variable-byte encode of a non-negative int array."""
+    values = np.asarray(values, dtype=np.uint64)
+    n = len(values)
+    if n == 0:
+        return b""
+    # byte length of each value: ceil(bitlen/7), min 1 — computed per
+    # candidate width (10 passes max) to stay exact for full 64-bit ints
+    lengths = np.ones(n, dtype=np.int64)
+    thresh = np.uint64(1 << 7)
+    for width in range(2, _MAX_BYTES + 1):
+        lengths[values >= thresh] = width
+        if width < _MAX_BYTES:
+            thresh = np.uint64(1) << np.uint64(7 * width)
+    total = int(lengths.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    ends = np.cumsum(lengths) - 1  # index of LAST byte of each value
+    rem = values.copy()
+    # fill from last byte backwards; k-th pass writes byte (end - k)
+    for k in range(int(lengths.max())):
+        mask = lengths > k
+        pos = ends[mask] - k
+        out[pos] = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        rem[mask] >>= np.uint64(7)
+    out[ends] |= 0x80  # continuation bit on last byte (reference convention)
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes) -> np.ndarray:
+    """Vectorized variable-byte decode → int64 array."""
+    if not buf:
+        return np.empty(0, dtype=np.int64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    is_end = (raw & 0x80) != 0
+    ends = np.flatnonzero(is_end)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    payload = (raw & 0x7F).astype(np.uint64)
+    out = np.zeros(len(ends), dtype=np.uint64)
+    lengths = ends - starts + 1
+    maxlen = int(lengths.max())
+    # accumulate big-endian 7-bit groups, vectorized per byte offset
+    for k in range(maxlen):
+        mask = lengths > k
+        out[mask] = (out[mask] << np.uint64(7)) | payload[starts[mask] + k]
+    return out.astype(np.int64)
+
+
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
+    """One posting block → payload bytes.
+
+    Layout: varint([n, doc₀, Δdoc₁..Δdocₙ₋₁, tf₁..tfₙ]). doc_ids must be
+    sorted ascending and unique within the block.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = len(doc_ids)
+    deltas = np.diff(doc_ids)
+    stream = np.concatenate(
+        [np.array([n, doc_ids[0] if n else 0], dtype=np.int64), deltas, tfs]
+    )
+    return vb_encode(stream)
+
+
+def decode_block(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """payload bytes → (doc_ids ascending, tfs). Inverse of encode_block."""
+    stream = vb_decode(payload)
+    n = int(stream[0])
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    docs = np.empty(n, dtype=np.int64)
+    docs[0] = stream[1]
+    if n > 1:
+        docs[1:] = stream[2 : 1 + n]
+        np.cumsum(docs, out=docs)
+    tfs = stream[1 + n : 1 + 2 * n]
+    return docs, np.asarray(tfs, dtype=np.int64)
+
+
+def encode_positions(positions_flat: np.ndarray, counts: np.ndarray) -> bytes:
+    """Positional payload for a block: varint([counts…, deltas-per-doc…]).
+
+    ``positions_flat`` is the concatenation of each doc's sorted 1-based
+    position list; ``counts`` the per-doc list lengths (== tf)."""
+    positions_flat = np.asarray(positions_flat, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if len(positions_flat) == 0:
+        return vb_encode(np.array([0], dtype=np.int64))
+    # delta within each doc's run: subtract previous, reset at run starts
+    deltas = np.diff(positions_flat, prepend=0)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    deltas[starts] = positions_flat[starts]
+    stream = np.concatenate([np.array([len(counts)], dtype=np.int64), counts, deltas])
+    return vb_encode(stream)
+
+
+def decode_positions(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """→ (counts per doc, positions_flat). Inverse of encode_positions."""
+    stream = vb_decode(payload)
+    ndocs = int(stream[0])
+    if ndocs == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    counts = stream[1 : 1 + ndocs]
+    deltas = stream[1 + ndocs :].copy()
+    # prefix-sum within runs: global cumsum minus offset trick
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    csum = np.cumsum(deltas)
+    base = np.zeros(len(deltas), dtype=np.int64)
+    base[starts[1:]] = csum[ends[:-1] - 1]
+    positions = csum - np.maximum.accumulate(base)
+    return np.asarray(counts, dtype=np.int64), positions

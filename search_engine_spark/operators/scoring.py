@@ -1,0 +1,87 @@
+"""Ranking models as pure column expressions (whole-stage-codegen friendly).
+
+All four reference scorers (SURVEY §2.5 Q6, Q12, Q13):
+
+* BM25 standard (k1=1.2, b=0.75) — the north-star default;
+* BM25 "reference" variant — the reference's non-standard formula
+  ``idf·tf/(k·(dl/avgdl)+tf+0.5)``, k=1.5, no b
+  (/root/reference/search/retrieval/retrieval_models/bm25_model/bm25_model.py:24,36-37),
+  with per-term idf (the reference's single-idf bug is NOT reproduced —
+  SURVEY §2.8 decision 2);
+* VSM cosine — vsm_model.py:18-103;
+* language model (Dirichlet + Pitman-Yor) — language_model.py:18-51,231-257
+  (incl. quirk 5: "cf" is actually df).
+
+Each scorer takes a postings-join frame with columns
+(term, doc_id, tf, dl, df[, cf]) plus broadcast corpus scalars, and returns
+a per-(term,doc) weight column; callers sum per doc (Q14 model merge =
+groupBy(doc_id).sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def idf_bm25(n_docs: int) -> Column:
+    """ln(1 + (N - df + 0.5)/(df + 0.5)) — reference bm25_model.py:207."""
+    return F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+
+
+def bm25_weight(n_docs: int, avgdl: float, k1: float = 1.2, b: float = 0.75) -> Column:
+    """Standard Robertson/Sparck-Jones BM25 (north-star pin)."""
+    tf = F.col("tf").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+    return (idf_bm25(n_docs) * tf * (k1 + 1.0) / (tf + norm)).alias("weight")
+
+
+def bm25_reference_weight(n_docs: int, avgdl: float, k: float = 1.5) -> Column:
+    """The reference's exact formula (bm25_model.py:36-37), per-term idf."""
+    tf = F.col("tf").cast("double")
+    return (
+        idf_bm25(n_docs) * tf
+        / (F.lit(k) * (F.col("dl") / F.lit(float(avgdl))) + tf + 0.5)
+    ).alias("weight")
+
+
+def vsm_doc_weight(n_docs: int) -> Column:
+    """(1 + log10 tf) · log10((N-df)/df), clamped at 0 (vsm_model.py:18-42)."""
+    w = (1.0 + F.log10(F.col("tf").cast("double"))) * F.log10(
+        (F.lit(float(n_docs)) - F.col("df")) / F.col("df")
+    )
+    return F.greatest(w, F.lit(0.0)).alias("weight")
+
+
+def vsm_query_weight(n_docs: int, tf_q: int) -> float:
+    """(1 + log10 tf_q) · log10(N/df) — driver-side scalar per query term
+    (df substituted per term at plan time)."""
+    import math
+    return 1.0 + math.log10(tf_q)  # multiplied by log10(N/df) in the plan
+
+
+def lm_weight(total_cf: int, mu: float = 1089.0, tf_q: int = 1,
+              pitman_yor: bool = False, g: float = 0.2) -> Column:
+    """Language-model term weight (language_model.py:18-51).
+
+    Dirichlet: tf_q · ln((tf/µ)·(L_c/cf) + 1), µ=1089.
+    Pitman-Yor: tf_q · ln(disc_tf·L_c/(µ·cf) + 1), disc_tf = max(tf − g·tf^g, 0),
+    µ=1303, g=0.2. Quirk 5 preserved: cf here is the df the reference stores
+    in slot 0 — callers pass the df column aliased as ``cf``.
+    """
+    tf = F.col("tf").cast("double")
+    lc = F.lit(float(total_cf))
+    cf = F.col("cf").cast("double")
+    if pitman_yor:
+        disc = F.greatest(tf - F.lit(g) * F.pow(tf, F.lit(g)), F.lit(0.0))
+        w = F.log(disc * lc / (F.lit(mu) * cf) + 1.0)
+    else:
+        w = F.log((tf / F.lit(mu)) * (lc / cf) + 1.0)
+    return (F.lit(float(tf_q)) * w).alias("weight")
+
+
+def lm_doc_prior(mu: float, query_len: int) -> Column:
+    """Doc-level additive term len(q)·ln(µ/(dl+µ)) (language_model.py:250-256)."""
+    return (
+        F.lit(float(query_len)) * F.log(F.lit(mu) / (F.col("dl") + F.lit(mu)))
+    ).alias("prior")

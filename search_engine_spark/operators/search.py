@@ -1,0 +1,184 @@
+"""Query execution: candidate selection, scoring, top-k, rerank.
+
+Replaces the reference's driver loops (SURVEY §2.5 Q5-Q7, Q11-Q14) with
+DataFrame plans:
+
+* mini-index load (index_loader.py:71-128 byte-range seeks) →
+  ``postings.filter(col("term").isin(terms))`` — predicate pushdown +
+  column pruning on the parquet scan do the pointed reads;
+* adaptive AND→half-AND→OR candidates (bm25_model.py:241-253) — ONE
+  aggregation computes all tiers' membership counts, the driver applies
+  the <100 escalation on three cheap counts;
+* scoring — broadcast join with term stats (small: |q| rows), hash join
+  with doc_stats, column-expression weight, groupBy(doc_id).sum;
+* top-k — orderBy(desc(score), asc(doc_id)).limit(k) ⇒ Catalyst
+  TakeOrderedAndProject: per-partition bounded min-heaps merged on the
+  driver, the distributed form of the north-star "bounded min-heap";
+* rerank (helpers.py:147-173) — title boost + recency weights with a
+  pinned ``as_of_date`` (quirk 4).
+
+Tie-break everywhere: (score desc, doc_id asc) — SURVEY §2.8 decision 3.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import AnalyzerConfig, analyze_query
+from . import scoring
+
+ADAPTIVE_MIN_CANDIDATES = 100  # reference bm25_model.py:241-253
+
+
+@dataclass
+class InvertedIndex:
+    """Handle over the built index artifacts.
+
+    postings: (term, doc_id, tf[, positions])
+    doc_stats: (doc_id, dl)
+    term_stats: (term, df, cf)
+    stats: broadcast scalars {'n_docs','total_len','avgdl'}
+    documents: the corpus table for hydration/rerank (optional)
+    """
+
+    postings: DataFrame
+    doc_stats: DataFrame
+    term_stats: DataFrame
+    stats: dict
+    documents: DataFrame | None = None
+    analyzer: AnalyzerConfig = AnalyzerConfig.full()
+
+    def lookup(self, terms: list[str], positional: bool = False) -> DataFrame:
+        cols = ["term", "doc_id", "tf"] + (
+            ["positions"] if positional and "positions" in self.postings.columns else []
+        )
+        return self.postings.filter(F.col("term").isin(terms)).select(*cols)
+
+
+def _scored_frame(index: InvertedIndex, terms: list[str], model: str,
+                  q_tf: dict[str, int] | None = None) -> DataFrame:
+    """per-(term,doc) weight frame for the given (deduped) terms."""
+    n, avgdl, total = index.stats["n_docs"], index.stats["avgdl"], index.stats["total_len"]
+    matched = index.lookup(terms)
+    tstats = F.broadcast(index.term_stats.filter(F.col("term").isin(terms)))
+    joined = matched.join(tstats, "term").join(index.doc_stats, "doc_id")
+    if model == "bm25":
+        w = scoring.bm25_weight(n, avgdl)
+    elif model == "bm25-reference":
+        w = scoring.bm25_reference_weight(n, avgdl)
+    elif model == "lm-dirichlet":
+        joined = joined.withColumn("cf", F.col("df"))  # quirk 5: cf is df
+        w = scoring.lm_weight(total, mu=1089.0)
+    elif model == "lm-pyp":
+        joined = joined.withColumn("cf", F.col("df"))
+        w = scoring.lm_weight(total, mu=1303.0, pitman_yor=True)
+    elif model == "vsm":
+        w = scoring.vsm_doc_weight(n)
+    else:
+        raise ValueError(f"unknown model {model!r}")
+    if q_tf:
+        qmap = F.create_map(*[F.lit(x) for kv in q_tf.items() for x in kv])
+        joined = joined.withColumn("_qtf", F.coalesce(qmap[F.col("term")], F.lit(1)))
+        w = (w * F.col("_qtf")).alias("weight")
+    return joined.withColumn("weight", w)
+
+
+def adaptive_candidates(index: InvertedIndex, terms: list[str]) -> DataFrame | None:
+    """Reference Q5: intersection of all terms; if <100 docs, docs matching
+    all of either half of the term list; if still <100, union (=None: no
+    restriction). One aggregation computes every tier's counts."""
+    if len(terms) <= 1:
+        return None
+    half = len(terms) // 2
+    h1, h2 = terms[:half], terms[half:]
+    matched = index.lookup(terms)
+    counts = matched.groupBy("doc_id").agg(
+        F.countDistinct("term").alias("m"),
+        F.countDistinct(F.when(F.col("term").isin(h1), F.col("term"))).alias("m1"),
+        F.countDistinct(F.when(F.col("term").isin(h2), F.col("term"))).alias("m2"),
+    )
+    counts = counts.cache()
+    try:
+        full = counts.filter(F.col("m") == len(terms))
+        if full.limit(ADAPTIVE_MIN_CANDIDATES).count() >= ADAPTIVE_MIN_CANDIDATES:
+            return full.select("doc_id")
+        halves = counts.filter(
+            (F.col("m1") == len(h1)) | (F.col("m2") == len(h2))
+        )
+        if halves.limit(ADAPTIVE_MIN_CANDIDATES).count() >= ADAPTIVE_MIN_CANDIDATES:
+            return halves.select("doc_id")
+        return None  # union tier: every matching doc
+    finally:
+        counts.unpersist()
+
+
+def search_freetext(index: InvertedIndex, query: str, k: int = 100,
+                    model: str = "bm25", adaptive: bool = False,
+                    candidates: DataFrame | None = None) -> DataFrame:
+    """Free-text top-k → (doc_id, score). Terms are deduped with query tf
+    folded into the weight (reference multiplies by query tf via its loop
+    over ``set(query)``)."""
+    toks = analyze_query(query, index.analyzer)
+    if not toks:
+        return index.postings.sparkSession.createDataFrame([], "doc_id long, score double")
+    q_tf: dict[str, int] = {}
+    for t in toks:
+        q_tf[t] = q_tf.get(t, 0) + 1
+    terms = list(q_tf)
+    scored = _scored_frame(index, terms, model, q_tf)
+    if adaptive and candidates is None:
+        candidates = adaptive_candidates(index, terms)
+    if candidates is not None:
+        scored = scored.join(candidates.hint("broadcast"), "doc_id", "left_semi")
+    agg = scored.groupBy("doc_id").agg(F.sum("weight").alias("score"))
+    if model.startswith("lm-"):
+        mu = 1303.0 if model == "lm-pyp" else 1089.0
+        prior = index.doc_stats.select(
+            "doc_id", scoring.lm_doc_prior(mu, len(toks)).alias("prior")
+        )
+        agg = agg.join(prior, "doc_id").select(
+            "doc_id", (F.col("score") + F.col("prior")).alias("score")
+        )
+    return topk(agg, k)
+
+
+def topk(scored: DataFrame, k: int) -> DataFrame:
+    """(doc_id, score) → deterministic top-k (TakeOrderedAndProject)."""
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def rerank(topk_df: DataFrame, documents: DataFrame, query_terms: list[str],
+           as_of: date, k: int = 100, text_col: str = "text",
+           ts_col: str | None = None) -> DataFrame:
+    """Reference rerank (helpers.py:147-173): ×1.10 per query term found in
+    the title (we use the text head as the title surrogate when no title
+    column exists), recency weight linspace(1.40→0.8) over 100 days before
+    ``as_of`` (quirk 4: wall-clock pinned to a parameter). Broadcast join:
+    only k rows on the left."""
+    docs = documents
+    boosted = F.broadcast(topk_df).join(docs, "doc_id")
+    title = F.lower(F.col(text_col))
+    boost = F.lit(1.0)
+    for t in query_terms:
+        boost = boost * F.when(title.contains(t.lower()), F.lit(1.10)).otherwise(F.lit(1.0))
+    score = F.col("score") * boost
+    if ts_col is not None:
+        days = F.datediff(F.lit(as_of), F.to_date(F.col(ts_col)))
+        # linspace(1.40, 0.8, 100)[d] == 1.40 - d*(0.6/99)
+        recency = F.when(
+            (days >= 0) & (days < 100), F.lit(1.40) - days * F.lit(0.6 / 99.0)
+        ).otherwise(F.lit(1.0))
+        score = score * recency
+    return topk(boosted.select("doc_id", score.alias("score")), k)
+
+
+def hydrate(topk_df: DataFrame, documents: DataFrame) -> DataFrame:
+    """Top-k article hydration = broadcast hash join (S10; replaces the
+    reference's Postgres in_bulk at helpers.py:176-179)."""
+    return F.broadcast(topk_df).join(documents, "doc_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )

@@ -1,0 +1,142 @@
+"""Corpus sources: the driver test tables and the input_hint web corpus.
+
+Two document shapes exist in this sandbox:
+
+* ``/root/testdata/sf*/documents.parquet`` — driver-generated
+  ``(doc_id, text, lang, source, n_chars)``; used by the driver's DuckDB
+  correctness gate (__spark_entry__.py).
+* the BASELINE.json ``input_hint`` shape
+  ``(url string, warc_ts timestamp, html binary, text string, lang string)``
+  — Common-Crawl-style web pages. No external data is allowed, so
+  ``synthesize_web_corpus`` builds it deterministically and distributively
+  (spark.range → mapInPandas; generation parallelism == Spark parallelism,
+  which is what lets the bench harness scale the build N→4N).
+
+The html wraps the text (<title>…</title>/<body>…</body> with HTML
+entities planted in a fixed fraction of rows) so that
+functions.analyzer.extract_text(html) == text byte-for-byte — the
+input_hint per-row invariant, asserted in tests.
+"""
+
+from __future__ import annotations
+
+import html as _html
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+TESTDATA_TABLES = ("region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "events", "documents", "embeddings")
+
+WEB_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("html", BinaryType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+])
+
+# Deterministic vocabulary: Zipf-ish weights over stem families + currency
+# tokens + a few planted phrase words (FIXTURES.md §1 semantics).
+_FAMILIES = [
+    "connect", "connected", "connection", "connections", "connecting",
+    "relate", "relational", "relation", "rationally",
+    "search", "searches", "searching", "searched",
+    "index", "indexes", "indexing", "indexed",
+    "market", "markets", "marketing", "price", "prices", "pricing",
+    "stock", "stocks", "trade", "trades", "trading", "traded",
+    "bank", "banks", "banking", "report", "reports", "reported",
+    "world", "hello", "germany", "china", "france", "economy", "economic",
+    "growth", "inflation", "energy", "crisis", "government", "policy",
+    "€100", "£50", "¢99", "data2022",
+]
+_STOP_SAMPLE = ["the", "of", "and", "to", "a", "in", "that", "is", "was", "for"]
+_VOCAB = _FAMILIES + _STOP_SAMPLE + [f"term{i}" for i in range(400)]
+_BASE_TS = datetime(2022, 1, 1)
+
+
+def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
+    rows = []
+    vocab = np.array(_VOCAB)
+    # Zipf weights pinned once (rank-based, deterministic)
+    w = 1.0 / np.arange(1, len(vocab) + 1)
+    w /= w.sum()
+    for i in ids:
+        rng = np.random.default_rng(int(i) + 1_000_003)
+        n_title = int(rng.integers(3, 9))
+        n_body = int(rng.integers(20, 401))
+        title = " ".join(rng.choice(vocab, size=n_title, p=w))
+        body_toks = list(rng.choice(vocab, size=n_body, p=w))
+        if i % 5 == 0:  # plant a phrase for phrase/proximity queries
+            k = int(rng.integers(0, max(n_body - 2, 1)))
+            body_toks[k : k + 2] = ["hello", "world"]
+        body = " ".join(body_toks)
+        if i % 7 == 0:  # exercise the entity-unescape step
+            body = body + " AT&T €uro"
+        text = title + " " + body
+        html_doc = (
+            "<html><head><title>" + _html.escape(title, quote=False)
+            + "</title></head><body>" + _html.escape(body, quote=False)
+            + "</body></html>"
+        ).encode("utf-8")
+        ts = _BASE_TS + timedelta(days=int(i % 90), hours=int(i % 24))
+        rows.append({
+            "url": f"https://site{i % 97}.example/{i}",
+            "warc_ts": ts,
+            "html": html_doc,
+            "text": text,
+            "lang": "de" if i % 29 == 0 else "en",
+        })
+    return pd.DataFrame(rows)
+
+
+def synthesize_web_corpus(spark: SparkSession, n_docs: int,
+                          partitions: int | None = None) -> DataFrame:
+    """Deterministic input_hint-shaped corpus, generated on executors."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            yield _gen_rows(pdf["id"].to_numpy())
+
+    return spark.range(0, n_docs, numPartitions=parts).mapInPandas(gen, WEB_SCHEMA)
+
+
+def with_doc_ids(docs: DataFrame) -> DataFrame:
+    """Dense 1-based doc_id (reference semantics: sequential int starting
+    at 1, index_build.py:130,199), deterministic via url order.
+
+    Note for 10^12-doc scale: a global row_number is a single-partition
+    window — fine at test scale, replaced by ``xxhash64(url)`` (sparse but
+    deterministic and shuffle-free) via ``with_hash_doc_ids`` at bench
+    scale; both are stable per url.
+    """
+    return docs.withColumn("doc_id", F.row_number().over(Window.orderBy("url")).cast(LongType()))
+
+
+def with_hash_doc_ids(docs: DataFrame) -> DataFrame:
+    """Scale path: collision-checked 64-bit hash ids, no global sort."""
+    return docs.withColumn("doc_id", F.xxhash64("url"))
+
+
+def ingest_filters(docs: DataFrame) -> DataFrame:
+    """Reference ingest validity filters (index_build.py:147,150-157):
+    drop title/url >= 1000 chars (we have no separate title column: the
+    whole text row stands in), malformed timestamps."""
+    return docs.filter(
+        (F.length("url") < 1000) & F.col("warc_ts").isNotNull() & F.col("text").isNotNull()
+    )
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-shape documents table (doc_id,text,lang,source,n_chars)."""
+    return read_testdata(spark, sf_dir, "documents")

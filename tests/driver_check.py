@@ -1,0 +1,76 @@
+"""Local replica of the driver's DuckDB cross-check.
+
+Runs every ``queries()`` entry at the given sf against its ``oracle_sql()``
+and compares row-count, column names, and an order-insensitive value hash
+(rows sorted, columns sorted by name — mirroring the driver contract).
+
+Usage: python tests/driver_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon(rows, cols):
+    cols_sorted = sorted(cols)
+    idx = [cols.index(c) for c in cols_sorted]
+    def norm(v):
+        if isinstance(v, float):
+            return round(v, 9)
+        return v
+    return sorted(tuple(norm(r[i]) for i in idx) for r in rows), cols_sorted
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    import duckdb
+
+    import __spark_entry__ as E
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark("driver-check")
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        if name not in oracles:
+            print(f"  {name}: rows={len(srows)} (no oracle — rows-only check)")
+            continue
+        orel = con.sql(oracles[name])
+        orows = [tuple(r) for r in orel.fetchall()]
+        ocols = list(orel.columns)
+        sc, scs = canon(srows, scols)
+        oc, ocs = canon(orows, ocols)
+        ok = scs == ocs and len(sc) == len(oc) and sc == oc
+        status = "OK " if ok else "FAIL"
+        print(f"  {name}: {status} spark={len(sc)} duckdb={len(oc)} cols {scs} vs {ocs}")
+        if not ok:
+            failures += 1
+            for i, (a, b) in enumerate(zip(sc, oc)):
+                if a != b:
+                    print(f"    first diff @{i}: spark={a} duckdb={b}")
+                    break
+            else:
+                if len(sc) != len(oc):
+                    only_s = set(sc) - set(oc)
+                    only_o = set(oc) - set(sc)
+                    print(f"    only-spark {list(only_s)[:3]} only-duck {list(only_o)[:3]}")
+    # entry smoke
+    edf = E.entry(spark)
+    erows = edf.collect()
+    print(f"  entry(): rows={len(erows)} schema={edf.schema.simpleString()}")
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(*(sys.argv[1:] or [])))

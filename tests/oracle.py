@@ -1,0 +1,213 @@
+"""Pinned single-node oracle: faithful transcription of the reference
+engine's *semantics* (not its code) with the determinism pins of
+SURVEY.md §2.8.
+
+The reference (timhuijsmans1/search_engine) computes everything in
+driver-side dict loops; this oracle does the same, independently written,
+so the Spark engine can be asserted rank-identical against it:
+
+* index shape {term: [df, {doc: [pos…]}]} — index_build.py:26-38
+* BM25 reference formula idf·tf/(k·(dl/avgdl)+tf+0.5), k=1.5
+  (bm25_model.py:24,36-37) with PER-TERM idf (pin 2: the reference's
+  last-term-idf bug is not reproduced)
+* standard BM25(k1=1.2, b=0.75) — the north-star default
+* VSM cosine (vsm_model.py:18-103), LM Dirichlet/Pitman-Yor
+  (language_model.py:18-51,231-257; quirk 5: cf==df)
+* adaptive AND→half-AND→OR candidates (bm25_model.py:241-253)
+* phrase consecutive-occurrence counting (helpers.py:96-115)
+* proximity #k(t1,t2) (proximity_retrieval.py:12-35)
+* boolean set algebra with one paren level (boolean_retrieval.py:6-114)
+* tie-break (score desc, doc_id asc) — pin 3
+
+Analysis is imported from the engine package (same code object ⇒ the
+byte-identity invariant holds by construction).
+"""
+
+from __future__ import annotations
+
+import math
+
+from search_engine_spark.functions.analyzer import AnalyzerConfig, analyze
+
+ADAPTIVE_MIN = 100
+
+
+def build_index(docs: dict[int, str], conf: AnalyzerConfig = AnalyzerConfig.full()):
+    """docs {doc_id: text} → (index, doc_sizes).
+
+    index: {term: [df, {doc_id: [1-based positions]}]}
+    """
+    index: dict[str, list] = {}
+    doc_sizes: dict[int, int] = {}
+    for doc_id in sorted(docs):
+        tokens = analyze(docs[doc_id], conf)
+        doc_sizes[doc_id] = len(tokens)
+        seen: dict[str, list[int]] = {}
+        for pos, term in enumerate(tokens):
+            seen.setdefault(term, []).append(pos + 1)
+        for term, positions in seen.items():
+            entry = index.setdefault(term, [0, {}])
+            entry[0] += 1
+            entry[1][doc_id] = positions
+    return index, doc_sizes
+
+
+def _stats(doc_sizes):
+    n = len(doc_sizes)
+    total = sum(doc_sizes.values())
+    return n, total, (total / n if n else 0.0)
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_weight_std(tf, dl, df, n, avgdl, k1=1.2, b=0.75):
+    return idf(n, df) * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def bm25_weight_ref(tf, dl, df, n, avgdl, k=1.5):
+    return idf(n, df) * tf / (k * (dl / avgdl) + tf + 0.5)
+
+
+def adaptive_candidates(index, terms: list[str]) -> set[int] | None:
+    """Reference Q5 escalation; None = no restriction (union tier)."""
+    if len(terms) <= 1:
+        return None
+    postings = {t: set(index[t][1]) if t in index else set() for t in terms}
+    inter = set.intersection(*postings.values()) if postings else set()
+    if len(inter) >= ADAPTIVE_MIN:
+        return inter
+    half = len(terms) // 2
+    h1, h2 = terms[:half], terms[half:]
+    s1 = set.intersection(*(postings[t] for t in h1)) if h1 else set()
+    s2 = set.intersection(*(postings[t] for t in h2)) if h2 else set()
+    both = s1 | s2
+    if len(both) >= ADAPTIVE_MIN:
+        return both
+    return None
+
+
+def search_freetext(index, doc_sizes, query: str, k: int = 100, model: str = "bm25",
+                    conf: AnalyzerConfig = AnalyzerConfig.full(),
+                    adaptive: bool = False):
+    """→ [(doc_id, score)] top-k, tie-break (score desc, doc_id asc)."""
+    toks = analyze(query, conf)
+    if not toks:
+        return []
+    q_tf: dict[str, int] = {}
+    for t in toks:
+        q_tf[t] = q_tf.get(t, 0) + 1
+    n, total, avgdl = _stats(doc_sizes)
+    cand = adaptive_candidates(index, list(q_tf)) if adaptive else None
+    scores: dict[int, float] = {}
+    for term, qtf in q_tf.items():
+        if term not in index:
+            continue
+        df, postings = index[term]
+        for doc_id, positions in postings.items():
+            if cand is not None and doc_id not in cand:
+                continue
+            tf = len(positions)
+            dl = doc_sizes[doc_id]
+            if model == "bm25":
+                w = bm25_weight_std(tf, dl, df, n, avgdl)
+            elif model == "bm25-reference":
+                w = bm25_weight_ref(tf, dl, df, n, avgdl)
+            elif model == "vsm":
+                w = max((1.0 + math.log10(tf)) * math.log10((n - df) / df), 0.0)
+            elif model == "lm-dirichlet":
+                w = math.log((tf / 1089.0) * (total / df) + 1.0)
+            elif model == "lm-pyp":
+                disc = max(tf - 0.2 * tf ** 0.2, 0.0)
+                w = math.log(disc * total / (1303.0 * df) + 1.0)
+            else:
+                raise ValueError(model)
+            scores[doc_id] = scores.get(doc_id, 0.0) + qtf * w
+    if model in ("lm-dirichlet", "lm-pyp"):
+        mu = 1303.0 if model == "lm-pyp" else 1089.0
+        qlen = len(toks)
+        for doc_id in list(scores):
+            scores[doc_id] += qlen * math.log(mu / (doc_sizes[doc_id] + mu))
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+def consecutive_occurrences(position_lists: list[list[int]]) -> int:
+    """Count runs where phrase term i+1 appears at position p+1 after term i
+    at p, across ALL phrase terms (reference helpers.py:96-115 semantics)."""
+    if not position_lists or any(not pl for pl in position_lists):
+        return 0
+    count = 0
+    for p0 in position_lists[0]:
+        if all((p0 + i) in position_lists[i] for i in range(1, len(position_lists))):
+            count += 1
+    return count
+
+
+def phrase_docs(index, phrase_terms: list[str]) -> dict[int, int]:
+    """→ {doc_id: phrase_tf} for docs where the phrase occurs consecutively."""
+    if any(t not in index for t in phrase_terms):
+        return {}
+    doc_sets = [set(index[t][1]) for t in phrase_terms]
+    common = set.intersection(*doc_sets)
+    out = {}
+    for doc_id in common:
+        plists = [index[t][1][doc_id] for t in phrase_terms]
+        c = consecutive_occurrences(plists)
+        if c > 0:
+            out[doc_id] = c
+    return out
+
+
+def search_phrase(index, doc_sizes, phrase_terms: list[str], k: int = 100):
+    """Phrase-only ranking: BM25-like phrase weight over phrase tf/df
+    (bm25_model.py:44-55,316-324)."""
+    occ = phrase_docs(index, phrase_terms)
+    if not occ:
+        return []
+    n, _, avgdl = _stats(doc_sizes)
+    df = len(occ)
+    scores = {
+        d: bm25_weight_std(tf, doc_sizes[d], df, n, avgdl) for d, tf in occ.items()
+    }
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def proximity_docs(index, t1: str, t2: str, k: int) -> list[int]:
+    """#k(t1,t2): docs where any |p1-p2| <= k; doc-id order, unranked
+    (proximity_retrieval.py:12-35)."""
+    if t1 not in index or t2 not in index:
+        return []
+    p1s, p2s = index[t1][1], index[t2][1]
+    out = []
+    for doc_id in sorted(set(p1s) & set(p2s)):
+        if any(abs(a - b) <= k for a in p1s[doc_id] for b in p2s[doc_id]):
+            out.append(doc_id)
+    return out
+
+
+def boolean_eval(index, n_docs: int, clauses: list, operators: list[str]) -> set[int]:
+    """Left-fold boolean evaluation. clauses: list of term-or-set;
+    operators between them from {AND, OR, AND NOT, NOT}."""
+
+    def docset(c):
+        if isinstance(c, set):
+            return c
+        return set(index[c][1]) if c in index else set()
+
+    universe = set(range(1, n_docs + 1))
+    acc = docset(clauses[0])
+    if operators and operators[0] == "NOT" and len(clauses) == 1:
+        return universe - acc
+    for op, clause in zip(operators, clauses[1:]):
+        s = docset(clause)
+        if op == "AND":
+            acc &= s
+        elif op == "OR":
+            acc |= s
+        elif op in ("AND NOT", "NOT"):
+            acc -= s
+        else:
+            raise ValueError(op)
+    return acc

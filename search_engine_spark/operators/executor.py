@@ -1,0 +1,90 @@
+"""Unified query execution — the reference's RetrievalExecution
+(retrieval_execution.py:53-210) as a dispatcher over DataFrame plans.
+
+classify → proximity | boolean | free-text(+phrases) → rank → top-k.
+Mixed free-text+phrase queries union-sum the two score frames (Q14,
+bm25_model.py:176-183). Date-range filtering (Q11) is a partition-prunable
+filter on the documents table semi-joined into scoring.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans import planner
+from . import phrase as PH
+from . import boolean as B
+from .search import InvertedIndex, search_freetext, topk
+
+
+def date_candidates(documents: DataFrame, start: date, end: date,
+                    ts_col: str = "warc_ts") -> DataFrame:
+    """Docs within [start, end] — on a days(ts)-partitioned table this is
+    pure partition pruning (replaces the reference's date2doc reverse map,
+    index_build.py:94-99 / retrieval_execution.py:123-133)."""
+    return documents.filter(
+        F.to_date(F.col(ts_col)).between(F.lit(start), F.lit(end))
+    ).select("doc_id")
+
+
+def execute(index: InvertedIndex, query: str, k: int = 100,
+            model: str = "bm25", date_start: date | None = None,
+            date_end: date | None = None, adaptive: bool = False) -> DataFrame:
+    """→ (doc_id, score) for ranked kinds; (doc_id, score=0.0) for
+    proximity/boolean kinds (reference returns those unranked)."""
+    plan = planner.classify(query, index.analyzer)
+    spark = index.postings.sparkSession
+
+    cand = None
+    if date_start is not None and date_end is not None and index.documents is not None:
+        ts_col = "warc_ts" if "warc_ts" in index.documents.columns else None
+        if ts_col:
+            cand = date_candidates(index.documents, date_start, date_end, ts_col)
+
+    if isinstance(plan, planner.ProximityPlan):
+        docs = PH.proximity_docs(index, plan.t1, plan.t2, plan.k)
+        if cand is not None:
+            docs = docs.join(cand, "doc_id", "left_semi")
+        return docs.select("doc_id", F.lit(0.0).alias("score")).orderBy("doc_id")
+
+    if isinstance(plan, planner.BooleanPlan):
+        docs = B.boolean_docs(index, plan)
+        if cand is not None:
+            docs = docs.join(cand, "doc_id", "left_semi")
+        # reference then scores the boolean result set with the ranking
+        # model over the query's terms (retrieval_execution.py:189-199)
+        terms = [t for c in plan.clauses for t in c.terms]
+        if terms:
+            scored = search_freetext(
+                index, " ".join(terms), k=k, model=model, candidates=docs
+            )
+            if scored.limit(1).count() > 0:
+                return scored
+        return (
+            docs.select("doc_id", F.lit(0.0).alias("score"))
+            .orderBy("doc_id").limit(B.BOOLEAN_RESULT_CUT)
+        )
+
+    # free text (with optional embedded phrases)
+    frames = []
+    if plan.terms:
+        scored = search_freetext(
+            index, " ".join(plan.terms), k=index.stats["n_docs"],
+            model=model, adaptive=adaptive, candidates=cand,
+        )
+        frames.append(scored)
+    for ph in plan.phrases:
+        ps = PH.search_phrase(index, ph, k=index.stats["n_docs"])
+        if cand is not None:
+            ps = ps.join(cand, "doc_id", "left_semi")
+        frames.append(ps)
+    if not frames:
+        return spark.createDataFrame([], "doc_id long, score double")
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f)
+    agg = merged.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    return topk(agg, k)

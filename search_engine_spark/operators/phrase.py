@@ -1,0 +1,91 @@
+"""Phrase and proximity search over positional postings.
+
+Phrase (SURVEY §2.5 Q8; reference helpers.py:96-115 consecutive_occ +
+bm25_model.py:295-335): a doc matches when the phrase terms occur at
+consecutive positions. Spark-native formulation — the consecutive-run
+count for terms t₀..tₙ equals
+
+    |positions(t₀) ∩ (positions(t₁)−1) ∩ … ∩ (positions(tₙ)−n)|
+
+which is a chain of ``array_intersect(transform(...))`` expressions: pure
+JVM array functions, no Python in the hot path, one hash join per phrase
+term on the term-filtered (tiny) postings.
+
+Proximity (Q9; proximity_retrieval.py:12-35): ``#k(t1,t2)`` matches docs
+where some |p1−p2| ≤ k — an ``exists×exists`` array predicate on the
+joined positions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .search import InvertedIndex, topk
+from . import scoring
+
+
+def phrase_occurrences(index: InvertedIndex, phrase_terms: list[str]) -> DataFrame:
+    """→ (doc_id, phrase_tf) for docs containing the phrase consecutively."""
+    if not phrase_terms:
+        raise ValueError("empty phrase")
+    def _shift(off: int):
+        # single-arg lambda on purpose: a 2-arg lambda would make
+        # F.transform pass the ARRAY INDEX as the second argument
+        return lambda x: x - F.lit(off)
+
+    parts = []
+    for i, t in enumerate(phrase_terms):
+        p = index.lookup([t], positional=True).select(
+            "doc_id",
+            F.transform("positions", _shift(i)).alias(f"p{i}"),
+        )
+        parts.append(p)
+    joined = parts[0]
+    arr = F.col("p0")
+    for i in range(1, len(parts)):
+        joined = joined.join(parts[i], "doc_id")
+        arr = F.array_intersect(arr, F.col(f"p{i}"))
+    return (
+        joined.select("doc_id", F.size(arr).alias("phrase_tf"))
+        .filter(F.col("phrase_tf") > 0)
+    )
+
+
+def search_phrase(index: InvertedIndex, phrase_terms: list[str],
+                  k: int = 100) -> DataFrame:
+    """Phrase-only BM25-style ranking (phrase df = number of matching docs,
+    reference bm25_model.py:316-324) → (doc_id, score) top-k."""
+    occ = phrase_occurrences(index, phrase_terms).cache()
+    try:
+        df_count = occ.count()
+        if df_count == 0:
+            return occ.sparkSession.createDataFrame([], "doc_id long, score double")
+        n, avgdl = index.stats["n_docs"], index.stats["avgdl"]
+        scored = (
+            occ.join(index.doc_stats, "doc_id")
+            .select(
+                "doc_id",
+                F.col("phrase_tf").alias("tf"),
+                "dl",
+                F.lit(df_count).alias("df"),
+            )
+            .withColumn("score", scoring.bm25_weight(n, avgdl))
+            .select("doc_id", "score")
+        )
+        return topk(scored, k)
+    finally:
+        occ.unpersist()
+
+
+def proximity_docs(index: InvertedIndex, t1: str, t2: str, k: int) -> DataFrame:
+    """#k(t1,t2) → (doc_id) ordered by doc_id (reference returns unranked
+    doc-id order)."""
+    p1 = index.lookup([t1], positional=True).select("doc_id", F.col("positions").alias("pos1"))
+    p2 = index.lookup([t2], positional=True).select("doc_id", F.col("positions").alias("pos2"))
+    joined = p1.join(p2, "doc_id")
+    cond = F.exists(
+        "pos1",
+        lambda a: F.exists("pos2", lambda b: F.abs(a - b) <= F.lit(k)),
+    )
+    return joined.filter(cond).select("doc_id").orderBy("doc_id")

@@ -73,8 +73,10 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
         title = " ".join(rng.choice(vocab, size=n_title, p=w))
         body_toks = list(rng.choice(vocab, size=n_body, p=w))
         if i % 5 == 0:  # plant a phrase for phrase/proximity queries
+            # (must be non-stopwords: "hello" is in the Glasgow list and
+            # would be analyzed away)
             k = int(rng.integers(0, max(n_body - 2, 1)))
-            body_toks[k : k + 2] = ["hello", "world"]
+            body_toks[k : k + 2] = ["germany", "economy"]
         body = " ".join(body_toks)
         if i % 7 == 0:  # exercise the entity-unescape step
             body = body + " AT&T €uro"

@@ -211,3 +211,67 @@ def boolean_eval(index, n_docs: int, clauses: list, operators: list[str]) -> set
         else:
             raise ValueError(op)
     return acc
+
+
+def execute(index, doc_sizes, query: str, k: int = 100, model: str = "bm25",
+            conf: AnalyzerConfig = AnalyzerConfig.full()):
+    """Mirror of operators.executor.execute: classify & dispatch.
+
+    Returns [(doc_id, score)] — score 0.0 for unranked kinds, ordered by
+    doc_id for proximity/boolean-unranked, (score desc, doc_id asc)
+    otherwise."""
+    from search_engine_spark.plans import planner
+
+    plan = planner.classify(query, conf)
+    n, total, avgdl = _stats(doc_sizes)
+
+    if isinstance(plan, planner.ProximityPlan):
+        return [(d, 0.0) for d in proximity_docs(index, plan.t1, plan.t2, plan.k)]
+
+    if isinstance(plan, planner.BooleanPlan):
+        clause_sets = []
+        for c in plan.clauses:
+            if c.is_phrase and len(c.terms) > 1:
+                clause_sets.append(set(phrase_docs(index, c.terms)))
+            elif c.terms:
+                s = set()
+                for t in c.terms:
+                    if t in index:
+                        s |= set(index[t][1])
+                clause_sets.append(s)
+            else:
+                clause_sets.append(set())
+        operators = list(plan.operators)
+        if plan.paren_group is not None:
+            lo, hi = plan.paren_group
+            acc = clause_sets[lo]
+            for i in range(lo, hi):
+                nxt = clause_sets[i + 1]
+                op = operators[i]
+                acc = acc & nxt if op == "AND" else acc | nxt if op == "OR" else acc - nxt
+            clause_sets[lo: hi + 1] = [acc]
+            del operators[lo:hi]
+        acc = clause_sets[0]
+        if plan.leading_not:
+            acc = set(doc_sizes) - acc
+        for op, nxt in zip(operators, clause_sets[1:]):
+            acc = acc & nxt if op == "AND" else acc | nxt if op == "OR" else acc - nxt
+        terms = [t for c in plan.clauses for t in c.terms]
+        if terms:
+            ranked = search_freetext(index, doc_sizes, " ".join(terms),
+                                     k=len(doc_sizes), model=model, conf=conf)
+            ranked = [(d, s) for d, s in ranked if d in acc]
+            if ranked:
+                return ranked[:k]
+        return [(d, 0.0) for d in sorted(acc)[:500]]
+
+    # free text + phrases
+    scores: dict[int, float] = {}
+    if plan.terms:
+        for d, s in search_freetext(index, doc_sizes, " ".join(plan.terms),
+                                    k=len(doc_sizes), model=model, conf=conf):
+            scores[d] = scores.get(d, 0.0) + s
+    for ph in plan.phrases:
+        for d, s in search_phrase(index, doc_sizes, ph, k=len(doc_sizes)):
+            scores[d] = scores.get(d, 0.0) + s
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]

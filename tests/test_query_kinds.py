@@ -1,0 +1,103 @@
+"""End-to-end parity for every query kind (FIXTURES.md §3 query set):
+phrase, mixed, boolean (incl. parens / NOT), proximity — engine vs oracle."""
+
+import pytest
+
+from search_engine_spark.operators import executor
+from search_engine_spark.operators import phrase as PH
+from search_engine_spark.plans import planner
+from tests import oracle
+
+
+def _run(idx, q, **kw):
+    return [(r.doc_id, r.score) for r in executor.execute(idx, q, **kw).collect()]
+
+
+def _want(o, q, **kw):
+    o_index, doc_sizes = o
+    return oracle.execute(o_index, doc_sizes, q, **kw)
+
+
+def _assert_same(got, want, ranked=True):
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
+PHRASE_QUERIES = ['"germany economy"', '"market price"', '"zzz qqq"',
+                  '"hello world"']  # last: stopword in phrase → degenerates to single term
+
+
+@pytest.mark.parametrize("q", PHRASE_QUERIES)
+def test_phrase(built_index, oracle_index, q):
+    _assert_same(_run(built_index, q), _want(oracle_index, q))
+
+
+def test_phrase_occurrence_counts(built_index, oracle_index):
+    o_index, _ = oracle_index
+    terms = ["germani", "economi"]  # analyzed (stemmed) forms
+    got = {r.doc_id: r.phrase_tf
+           for r in PH.phrase_occurrences(built_index, terms).collect()}
+    assert got == oracle.phrase_docs(o_index, terms)
+    assert len(got) > 0  # planted phrase must exist
+
+
+def test_mixed_freetext_phrase(built_index, oracle_index):
+    q = 'market "germany economy"'
+    _assert_same(_run(built_index, q), _want(oracle_index, q))
+
+
+BOOLEAN_QUERIES = [
+    "hello AND germany",
+    "hello OR germany",
+    "hello AND NOT germany",
+    "NOT hello",
+    "world AND (germany OR china)",
+    'market AND "hello world"',
+]
+
+
+@pytest.mark.parametrize("q", BOOLEAN_QUERIES)
+def test_boolean(built_index, oracle_index, q):
+    _assert_same(_run(built_index, q), _want(oracle_index, q))
+
+
+PROX_QUERIES = ["#3(germany, economy)", "#1(germany, economy)",
+                "#20(market, price)", "#5(hello, world)"]  # last: stopword → empty
+
+
+@pytest.mark.parametrize("q", PROX_QUERIES)
+def test_proximity(built_index, oracle_index, q):
+    got = [d for d, _ in _run(built_index, q)]
+    want = [d for d, _ in _want(oracle_index, q)]
+    assert got == want
+
+
+def test_proximity_classification():
+    p = planner.classify("#3(germany, economy)")
+    assert isinstance(p, planner.ProximityPlan)
+    assert (p.k, p.t1, p.t2) == (3, "germani", "economi")  # analyzed forms
+
+
+def test_boolean_classification():
+    p = planner.classify("world AND (germany OR china)")
+    assert isinstance(p, planner.BooleanPlan)
+    assert p.operators == ["AND", "OR"]
+    assert p.paren_group == (1, 2)
+
+
+def test_date_filter(built_index, oracle_index, corpus_pdf):
+    from datetime import date
+    start, end = date(2022, 1, 1), date(2022, 1, 31)
+    got = _run(built_index, "germany market", date_start=start, date_end=end)
+    allowed = set(
+        corpus_pdf.loc[
+            (corpus_pdf.warc_ts.dt.date >= start) & (corpus_pdf.warc_ts.dt.date <= end),
+            "doc_id",
+        ]
+    )
+    assert got and all(d in allowed for d, _ in got)
+    # scores of surviving docs are unchanged by the filter
+    full = dict(_want(oracle_index, "germany market", k=10**9))
+    for d, s in got:
+        assert s == pytest.approx(full[d], abs=1e-9)

@@ -106,6 +106,151 @@ def q_boolean_or_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.union(b).distinct().join(c, "doc_id", "left_anti")
 
 
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs containing the phrase "big data" (Q8 positional intersection)."""
+    from search_engine_spark.operators import phrase as PH
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=True, cache=False)
+    return PH.phrase_occurrences(idx, ["big", "data"]).select(
+        "doc_id", F.col("phrase_tf").cast("long").alias("phrase_tf")
+    )
+
+
+def q_proximity_w5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#5(spark, value): |pos1-pos2| <= 5 (Q9)."""
+    from search_engine_spark.operators import phrase as PH
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=True, cache=False)
+    return PH.proximity_docs(idx, "spark", "value", 5)
+
+
+def q_vsm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """full VSM cosine over ALL matching docs (k unbounded → boundary-free
+    hash compare), scores rounded to 4 (Q12)."""
+    from search_engine_spark.operators.search import search_vsm
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    out = search_vsm(idx, "spark vector dup", k=1 << 30)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet LM scores over all matching docs, rounded to 4 (Q13;
+    quirk 5: cf==df)."""
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    out = S.search_freetext(idx, "spark query", k=1 << 30, model="lm-dirichlet")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import dedup
+
+    return dedup.exact_dedup(_docs(spark, sf_dir)).select(
+        "text_hash", "doc_id", F.col("dup_count").cast("long").alias("dup_count")
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact bigram Jaccard >= 0.5 for same-source pairs (the dedup ground
+    truth; blocking key bounds the pair fan-out)."""
+    from search_engine_spark.operators import dedup
+
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), block_col="source", n=2, threshold=0.5
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import textquality
+
+    return textquality.token_count(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_subwords",
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """brute-force cosine top-10 against the vec_id=0 embedding."""
+    from search_engine_spark.operators import similarity
+    from search_engine_spark.sources.corpus import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    out = similarity.cosine_topk(emb, q, k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import events as EV
+    from search_engine_spark.sources.corpus import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events")
+    return EV.tumbling_counts(ev, 60)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import events as EV
+    from search_engine_spark.sources.corpus import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events")
+    return EV.sessionize(ev, 30).select(
+        "user_id", F.col("session_id").cast("long").alias("session_id"),
+        "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"), "total_value",
+    )
+
+
+def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import events as EV
+    from search_engine_spark.sources.corpus import read_testdata
+
+    return EV.user_stats(read_testdata(spark, sf_dir, "events")).select(
+        "user_id", F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_types").cast("long").alias("n_types"),
+        "mean_value", "max_value",
+    )
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import events as EV
+    from search_engine_spark.sources.corpus import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events")
+    return EV.sliding_topk(ev, 60, 3).select(
+        "window_start", "event_type", F.col("n").cast("long").alias("n"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+# rows-only entries (hash-based ops whose exact values SQL cannot
+# reproduce; the driver records a weaker rows-only check by design)
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import dedup
+
+    h = dedup.simhash64(_docs(spark, sf_dir))
+    return dedup.simhash_pairs(h, max_hamming=8)
+
+
+def q_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import dedup
+
+    return dedup.minhash_dedup(_docs(spark, sf_dir), threshold=0.7)
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import textquality
+
+    return textquality.language_id(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_doc_tf": q_term_doc_tf,
@@ -115,6 +260,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "boolean_and": q_boolean_and,
         "boolean_or_not": q_boolean_or_not,
+        "phrase_match": q_phrase_match,
+        "proximity_w5": q_proximity_w5,
+        "vsm_topk": q_vsm_topk,
+        "lm_dirichlet": q_lm_dirichlet,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_count": q_token_count,
+        "cosine_topk": q_cosine_topk,
+        "tumbling_counts": q_tumbling_counts,
+        "sessionize": q_sessionize,
+        "user_stats": q_user_stats,
+        "window_topk": q_window_topk,
+        "simhash_near_dups": q_simhash_near_dups,
+        "minhash_survivors": q_minhash_survivors,
+        "language_id": q_language_id,
     }
 
 
@@ -170,5 +330,143 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id FROM tok
             WHERE term IN ('spark', 'vector')
             AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'dup')
+        """,
+        "phrase_match": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            pos AS (SELECT doc_id, unnest(l) AS tok,
+                           unnest(generate_series(1, len(l))) AS pos FROM t),
+            a AS (SELECT doc_id, pos FROM pos WHERE tok = 'big'),
+            b AS (SELECT doc_id, pos FROM pos WHERE tok = 'data')
+            SELECT a.doc_id, COUNT(*) AS phrase_tf
+            FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            GROUP BY a.doc_id
+        """,
+        "proximity_w5": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            pos AS (SELECT doc_id, unnest(l) AS tok,
+                           unnest(generate_series(1, len(l))) AS pos FROM t)
+            SELECT DISTINCT a.doc_id
+            FROM (SELECT doc_id, pos FROM pos WHERE tok = 'spark') a
+            JOIN (SELECT doc_id, pos FROM pos WHERE tok = 'value') b
+              ON a.doc_id = b.doc_id AND ABS(a.pos - b.pos) <= 5
+        """,
+        "vsm_topk": f"""
+            WITH tok AS ({_TOK}),
+            tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+            stats AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            wd AS (SELECT tf.term, tf.doc_id,
+                          CASE WHEN df.df >= s.n THEN 0.0
+                               ELSE GREATEST((1 + LOG10(tf.tf))
+                                    * LOG10((s.n - df.df) * 1.0 / df.df), 0.0)
+                          END AS w
+                   FROM tf JOIN df USING (term) CROSS JOIN stats s),
+            dnorm AS (SELECT doc_id, SQRT(SUM(w * w)) AS dnorm FROM wd GROUP BY 1),
+            q(term) AS (VALUES ('spark'), ('vector'), ('dup')),
+            wq AS (SELECT q.term, LOG10(s.n * 1.0 / df.df) AS wq
+                   FROM q JOIN df USING (term) CROSS JOIN stats s),
+            qn AS (SELECT SQRT(SUM(wq * wq)) AS qnorm FROM wq),
+            dot AS (SELECT wd.doc_id, SUM(wd.w * wq.wq) AS dot
+                    FROM wd JOIN wq USING (term) GROUP BY 1)
+            SELECT dot.doc_id,
+                   CASE WHEN dnorm.dnorm > 0
+                        THEN ROUND(dot.dot / (dnorm.dnorm * qn.qnorm), 4)
+                        ELSE 0.0 END AS score
+            FROM dot JOIN dnorm USING (doc_id) CROSS JOIN qn
+        """,
+        "lm_dirichlet": f"""
+            WITH tok AS ({_TOK}),
+            tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n, SUM(dl) AS lc FROM dl),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES ('spark'), ('query')),
+            w AS (SELECT tf.doc_id,
+                         LN((tf.tf / 1089.0) * (s.lc * 1.0 / df.df) + 1.0) AS wt
+                  FROM tf JOIN q USING (term) JOIN df USING (term)
+                  CROSS JOIN stats s)
+            SELECT w.doc_id,
+                   ROUND(SUM(w.wt) + 2 * LN(1089.0 / (dl.dl + 1089.0)), 4) AS score
+            FROM w JOIN dl USING (doc_id) GROUP BY w.doc_id, dl.dl
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id,
+                   COUNT(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard": """
+            WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS l
+                       FROM documents),
+            g AS (SELECT doc_id, source,
+                         list_distinct(list_transform(
+                             generate_series(1, len(l) - 1),
+                             i -> l[i] || ' ' || l[i + 1])) AS grams
+                  FROM t)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ROUND(len(list_intersect(a.grams, b.grams)) * 1.0
+                         / len(list_distinct(list_concat(a.grams, b.grams))),
+                         6) AS jaccard
+            FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+        """,
+        "token_count": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                   CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_subwords
+            FROM documents
+        """,
+        "cosine_topk": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "tumbling_counts": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH marked AS (
+                SELECT *,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+                SELECT *, SUM(new_session) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            )
+            SELECT user_id, session_id, MIN(ts) AS session_start,
+                   MAX(ts) AS session_end, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS total_value
+            FROM numbered GROUP BY user_id, session_id
+        """,
+        "user_stats": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   COUNT(DISTINCT event_type) AS n_types,
+                   ROUND(AVG(value), 4) AS mean_value,
+                   ROUND(MAX(value), 4) AS max_value
+            FROM events GROUP BY user_id
+        """,
+        "window_topk": """
+            WITH c AS (
+                SELECT date_trunc('hour', ts) AS window_start, event_type,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT window_start, event_type, n, rnk FROM (
+                SELECT *, ROW_NUMBER() OVER
+                    (PARTITION BY window_start
+                     ORDER BY n DESC, event_type ASC) AS rnk
+                FROM c
+            ) WHERE rnk <= 3
         """,
     }

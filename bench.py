@@ -1,0 +1,127 @@
+"""Benchmark harness — one JSON line on stdout (driver contract).
+
+Phases:
+  1. index build over $SPARK_GRAFT_SF_DIR/documents.parquet (full analyzer,
+     positional postings, salted term stats) → build_sec, docs/sec;
+  2. web-scale build over a deterministically synthesized input_hint corpus
+     (url, warc_ts, html, binary→text extraction UDF, tf postings) →
+     web_docs_per_sec — the BASELINE.json headline metric shape;
+  3. warm-index query latencies for every query kind.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_WEB_DOCS (default 20000) — web corpus size.
+
+For the N→4N scaling evidence run scripts/scaling_bench.py (spawns this at
+local[8] and local[32] and reports efficiency into BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from search_engine_spark import engine
+    from search_engine_spark.functions.analyzer import AnalyzerConfig
+    from search_engine_spark.operators import executor
+    from search_engine_spark.operators import postings as P
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources import corpus
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_web = int(os.environ.get("BENCH_WEB_DOCS", "20000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    # -- phase 1: index build on the driver documents table -----------------
+    docs = corpus.read_documents(spark, sf_dir)
+    n_docs = docs.count()
+
+    def build():
+        idx = engine.build_index(docs, AnalyzerConfig.full())
+        idx.postings.count()  # materialize the cache
+        return idx
+
+    idx = timed("build_index", build)
+    build_dps = n_docs / timings["build_index"]
+
+    # -- phase 2: web-corpus (input_hint shape) build -----------------------
+    # Generation is timed separately from indexing: the headline docs/sec
+    # measures the engine (extract UDF + analysis + aggregation), not the
+    # synthetic-data generator.
+    from search_engine_spark.functions.analyzer import make_extract_text_udf
+
+    web_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_tmp", f"web_{n_web}")
+
+    def web_gen():
+        if not os.path.exists(os.path.join(web_dir, "_SUCCESS")):
+            corpus.synthesize_web_corpus(spark, n_web, partitions=cpus * 2) \
+                .write.mode("overwrite").parquet(web_dir)
+        return spark.read.parquet(web_dir)
+
+    web = timed("web_gen", web_gen)
+
+    def web_build():
+        w = corpus.ingest_filters(corpus.with_hash_doc_ids(web))
+        extracted = w.select(
+            "doc_id", make_extract_text_udf()(F.col("html")).alias("text")
+        )
+        post = P.build_postings(extracted, AnalyzerConfig.full(), positional=False)
+        return post.groupBy().agg(
+            F.count("*").alias("postings"), F.sum("tf").alias("tokens")
+        ).collect()[0]
+
+    web_row = timed("web_build", web_build)
+    web_dps = n_web / timings["web_build"]
+
+    # -- phase 3: warm query latencies --------------------------------------
+    queries = {
+        "q_free_single": lambda: executor.execute(idx, "market").count(),
+        "q_free_multi": lambda: executor.execute(idx, "market price growth").count(),
+        "q_phrase": lambda: executor.execute(idx, '"germany economy"').count(),
+        "q_boolean": lambda: executor.execute(idx, "market AND (germany OR china)").count(),
+        "q_proximity": lambda: executor.execute(idx, "#5(market, price)").count(),
+        "q_lm": lambda: executor.execute(idx, "market price", model="lm-pyp").count(),
+        "q_vsm": lambda: executor.execute(idx, "market price", model="vsm").count(),
+    }
+    for name, fn in queries.items():
+        timed(name, fn)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "e2e_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "build_docs_per_sec": round(build_dps, 1),
+        "web_corpus_docs": n_web,
+        "web_build_docs_per_sec": round(web_dps, 1),
+        "web_postings": int(web_row["postings"]),
+        "web_tokens": int(web_row["tokens"]),
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

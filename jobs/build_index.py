@@ -1,0 +1,67 @@
+"""Batch index build job (reference indexing/main.py:22-29 equivalent).
+
+spark-submit --py-files dist/engine.zip jobs/build_index.py \
+    --input /data/documents_parquet --output /data/index \
+    [--buckets 64] [--block-span 131072] [--shards 8] [--no-positions] \
+    [--analyzer full|simple] [--text-col text] [--html] [--resume/--no-resume]
+
+Input: parquet with (doc_id, text, ...) — or, with --html, the input_hint
+web shape (url, warc_ts, html, ...) where doc_id is derived via
+xxhash64(url) and text is extracted from html by the vectorized UDF.
+The build is resumable: per-shard lineage manifests make a re-run skip
+completed work (see sources/catalog.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--block-span", type=int, default=1 << 17)
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument("--analyzer", choices=["full", "simple"], default="full")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--html", action="store_true",
+                    help="input is the web shape: derive doc_id/text")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.analyzer import (AnalyzerConfig,
+                                                        make_extract_text_udf)
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources import catalog, corpus
+
+    spark = get_spark("build_index")
+    docs = spark.read.parquet(args.input)
+    if args.html:
+        docs = corpus.ingest_filters(corpus.with_hash_doc_ids(docs))
+        docs = docs.select(
+            "doc_id", make_extract_text_udf()(F.col("html")).alias("text")
+        )
+    elif args.text_col != "text":
+        docs = docs.withColumnRenamed(args.text_col, "text")
+
+    conf = AnalyzerConfig.full() if args.analyzer == "full" else AnalyzerConfig.simple()
+    catalog.build_durable_index(
+        spark, docs, args.output, conf=conf, buckets=args.buckets,
+        block_span=args.block_span, shards=args.shards,
+        positional=not args.no_positions, resume=not args.no_resume,
+    )
+    for row in catalog.lineage_rows(args.output):
+        print(row)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Top-k query job (the reference's /results endpoint as a batch job).
+
+spark-submit --py-files dist/engine.zip jobs/query_topk.py \
+    --index /data/index --query "market price" [--k 100] \
+    [--model bm25|bm25-reference|vsm|lm-dirichlet|lm-pyp] \
+    [--wand] [--date-start 2022-01-01 --date-end 2022-01-31] \
+    [--documents /data/documents_parquet]
+
+Prints one JSON line per hit: {"rank", "doc_id", "score"}.
+--wand uses the Block-Max WAND kernel (BM25 only); default is the
+distributed relational path through the unified executor.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from datetime import date
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--model", default="bm25")
+    ap.add_argument("--wand", action="store_true")
+    ap.add_argument("--date-start")
+    ap.add_argument("--date-end")
+    ap.add_argument("--documents")
+    args = ap.parse_args()
+
+    from search_engine_spark.operators import executor, wand
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources import catalog
+
+    spark = get_spark("query_topk")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.documents) if args.documents else None
+    idx = catalog.load_index(spark, args.index, documents=docs)
+
+    if args.wand:
+        hits = wand.search_wand(idx, args.query, k=args.k)
+    else:
+        df = executor.execute(
+            idx, args.query, k=args.k, model=args.model,
+            date_start=date.fromisoformat(args.date_start) if args.date_start else None,
+            date_end=date.fromisoformat(args.date_end) if args.date_end else None,
+        )
+        hits = [(r.doc_id, r.score) for r in df.collect()]
+
+    for i, (doc_id, score) in enumerate(hits, 1):
+        print(json.dumps({"rank": i, "doc_id": int(doc_id), "score": score}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""N→4N scaling evidence (BASELINE.json north rule, sandbox form).
+
+No real cluster exists here, so the two-cluster-size criterion is
+evidenced by running the identical index-build job at two parallelism
+levels on the same input: local[N] vs local[4N] (default 8 vs 32),
+each in a fresh JVM subprocess. Reports throughput at both and
+
+    efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4
+
+Appends a result block to BENCH/BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [--docs 60000] [--n 8] [--runs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def gen_corpus(n_docs: int) -> str:
+    out = os.path.join(ROOT, ".bench_tmp", f"scaling_web_{n_docs}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources import corpus
+
+    spark = get_spark("gen", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus.synthesize_web_corpus(spark, n_docs, partitions=64) \
+        .write.mode("overwrite").parquet(out)
+    spark.stop()
+    return out
+
+
+def run_job(cpus: int, corpus_dir: str, runs: int) -> dict:
+    p = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "scaling_job.py"),
+         str(cpus), corpus_dir, "--runs", str(runs)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    if p.returncode != 0:
+        raise RuntimeError(p.stderr[-2000:])
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=150000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    corpus_dir = gen_corpus(args.docs)
+    results = {}
+    for cpus in (args.n, args.n * 4):
+        r = run_job(cpus, corpus_dir, args.runs)
+        results[cpus] = r
+        print(json.dumps(r))
+
+    tn, t4n = results[args.n], results[args.n * 4]
+    eff = (t4n["docs_per_sec"] / tn["docs_per_sec"]) / 4.0
+    summary = {
+        "docs": args.docs,
+        "n_cpus": args.n, "n_docs_per_sec": tn["docs_per_sec"],
+        "n4_cpus": args.n * 4, "n4_docs_per_sec": t4n["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "meets_0.8_target": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    md = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    with open(md, "a") as f:
+        f.write(
+            f"\n## Scaling run ({args.docs} docs, best of {args.runs})\n\n"
+            f"| parallelism | build_sec | docs/sec |\n|---|---|---|\n"
+            f"| local[{args.n}] (N) | {tn['build_sec']} | {tn['docs_per_sec']} |\n"
+            f"| local[{args.n * 4}] (4N) | {t4n['build_sec']} | {t4n['docs_per_sec']} |\n\n"
+            f"Scaling efficiency (throughput_4N / throughput_N) / 4 = "
+            f"**{summary['scaling_efficiency']}** "
+            f"({'meets' if summary['meets_0.8_target'] else 'below'} the >=0.8 target)\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

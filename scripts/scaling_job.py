@@ -1,0 +1,80 @@
+"""One index-build run at a fixed parallelism — the unit of the N→4N
+scaling measurement. Prints one JSON line {"cpus", "docs", "build_sec",
+"docs_per_sec"}.
+
+Usage: python scripts/scaling_job.py <cpus> <corpus_parquet_dir> [--runs R]
+
+Methodology: a small warm-up build first (JIT-compiles the codegen and
+Arrow paths — cold-JVM constants would otherwise swamp the scaling
+signal), then R timed FULL durable index builds (extract UDF → analysis →
+salted aggregations → positional block encode → segment write + lineage),
+best-of-R reported. Input corpus must pre-exist so every run reads
+identical bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    corpus_dir = sys.argv[2]
+    runs = int(sys.argv[sys.argv.index("--runs") + 1]) if "--runs" in sys.argv else 2
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.analyzer import (AnalyzerConfig,
+                                                        make_extract_text_udf)
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources import catalog, corpus
+
+    spark = get_spark("scaling", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    web = spark.read.parquet(corpus_dir)
+    n = web.count()
+
+    def prepared(df):
+        # dense ids: doc-partitioned segment blocks need bounded occupancy
+        w = corpus.ingest_filters(corpus.with_dense_doc_ids(df))
+        return w.select(
+            "doc_id", make_extract_text_udf()(F.col("html")).alias("text")
+        )
+
+    tmp = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
+    try:
+        # warm-up on ~5% of docs
+        warm = web.sample(fraction=0.05, seed=1)
+        span = max(4096, 1 << max(int(n / 128).bit_length(), 1))
+        catalog.build_durable_index(
+            spark, prepared(warm), os.path.join(tmp, "warm"), shards=2,
+            block_span=span,
+        )
+        best = None
+        for r in range(runs):
+            out = os.path.join(tmp, f"run{r}")
+            t0 = time.perf_counter()
+            catalog.build_durable_index(spark, prepared(web), out, shards=2,
+                                        block_span=span)
+            sec = time.perf_counter() - t0
+            shutil.rmtree(out)
+            if best is None or sec < best:
+                best = sec
+        print(json.dumps({
+            "cpus": cpus, "docs": n,
+            "build_sec": round(best, 3), "docs_per_sec": round(n / best, 1),
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -72,35 +72,50 @@ def vb_decode(buf: bytes) -> np.ndarray:
     return out.astype(np.int64)
 
 
-def encode_block(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray,
+                 dls: np.ndarray | None = None) -> bytes:
     """One posting block → payload bytes.
 
-    Layout: varint([n, doc₀, Δdoc₁..Δdocₙ₋₁, tf₁..tfₙ]). doc_ids must be
-    sorted ascending and unique within the block.
+    Layout: varint([n, doc₀, Δdoc₁..Δdocₙ₋₁, tf₁..tfₙ[, dl₁..dlₙ]]).
+    doc_ids must be sorted ascending and unique within the block. ``dls``
+    (per-posting doc length) makes blocks self-contained for scoring —
+    the query path then needs NO doc_stats join and the WAND kernel can
+    score a block from its bytes alone (cost ≈1-2 bytes/posting).
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     n = len(doc_ids)
-    deltas = np.diff(doc_ids)
-    stream = np.concatenate(
-        [np.array([n, doc_ids[0] if n else 0], dtype=np.int64), deltas, tfs]
-    )
-    return vb_encode(stream)
+    parts = [np.array([n, doc_ids[0] if n else 0], dtype=np.int64),
+             np.diff(doc_ids), tfs]
+    if dls is not None:
+        parts.append(np.asarray(dls, dtype=np.int64))
+    return vb_encode(np.concatenate(parts))
 
 
 def decode_block(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """payload bytes → (doc_ids ascending, tfs). Inverse of encode_block."""
+    """payload bytes → (doc_ids ascending, tfs). Inverse of encode_block
+    without dls (ignores a trailing dl run if present)."""
+    d, t, _ = decode_block_full(payload)
+    return d, t
+
+
+def decode_block_full(payload: bytes):
+    """→ (doc_ids, tfs, dls|None) depending on whether the dl run exists."""
     stream = vb_decode(payload)
     n = int(stream[0])
     if n == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        e = np.empty(0, dtype=np.int64)
+        return e, e, None
     docs = np.empty(n, dtype=np.int64)
     docs[0] = stream[1]
     if n > 1:
         docs[1:] = stream[2 : 1 + n]
         np.cumsum(docs, out=docs)
-    tfs = stream[1 + n : 1 + 2 * n]
-    return docs, np.asarray(tfs, dtype=np.int64)
+    tfs = np.asarray(stream[1 + n : 1 + 2 * n], dtype=np.int64)
+    dls = None
+    if len(stream) >= 1 + 3 * n:
+        dls = np.asarray(stream[1 + 2 * n : 1 + 3 * n], dtype=np.int64)
+    return docs, tfs, dls
 
 
 def encode_positions(positions_flat: np.ndarray, counts: np.ndarray) -> bytes:

@@ -1,0 +1,84 @@
+"""Windowed / sessionized analytics over the events stream table.
+
+The reference engine has no window functions (SURVEY §2.6 — its only
+temporal feature is the date2doc filter); these operators supply the
+window-function + event-time coverage a production corpus pipeline needs
+(ingest monitoring, per-source rate stats), each expressible in ANSI SQL
+for the DuckDB oracle:
+
+* tumbling_counts — fixed windows via date_trunc-aligned grouping
+* sliding_topk    — top event types per window by count (rank window fn)
+* sessionize      — gap-based sessions: lag + cumulative-sum-of-breaks
+                    (the batch formulation of session windows; the
+                    streaming formulation lives in streaming/incremental)
+* user_stats      — per-user aggregates with percentile frames
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def tumbling_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """→ (window_start, event_type, n, total_value). Fixed tumbling
+    windows; groupBy on the truncated timestamp keeps the shuffle key
+    small and AQE-coalescible."""
+    win = F.window("ts", f"{minutes} minutes")
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                "total_value")
+    )
+
+
+def sliding_topk(events: DataFrame, minutes: int = 60, k: int = 3) -> DataFrame:
+    """→ top-k event types per tumbling window by count (rank window)."""
+    counts = tumbling_counts(events, minutes)
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("window_start", "event_type", "n", "rnk")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization → (user_id, session_id, session_start,
+    session_end, n_events, total_value).
+
+    lag over (user_id, ts) marks breaks; a running sum of breaks numbers
+    the sessions — the standard batch windowing identity. One shuffle
+    (partitionBy user_id); skewed power-users are still bounded because
+    the window is per-user and AQE splits oversized partitions.
+    """
+    byu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # cast via TIMESTAMP first: parquet may carry TIMESTAMP_NTZ, which has
+    # no direct cast to long (session TZ is pinned UTC so this is exact)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(byu)
+    marked = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(byu))
+    return (
+        marked.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def user_stats(events: DataFrame) -> DataFrame:
+    """→ per-user aggregates (n, distinct types, mean value)."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )

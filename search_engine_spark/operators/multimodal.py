@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata (task brief).
+
+The decode step is STUBBED — no image/audio libraries exist in this
+container — behind ``decoder=`` hooks: the default raises
+NotImplementedError; ``fake_image_decoder``/``fake_audio_decoder`` are
+deterministic stand-ins so the Spark-side plumbing (schema, mapInPandas
+batch shape, partition sizing, UDF signatures) is real and tested. On a
+cluster with Pillow/ffmpeg installed, swap the decoder callable; nothing
+else changes.
+
+Scale notes: binary payloads never shuffle — feature extraction is a
+narrow mapInPandas directly after the scan; only the small feature
+vectors/metadata proceed to joins/aggs. ``maxRecordsPerBatch`` bounds
+Arrow batch memory for large blobs; repartition by size class first if
+blob sizes are wildly skewed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
+                               LongType, StringType, StructField, StructType)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),       # image | audio | video
+    StructField("mime", StringType()),
+    StructField("payload", BinaryType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("feature", ArrayType(DoubleType())),
+])
+
+
+def unimplemented_decoder(payload: bytes, kind: str) -> np.ndarray:
+    raise NotImplementedError(
+        "media decode requires an image/audio library not present in this "
+        "container; pass decoder=fake_image_decoder for the test path or a "
+        "real decoder (e.g. PIL-based) on a full cluster"
+    )
+
+
+def fake_image_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in: 8-dim 'feature' from payload byte stats."""
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    if len(arr) == 0:
+        return np.zeros(8)
+    return np.array([
+        len(arr), arr.mean(), arr.std(), arr.min(), arr.max(),
+        np.median(arr), arr[:16].sum(), arr[-16:].sum(),
+    ])
+
+
+fake_audio_decoder = fake_image_decoder
+
+
+def extract_features(media: DataFrame,
+                     decoder: Callable = unimplemented_decoder) -> DataFrame:
+    """media table → (media_id, kind, n_bytes, feature[8]) via mapInPandas
+    (Arrow-batched; binary stays within the scan stage)."""
+
+    def run(batches):
+        for pdf in batches:
+            feats = [
+                decoder(p if p is not None else b"", k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                "feature": [f.tolist() for f in feats],
+            })
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synthesize_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
+    """Deterministic fake media table exercising the binary plumbing."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.default_rng(int(i) + 77)
+                kind = ("image", "audio", "video")[int(i) % 3]
+                payload = rng.integers(0, 256, size=int(rng.integers(64, 2048)),
+                                       dtype=np.uint8).tobytes()
+                rows.append({
+                    "media_id": int(i), "kind": kind,
+                    "mime": {"image": "image/png", "audio": "audio/wav",
+                             "video": "video/mp4"}[kind],
+                    "payload": payload,
+                    "width": 64 if kind != "audio" else 0,
+                    "height": 64 if kind != "audio" else 0,
+                    "duration_ms": 0 if kind == "image" else 1000,
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 200) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms) —
+    the explode that a real decoder would consume. Pure JVM sequence()."""
+    vids = media.filter(F.col("kind") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

@@ -36,18 +36,21 @@ def phrase_occurrences(index: InvertedIndex, phrase_terms: list[str]) -> DataFra
 
     parts = []
     for i, t in enumerate(phrase_terms):
-        p = index.lookup([t], positional=True).select(
-            "doc_id",
-            F.transform("positions", _shift(i)).alias(f"p{i}"),
-        )
-        parts.append(p)
+        base = index.lookup([t], positional=True)
+        cols = ["doc_id", F.transform("positions", _shift(i)).alias(f"p{i}")]
+        if i == 0 and "dl" in base.columns:
+            cols.append("dl")  # ride dl along for join-free scoring
+        parts.append(base.select(*cols))
     joined = parts[0]
     arr = F.col("p0")
     for i in range(1, len(parts)):
         joined = joined.join(parts[i], "doc_id")
         arr = F.array_intersect(arr, F.col(f"p{i}"))
+    out_cols = ["doc_id", F.size(arr).alias("phrase_tf")]
+    if "dl" in joined.columns:
+        out_cols.append("dl")
     return (
-        joined.select("doc_id", F.size(arr).alias("phrase_tf"))
+        joined.select(*out_cols)
         .filter(F.col("phrase_tf") > 0)
     )
 
@@ -62,9 +65,9 @@ def search_phrase(index: InvertedIndex, phrase_terms: list[str],
         if df_count == 0:
             return occ.sparkSession.createDataFrame([], "doc_id long, score double")
         n, avgdl = index.stats["n_docs"], index.stats["avgdl"]
+        base = occ if "dl" in occ.columns else occ.join(index.doc_stats, "doc_id")
         scored = (
-            occ.join(index.doc_stats, "doc_id")
-            .select(
+            base.select(
                 "doc_id",
                 F.col("phrase_tf").alias("tf"),
                 "dl",

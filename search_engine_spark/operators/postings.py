@@ -32,8 +32,13 @@ def explode_terms(docs: DataFrame, conf: AnalyzerConfig = AnalyzerConfig.full(),
     """
     toks = tokens_column(docs, text_col=text_col, conf=conf)
     return (
-        toks.select("doc_id", F.posexplode("tokens").alias("pos0", "term"))
-        .select("doc_id", "term", (F.col("pos0") + 1).cast(IntegerType()).alias("pos"))
+        toks.select(
+            "doc_id",
+            F.size("tokens").cast(IntegerType()).alias("dl"),
+            F.posexplode("tokens").alias("pos0", "term"),
+        )
+        .select("doc_id", "dl", "term",
+                (F.col("pos0") + 1).cast(IntegerType()).alias("pos"))
     )
 
 
@@ -47,7 +52,11 @@ def build_postings(docs: DataFrame, conf: AnalyzerConfig = AnalyzerConfig.full()
     volume to one row per (term, doc_id) per map task.
     """
     terms = explode_terms(docs, conf, text_col=text_col)
-    aggs = [F.count("*").cast(IntegerType()).alias("tf")]
+    # dl rides along (constant per doc_id group — F.first is exact here);
+    # carrying it makes postings/segments self-contained for scoring, so
+    # the query path needs no doc_stats join (one shuffle saved per query)
+    aggs = [F.count("*").cast(IntegerType()).alias("tf"),
+            F.first("dl").alias("dl")]
     if positional:
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
     return terms.groupBy("term", "doc_id").agg(*aggs)

@@ -53,9 +53,11 @@ class InvertedIndex:
     analyzer: AnalyzerConfig = AnalyzerConfig.full()
 
     def lookup(self, terms: list[str], positional: bool = False) -> DataFrame:
-        cols = ["term", "doc_id", "tf"] + (
-            ["positions"] if positional and "positions" in self.postings.columns else []
-        )
+        cols = ["term", "doc_id", "tf"]
+        if "dl" in self.postings.columns:
+            cols.append("dl")  # self-contained scoring: no doc_stats join
+        if positional and "positions" in self.postings.columns:
+            cols.append("positions")
         return self.postings.filter(F.col("term").isin(terms)).select(*cols)
 
 
@@ -65,7 +67,9 @@ def _scored_frame(index: InvertedIndex, terms: list[str], model: str,
     n, avgdl, total = index.stats["n_docs"], index.stats["avgdl"], index.stats["total_len"]
     matched = index.lookup(terms)
     tstats = F.broadcast(index.term_stats.filter(F.col("term").isin(terms)))
-    joined = matched.join(tstats, "term").join(index.doc_stats, "doc_id")
+    joined = matched.join(tstats, "term")
+    if "dl" not in joined.columns:
+        joined = joined.join(index.doc_stats, "doc_id")
     if model == "bm25":
         w = scoring.bm25_weight(n, avgdl)
     elif model == "bm25-reference":
@@ -76,8 +80,6 @@ def _scored_frame(index: InvertedIndex, terms: list[str], model: str,
     elif model == "lm-pyp":
         joined = joined.withColumn("cf", F.col("df"))
         w = scoring.lm_weight(total, mu=1303.0, pitman_yor=True)
-    elif model == "vsm":
-        w = scoring.vsm_doc_weight(n)
     else:
         raise ValueError(f"unknown model {model!r}")
     if q_tf:
@@ -122,6 +124,8 @@ def search_freetext(index: InvertedIndex, query: str, k: int = 100,
     """Free-text top-k → (doc_id, score). Terms are deduped with query tf
     folded into the weight (reference multiplies by query tf via its loop
     over ``set(query)``)."""
+    if model == "vsm":
+        return search_vsm(index, query, k=k, candidates=candidates)
     toks = analyze_query(query, index.analyzer)
     if not toks:
         return index.postings.sparkSession.createDataFrame([], "doc_id long, score double")
@@ -144,6 +148,78 @@ def search_freetext(index: InvertedIndex, query: str, k: int = 100,
             "doc_id", (F.col("score") + F.col("prior")).alias("score")
         )
     return topk(agg, k)
+
+
+def vsm_doc_norms(index: InvertedIndex) -> DataFrame:
+    """(doc_id, dnorm): sqrt(Σ w_d²) over ALL of a doc's terms
+    (vsm_model.py:44-54). One postings⋈term_stats join + agg; cached on
+    the index handle after first use."""
+    cached = getattr(index, "_vsm_norms", None)
+    if cached is not None:
+        return cached
+    n = index.stats["n_docs"]
+    w = scoring.vsm_doc_weight(n)
+    norms = (
+        index.postings.select("term", "doc_id", "tf")
+        .join(index.term_stats.select("term", "df"), "term")
+        .withColumn("w", w)
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm"))
+    ).cache()
+    index._vsm_norms = norms
+    return norms
+
+
+def search_vsm(index: InvertedIndex, query: str, k: int = 20,
+               candidates: DataFrame | None = None) -> DataFrame:
+    """Full VSM cosine (reference vsm_model.py:56-103): doc weight
+    (1+log10 tf)·log10((N−df)/df) clamped ≥0, query weight
+    (1+log10 tf_q)·log10(N/df), cosine over the doc/query norms, top-20
+    default cut. df==N terms contribute 0 on both axes (log10(0)→null→
+    greatest 0 in Spark; guarded in the oracle)."""
+    import math
+
+    toks = analyze_query(query, index.analyzer)
+    if not toks:
+        return index.postings.sparkSession.createDataFrame([], "doc_id long, score double")
+    q_tf: dict[str, int] = {}
+    for t in toks:
+        q_tf[t] = q_tf.get(t, 0) + 1
+    terms = list(q_tf)
+    n = index.stats["n_docs"]
+    dfs = {
+        r.term: r.df
+        for r in index.term_stats.filter(F.col("term").isin(terms)).collect()
+    }
+    if not dfs:
+        return index.postings.sparkSession.createDataFrame([], "doc_id long, score double")
+    w_q = {
+        t: (1.0 + math.log10(q_tf[t])) * math.log10(n / dfs[t]) for t in dfs
+    }
+    qnorm = math.sqrt(sum(v * v for v in w_q.values()))
+    matched = index.lookup(terms).select("term", "doc_id", "tf")
+    if candidates is not None:
+        matched = matched.join(candidates.hint("broadcast"), "doc_id", "left_semi")
+    tstats = F.broadcast(index.term_stats.filter(F.col("term").isin(terms)))
+    wq_map = F.create_map(*[F.lit(x) for kv in w_q.items() for x in kv])
+    dot = (
+        matched.join(tstats, "term")
+        .withColumn("w_d", scoring.vsm_doc_weight(n))
+        .withColumn("w_q", wq_map[F.col("term")])
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w_d") * F.col("w_q")).alias("dot"))
+    )
+    if qnorm == 0.0:
+        return dot.select("doc_id", F.lit(0.0).alias("score")).orderBy("doc_id").limit(k)
+    # a doc whose every term weight clamps to 0 has dnorm=0 AND dot=0:
+    # pin its cosine to 0 instead of 0/0 (ANSI mode would throw)
+    scored = dot.join(vsm_doc_norms(index), "doc_id").select(
+        "doc_id",
+        F.when(F.col("dnorm") > 0,
+               F.col("dot") / (F.col("dnorm") * F.lit(qnorm)))
+        .otherwise(F.lit(0.0)).alias("score"),
+    )
+    return topk(scored, k)
 
 
 def topk(scored: DataFrame, k: int) -> DataFrame:

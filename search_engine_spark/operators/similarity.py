@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data companions (not in the reference):
+
+* cosine_topk        — brute-force cosine top-k against a query vector:
+                       JVM-side F.aggregate/zip_with dot product + norms,
+                       TakeOrderedAndProject top-k. The always-correct
+                       baseline; fully SQL-expressible (DuckDB
+                       list_cosine_similarity oracle).
+* knn_pairs          — exact k-NN join between two (small) sets via
+                       broadcast + window rank.
+* lsh_assign/lsh_topk — random-hyperplane LSH: sign-bit bucket per doc;
+                       the scale path probes only the query's bucket
+                       (+optional multi-probe neighbors). Recall measured
+                       against the brute-force baseline in tests.
+
+Scale notes: brute force is one narrow scan (no shuffle) + top-k heap
+merge; LSH turns it into a partition-pruned scan when the table is
+written partitioned by bucket. Vectors stay as Arrow arrays end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+
+
+def _dot_lit(vec_col, qvec: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec_col):
+    return F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """→ (vec_id, cosine) top-k, tie-break id asc. Pure column expressions."""
+    import math
+    qnorm = math.sqrt(sum(x * x for x in qvec))
+    cos = _dot_lit(F.col(vec_col), qvec) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def knn_pairs(queries: DataFrame, corpus: DataFrame, k: int = 5,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """exact k-NN join: for each query row, its k nearest corpus rows by
+    cosine. Queries side must be small → broadcast; corpus side streams."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    dot = F.aggregate(F.zip_with("q_vec", "c_vec", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)
+
+
+def make_lsh_udf(dim: int, n_planes: int = 16, seed: int = 13):
+    """pandas UDF: embedding → bucket:long (sign bits of random-plane dots)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        def one(v):
+            x = np.asarray(v, dtype=np.float64)
+            return int(((planes @ x) > 0).astype(np.int64) @ weights)
+
+        return vecs.map(one)
+
+    return bucket
+
+
+def lsh_assign(embeddings: DataFrame, dim: int, n_planes: int = 16,
+               vec_col: str = "embedding") -> DataFrame:
+    return embeddings.withColumn(
+        "bucket", make_lsh_udf(dim, n_planes)(F.col(vec_col))
+    )
+
+
+def lsh_topk(bucketed: DataFrame, qvec: list[float], k: int = 10,
+             n_planes: int = 16, multiprobe: int = 0,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """ANN: score only the query's bucket (plus ``multiprobe`` single-bit
+    neighbor buckets). On a bucket-partitioned table this is partition
+    pruning — the 10^12-scale path."""
+    rng = np.random.default_rng(13)
+    planes = rng.standard_normal((n_planes, len(qvec)))
+    qsig = ((planes @ np.asarray(qvec)) > 0).astype(np.int64)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    buckets = [int(qsig @ weights)]
+    if multiprobe:
+        margins = np.abs(planes @ np.asarray(qvec))
+        for i in np.argsort(margins)[:multiprobe]:
+            flipped = qsig.copy()
+            flipped[i] ^= 1
+            buckets.append(int(flipped @ weights))
+    cand = bucketed.filter(F.col("bucket").isin(buckets))
+    return cosine_topk(cand, qvec, k, vec_col, id_col)

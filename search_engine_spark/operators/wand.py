@@ -1,0 +1,113 @@
+"""Driver-orchestrated Block-Max WAND top-k kernel (north-star operator).
+
+The reference loads a per-query "mini index" via byte-range reads
+(index_loader.py:71-128) and scores it in Python loops. Here, the mini
+index is the set of segment BLOCKS of the query terms — fetched through a
+bucket/term-pruned columnar scan (pos_payload never read: column pruning)
+— and scored with Block-Max pruning:
+
+* blocks are doc-partitioned (block_id = doc_id // span), so all terms'
+  blocks with the same block_id cover the same doc range and a doc's final
+  score is complete once its block range is processed;
+* per range: upper bound = Σ_t qtf_t · ub(df_t, block_max_tf_t). If a full
+  heap's threshold already exceeds it, the range is skipped WITHOUT
+  decoding (the whole point: varint decode + scoring is the hot cost);
+* surviving ranges are decoded (numpy) and scored vectorized; a bounded
+  min-heap of (score, -doc_id) keeps exact top-k with the pinned
+  tie-break (score desc, doc_id asc).
+
+Exactness: pruning uses a strict ``ub < θ`` test, so ties at the
+threshold are still decoded — results are bit-identical to the
+relational path (asserted in tests/test_wand.py).
+
+Scale note: only the query terms' blocks travel to the driver — the same
+data volume the reference's byte-range loads move, but pruned further by
+the block-max skip. For stopword-scale terms at 10^12 docs one would cap
+fetched blocks by ub ordering (impact-ordered fallback); the relational
+path remains the always-correct fallback.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import defaultdict
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from .. import codec
+from ..functions.analyzer import analyze_query
+from . import segments as SEG
+
+
+def search_wand(index, query: str, k: int = 100,
+                k1: float = 1.2, b: float = 0.75) -> list[tuple[int, float]]:
+    """BM25 top-k over a SegmentIndex via block-max WAND.
+
+    Returns [(doc_id, score)] — a driver-side result (the serving path);
+    use operators.search for the distributed DataFrame path.
+    """
+    toks = analyze_query(query, index.analyzer)
+    if not toks:
+        return []
+    q_tf: dict[str, int] = {}
+    for t in toks:
+        q_tf[t] = q_tf.get(t, 0) + 1
+    terms = list(q_tf)
+
+    n = index.stats["n_docs"]
+    avgdl = index.stats["avgdl"]
+    dfs = {
+        r.term: r.df
+        for r in index.term_stats.filter(F.col("term").isin(terms)).collect()
+    }
+    if not dfs:
+        return []
+    idf = {
+        t: float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+        for t, df in dfs.items()
+    }
+
+    blocks = (
+        index.segments.filter(
+            F.col("bucket").isin(index._buckets_for(terms))
+            & F.col("term").isin(terms)
+        )
+        .select("term", "block_id", "block_max_tf", "payload")
+        .collect()
+    )
+    by_range: dict[int, list] = defaultdict(list)
+    for blk in blocks:
+        by_range[blk.block_id].append(blk)
+
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+
+    def threshold() -> float:
+        return heap[0][0] if len(heap) >= k else float("-inf")
+
+    for block_id in sorted(by_range):
+        grp = by_range[block_id]
+        ub = sum(
+            q_tf[blk.term]
+            * SEG.bm25_upper_bound(dfs[blk.term], n, blk.block_max_tf, k1, b)
+            for blk in grp
+        )
+        if len(heap) >= k and ub < threshold():
+            continue  # skip range without decoding
+        acc: dict[int, float] = defaultdict(float)
+        for blk in grp:
+            docs, tfs, dls = codec.decode_block_full(bytes(blk.payload))
+            tfs = tfs.astype(np.float64)
+            norm = k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
+            w = q_tf[blk.term] * idf[blk.term] * tfs * (k1 + 1.0) / (tfs + norm)
+            for d, s in zip(docs.tolist(), w.tolist()):
+                acc[d] += s
+        for d, s in acc.items():
+            item = (s, -d)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+
+    out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    return [(-nd, s) for s, nd in out]

@@ -19,7 +19,14 @@ def get_spark(app: str = "search_engine_spark", master: str | None = None,
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    sp = shuffle_partitions if shuffle_partitions is not None else max(int(cpus) if cpus.isdigit() else 32, 8)
+    if shuffle_partitions is not None:
+        sp = shuffle_partitions
+    else:
+        # 2 tasks per core: keeps reducers busy under stragglers; AQE
+        # coalesces the excess. Scales with cluster size by construction.
+        n = int(master[6:-1]) if master.startswith("local[") and master[6:-1].isdigit() \
+            else (int(cpus) if cpus.isdigit() else 32)
+        sp = max(2 * n, 8)
     builder = (
         SparkSession.builder.appName(app)
         .master(master)

@@ -1,0 +1,212 @@
+"""Durable index catalog: Iceberg-layout segment writer with per-shard
+lineage and resumable checkpoints (BASELINE.json north rule).
+
+Layout (parquet in this sandbox; every decision is Iceberg-shaped — a
+catalog with the Iceberg runtime jar would swap the ``.write.parquet``
+calls for ``writeTo(...).using("iceberg")`` without touching the plan):
+
+    index_dir/
+      stats.json                 corpus scalars + build config
+      postings_stage/            postings parquet, partitioned by bucket
+      doc_stats/  term_stats/    parquet side tables
+      segments/shard=K/          encoded blocks, shard = bucket range
+      manifest/<step>.json       one lineage row per completed step/shard
+
+Resume semantics: each step writes its data, then atomically records a
+manifest entry (rows, bytes, checksum, duration). A re-run skips every
+step whose manifest entry exists — the anti-join of "work" against
+"lineage" from the north rule, realized as a driver-side loop over
+independent Spark jobs so a kill between any two steps loses at most one
+shard's work. tests/test_segments.py kills mid-build and asserts the
+resumed index is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import AnalyzerConfig
+from ..operators import postings as P
+from ..operators import segments as SEG
+from ..operators.search import InvertedIndex
+
+
+def _manifest_path(index_dir: str, step: str) -> str:
+    return os.path.join(index_dir, "manifest", f"{step}.json")
+
+
+def _record(index_dir: str, step: str, **info) -> None:
+    os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
+    tmp = _manifest_path(index_dir, step) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"step": step, "ts": time.time(), **info}, f)
+    os.replace(tmp, _manifest_path(index_dir, step))  # atomic commit
+
+
+def _done(index_dir: str, step: str) -> bool:
+    return os.path.exists(_manifest_path(index_dir, step))
+
+
+def build_durable_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    conf: AnalyzerConfig = AnalyzerConfig.full(),
+    buckets: int = SEG.DEFAULT_BUCKETS,
+    block_span: int = SEG.DEFAULT_BLOCK_SPAN,
+    shards: int = 8,
+    positional: bool = True,
+    resume: bool = True,
+) -> str:
+    """Build (or resume building) the segment index under ``index_dir``."""
+    if not resume and os.path.exists(os.path.join(index_dir, "manifest")):
+        import shutil
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+
+    stage_dir = os.path.join(index_dir, "postings_stage")
+    if not _done(index_dir, "postings_stage"):
+        t0 = time.perf_counter()
+        post = P.build_postings(docs, conf, positional=positional).withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
+        )
+        post.write.mode("overwrite").partitionBy("bucket").parquet(stage_dir)
+        n = spark.read.parquet(stage_dir).count()
+        _record(index_dir, "postings_stage", rows=n,
+                duration_sec=round(time.perf_counter() - t0, 3))
+
+    if not _done(index_dir, "doc_stats"):
+        # dl already rides on every posting row — deriving doc_stats from
+        # the staged postings avoids a SECOND full tokenization pass over
+        # the corpus; docs that produced no tokens are re-added with dl=0
+        t0 = time.perf_counter()
+        staged = spark.read.parquet(stage_dir)
+        ds = staged.select("doc_id", "dl").distinct()
+        empties = docs.select("doc_id").join(
+            ds.select("doc_id"), "doc_id", "left_anti"
+        ).withColumn("dl", F.lit(0))
+        ds.unionByName(empties).write.mode("overwrite") \
+            .parquet(os.path.join(index_dir, "doc_stats"))
+        _record(index_dir, "doc_stats",
+                rows=spark.read.parquet(os.path.join(index_dir, "doc_stats")).count(),
+                duration_sec=round(time.perf_counter() - t0, 3))
+
+    if not _done(index_dir, "term_stats"):
+        t0 = time.perf_counter()
+        staged = spark.read.parquet(stage_dir)
+        ts = P.term_stats(staged)
+        ts.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
+        _record(index_dir, "term_stats",
+                rows=spark.read.parquet(os.path.join(index_dir, "term_stats")).count(),
+                duration_sec=round(time.perf_counter() - t0, 3))
+
+    if not _done(index_dir, "stats"):
+        ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        row = ds.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
+        stats = {
+            "n_docs": row["n"], "total_len": int(row["t"] or 0),
+            "avgdl": (row["t"] / row["n"]) if row["n"] else 0.0,
+            "buckets": buckets, "block_span": block_span,
+            "positional": positional, "shards": shards,
+            "analyzer": {"lowercase": conf.lowercase,
+                         "remove_stopwords": conf.remove_stopwords,
+                         "stem": conf.stem},
+        }
+        with open(os.path.join(index_dir, "stats.json"), "w") as f:
+            json.dump(stats, f)
+        _record(index_dir, "stats")
+
+    staged = spark.read.parquet(stage_dir)
+    per_shard = math.ceil(buckets / shards)
+    for k in range(shards):
+        step = f"segments_shard_{k}"
+        if _done(index_dir, step):
+            continue
+        t0 = time.perf_counter()
+        lo, hi = k * per_shard, min((k + 1) * per_shard, buckets)
+        part = staged.filter((F.col("bucket") >= lo) & (F.col("bucket") < hi))
+        seg = SEG.encode_segments(part, buckets=buckets, block_span=block_span,
+                                  positional=positional)
+        out = os.path.join(index_dir, "segments", f"shard={k}")
+        seg.write.mode("overwrite").partitionBy("bucket").parquet(out)
+        written = spark.read.parquet(out)
+        lineage = written.agg(
+            F.count("*").alias("blocks"),
+            F.sum("n_docs").alias("postings"),
+            F.sum(F.length("payload")).alias("payload_bytes"),
+            F.sum(F.crc32(F.col("payload"))).alias("checksum"),
+        ).collect()[0]
+        _record(index_dir, step, bucket_lo=lo, bucket_hi=hi,
+                blocks=lineage["blocks"], postings=int(lineage["postings"] or 0),
+                payload_bytes=int(lineage["payload_bytes"] or 0),
+                checksum=int(lineage["checksum"] or 0),
+                duration_sec=round(time.perf_counter() - t0, 3))
+
+    _record(index_dir, "build_complete", shards=shards, buckets=buckets)
+    return index_dir
+
+
+def lineage_rows(index_dir: str) -> list[dict]:
+    mdir = os.path.join(index_dir, "manifest")
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+class SegmentIndex(InvertedIndex):
+    """InvertedIndex backed by on-disk segments: term lookups decode only
+    the matching blocks (bucket partition pruning + term predicate
+    pushdown — the columnar replacement for the reference's word2byte
+    byte-range reads, index_loader.py:71-128)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 documents: DataFrame | None = None):
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            meta = json.load(f)
+        a = meta["analyzer"]
+        conf = AnalyzerConfig(lowercase=a["lowercase"],
+                              remove_stopwords=a["remove_stopwords"],
+                              stem=a["stem"])
+        self.index_dir = index_dir
+        self.meta = meta
+        self.segments = spark.read.parquet(os.path.join(index_dir, "segments"))
+        super().__init__(
+            postings=spark.read.parquet(os.path.join(index_dir, "postings_stage")),
+            doc_stats=spark.read.parquet(os.path.join(index_dir, "doc_stats")),
+            term_stats=spark.read.parquet(os.path.join(index_dir, "term_stats")),
+            stats={k: meta[k] for k in ("n_docs", "total_len", "avgdl")},
+            documents=documents,
+            analyzer=conf,
+        )
+
+    def _buckets_for(self, terms: list[str]) -> list[int]:
+        # must equal pmod(xxhash64(term), buckets) — computed via Spark's
+        # own hash to avoid re-implementing xxhash64 in Python
+        spark = self.segments.sparkSession
+        rows = spark.createDataFrame([(t,) for t in terms], "term string") \
+            .select(F.pmod(F.xxhash64("term"), F.lit(self.meta["buckets"]))
+                    .cast("int").alias("b")).distinct().collect()
+        return [r.b for r in rows]
+
+    def lookup(self, terms: list[str], positional: bool = False) -> DataFrame:
+        if not terms:
+            return super().lookup(terms, positional)
+        blocks = self.segments.filter(
+            F.col("bucket").isin(self._buckets_for(terms))
+            & F.col("term").isin(terms)
+        )
+        return SEG.decode_segments(blocks, positional=positional)
+
+
+def load_index(spark: SparkSession, index_dir: str,
+               documents: DataFrame | None = None) -> SegmentIndex:
+    return SegmentIndex(spark, index_dir, documents)

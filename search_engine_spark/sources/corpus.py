@@ -63,15 +63,20 @@ _BASE_TS = datetime(2022, 1, 1)
 def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
     rows = []
     vocab = np.array(_VOCAB)
-    # Zipf weights pinned once (rank-based, deterministic)
+    # Zipf weights pinned once (rank-based, deterministic); inverse-CDF
+    # sampling via searchsorted (rng.choice with p is O(|vocab|) per draw)
     w = 1.0 / np.arange(1, len(vocab) + 1)
-    w /= w.sum()
+    cdf = np.cumsum(w / w.sum())
+
+    def draw(rng, size):
+        return vocab[np.searchsorted(cdf, rng.random(size))]
+
     for i in ids:
         rng = np.random.default_rng(int(i) + 1_000_003)
         n_title = int(rng.integers(3, 9))
         n_body = int(rng.integers(20, 401))
-        title = " ".join(rng.choice(vocab, size=n_title, p=w))
-        body_toks = list(rng.choice(vocab, size=n_body, p=w))
+        title = " ".join(draw(rng, n_title))
+        body_toks = list(draw(rng, n_body))
         if i % 5 == 0:  # plant a phrase for phrase/proximity queries
             # (must be non-stopwords: "hello" is in the Glasgow list and
             # would be analyzed away)
@@ -122,8 +127,55 @@ def with_doc_ids(docs: DataFrame) -> DataFrame:
 
 
 def with_hash_doc_ids(docs: DataFrame) -> DataFrame:
-    """Scale path: collision-checked 64-bit hash ids, no global sort."""
+    """Sparse 64-bit hash ids, no shuffle at all. Fine for the relational
+    query path; NOT for the segment layer (doc-partitioned blocks need
+    dense ids — use with_dense_doc_ids there)."""
     return docs.withColumn("doc_id", F.xxhash64("url"))
+
+
+def with_dense_doc_ids(docs: DataFrame, start: int = 1) -> DataFrame:
+    """Dense doc ids without a global sort (the 10^12-scale id assigner).
+
+    zipWithIndex scheme: count rows per partition (one lightweight job),
+    broadcast the cumulative offsets, then number rows inside each
+    partition — deterministic for a deterministic input layout, no
+    shuffle of the data itself. Dense ids keep the segment layer's
+    doc-partitioned blocks (block_id = doc_id // span) at bounded
+    occupancy, which hash ids would destroy (every posting its own block).
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField
+
+    spark = docs.sparkSession
+    with_pid = docs.withColumn("_pid", F.spark_partition_id())
+    counts = dict(
+        (r["_pid"], r["c"])
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    )
+    offsets = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    boff = spark.sparkContext.broadcast(offsets)
+    out_schema = StructType(
+        [f for f in docs.schema.fields] + [StructField("doc_id", LongType())]
+    )
+
+    def number(batches):
+        # mapInPandas runs per partition; batches arrive in order
+        local = {"base": None, "seen": 0}
+        for pdf in batches:
+            if local["base"] is None:
+                local["base"] = boff.value[int(pdf["_pid"].iloc[0])]
+            n = len(pdf)
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["doc_id"] = range(local["base"] + local["seen"],
+                                  local["base"] + local["seen"] + n)
+            local["seen"] += n
+            yield pdf
+
+    return with_pid.mapInPandas(number, out_schema)
 
 
 def ingest_filters(docs: DataFrame) -> DataFrame:

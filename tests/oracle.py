@@ -99,6 +99,8 @@ def search_freetext(index, doc_sizes, query: str, k: int = 100, model: str = "bm
     for t in toks:
         q_tf[t] = q_tf.get(t, 0) + 1
     n, total, avgdl = _stats(doc_sizes)
+    if model == "vsm":
+        return search_vsm(index, doc_sizes, q_tf, k)
     cand = adaptive_candidates(index, list(q_tf)) if adaptive else None
     scores: dict[int, float] = {}
     for term, qtf in q_tf.items():
@@ -114,8 +116,6 @@ def search_freetext(index, doc_sizes, query: str, k: int = 100, model: str = "bm
                 w = bm25_weight_std(tf, dl, df, n, avgdl)
             elif model == "bm25-reference":
                 w = bm25_weight_ref(tf, dl, df, n, avgdl)
-            elif model == "vsm":
-                w = max((1.0 + math.log10(tf)) * math.log10((n - df) / df), 0.0)
             elif model == "lm-dirichlet":
                 w = math.log((tf / 1089.0) * (total / df) + 1.0)
             elif model == "lm-pyp":
@@ -131,6 +131,44 @@ def search_freetext(index, doc_sizes, query: str, k: int = 100, model: str = "bm
             scores[doc_id] += qlen * math.log(mu / (doc_sizes[doc_id] + mu))
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]
+
+
+def _vsm_w(tf: int, df: int, n: int) -> float:
+    if df >= n:
+        return 0.0
+    return max((1.0 + math.log10(tf)) * math.log10((n - df) / df), 0.0)
+
+
+def search_vsm(index, doc_sizes, q_tf: dict[str, int], k: int = 20):
+    """Full VSM cosine (reference vsm_model.py:18-103): clamped doc
+    weights, query weights (1+log10 tf_q)*log10(N/df), cosine over doc and
+    query norms, top-20 cut, pinned tie-break."""
+    n = len(doc_sizes)
+    w_q = {}
+    for t, tfq in q_tf.items():
+        if t in index:
+            df = index[t][0]
+            w_q[t] = (1.0 + math.log10(tfq)) * math.log10(n / df)
+    if not w_q:
+        return []
+    qnorm = math.sqrt(sum(v * v for v in w_q.values()))
+    norms: dict[int, float] = {d: 0.0 for d in doc_sizes}
+    for term, (df, postings) in index.items():
+        for d, positions in postings.items():
+            w = _vsm_w(len(positions), df, n)
+            norms[d] += w * w
+    dots: dict[int, float] = {}
+    for t, wq in w_q.items():
+        df, postings = index[t]
+        for d, positions in postings.items():
+            dots[d] = dots.get(d, 0.0) + _vsm_w(len(positions), df, n) * wq
+    if qnorm == 0.0:
+        return [(d, 0.0) for d in sorted(dots)][:k]
+    scores = {
+        d: (v / (math.sqrt(norms[d]) * qnorm) if norms[d] > 0 else 0.0)
+        for d, v in dots.items()
+    }
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
 
 def consecutive_occurrences(position_lists: list[list[int]]) -> int:

@@ -1,0 +1,115 @@
+"""Segment layer: encode/decode round-trip through Spark, durable build,
+kill-resume identity, pruned lookup parity, block-max metadata sanity."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import search as S
+from search_engine_spark.operators import segments as SEG
+from search_engine_spark.sources import catalog
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory, spark, corpus_sdf):
+    d = str(tmp_path_factory.mktemp("segidx") / "index")
+    catalog.build_durable_index(spark, corpus_sdf, d, shards=4, buckets=16)
+    return d
+
+
+def test_segment_roundtrip(built_index, spark):
+    seg = SEG.encode_segments(built_index.postings, buckets=8, block_span=64)
+    back = SEG.decode_segments(seg, positional=True)
+    want = {
+        (r.term, r.doc_id): (r.tf, list(r.positions))
+        for r in built_index.postings.collect()
+    }
+    got = {
+        (r.term, r.doc_id): (r.tf, list(r.positions)) for r in back.collect()
+    }
+    assert got == want
+
+
+def test_block_span_bounds_group_size(built_index):
+    seg = SEG.encode_segments(built_index.postings, buckets=8, block_span=32)
+    assert seg.agg(F.max("n_docs")).collect()[0][0] <= 32
+    # doc-partitioned blocks: doc range within block respects the span
+    bad = seg.filter(
+        (F.col("max_doc_id") - F.col("min_doc_id")) >= 32
+    ).count()
+    assert bad == 0
+
+
+def test_durable_build_and_load(spark, index_dir, built_index, corpus_sdf):
+    idx = catalog.load_index(spark, index_dir, documents=corpus_sdf)
+    assert idx.stats["n_docs"] == built_index.stats["n_docs"]
+    got = S.search_freetext(idx, "market price growth", k=50).collect()
+    want = S.search_freetext(built_index, "market price growth", k=50).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in got] == \
+           [(r.doc_id, round(r.score, 9)) for r in want]
+
+
+def test_pruned_lookup_parity(spark, index_dir, built_index):
+    idx = catalog.load_index(spark, index_dir)
+    for positional in (False, True):
+        got = idx.lookup(["market", "germani"], positional=positional).collect()
+        want = built_index.lookup(["market", "germani"], positional=positional).collect()
+        key = (lambda r: (r.term, r.doc_id))
+        assert sorted([tuple(r) for r in got]) == sorted([tuple(r) for r in want])
+
+
+def test_lineage_complete(index_dir):
+    rows = catalog.lineage_rows(index_dir)
+    steps = {r["step"] for r in rows}
+    assert "build_complete" in steps
+    assert {f"segments_shard_{k}" for k in range(4)} <= steps
+    shard_rows = [r for r in rows if r["step"].startswith("segments_shard_")]
+    assert all(r["payload_bytes"] > 0 or r["blocks"] == 0 for r in shard_rows)
+    assert all("checksum" in r and "duration_sec" in r for r in shard_rows)
+
+
+def test_kill_resume_identity(spark, corpus_sdf, tmp_path, index_dir):
+    """Simulate a crash after shard 1: delete two shard manifests + one
+    shard's data; the resumed build must reproduce identical segments."""
+    d = str(tmp_path / "index2")
+    catalog.build_durable_index(spark, corpus_sdf, d, shards=4, buckets=16)
+    ref = {(r.term, r.block_id): (r.n_docs, bytes(r.payload))
+           for r in spark.read.parquet(os.path.join(d, "segments")).collect()}
+
+    # "kill": lose shard 2's manifest and data, shard 3's manifest only
+    os.remove(catalog._manifest_path(d, "segments_shard_2"))
+    os.remove(catalog._manifest_path(d, "segments_shard_3"))
+    os.remove(catalog._manifest_path(d, "build_complete"))
+    shutil.rmtree(os.path.join(d, "segments", "shard=2"))
+
+    catalog.build_durable_index(spark, corpus_sdf, d, shards=4, buckets=16)
+    got = {(r.term, r.block_id): (r.n_docs, bytes(r.payload))
+           for r in spark.read.parquet(os.path.join(d, "segments")).collect()}
+    assert got == ref
+
+    # completed shards were NOT rebuilt (manifest ts preserved for 0/1)
+    rows = {r["step"]: r for r in catalog.lineage_rows(d)}
+    assert rows["segments_shard_2"]["ts"] > rows["segments_shard_0"]["ts"]
+
+
+def test_block_max_consistency(spark, index_dir):
+    seg = spark.read.parquet(os.path.join(index_dir, "segments"))
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        n_docs = json.load(f)["n_docs"]
+    # upper bound must dominate every actual BM25 weight in the block
+    some = seg.orderBy(F.desc("n_docs")).limit(5).collect()
+    idx = catalog.load_index(spark, index_dir)
+    ts = {r.term: r.df for r in idx.term_stats.collect()}
+    import tests.oracle as O
+    dl_map = {r.doc_id: r.dl for r in idx.doc_stats.collect()}
+    avgdl = idx.stats["avgdl"]
+    for blk in some:
+        ub = SEG.bm25_upper_bound(ts[blk.term], n_docs, blk.block_max_tf)
+        from search_engine_spark import codec
+        docs, tfs = codec.decode_block(bytes(blk.payload))
+        for d, tf in zip(docs, tfs):
+            w = O.bm25_weight_std(int(tf), dl_map[int(d)], ts[blk.term], n_docs, avgdl)
+            assert w <= ub + 1e-12

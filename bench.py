@@ -93,6 +93,36 @@ def main() -> None:
     web_row = timed("web_build", web_build)
     web_dps = n_web / timings["web_build"]
 
+    # -- phase 2b: durable segment build + WAND serving path ---------------
+    import shutil
+    import tempfile
+
+    from search_engine_spark.operators import wand as W
+    from search_engine_spark.sources import catalog
+
+    seg_dir = tempfile.mkdtemp(prefix="bench_seg_")
+
+    def seg_build():
+        w = corpus.ingest_filters(corpus.with_dense_doc_ids(web))
+        prepared = w.select(
+            "doc_id", make_extract_text_udf()(F.col("html")).alias("text")
+        )
+        catalog.build_durable_index(
+            spark, prepared, os.path.join(seg_dir, "idx"), shards=4,
+            block_span=4096,
+        )
+        return catalog.load_index(spark, os.path.join(seg_dir, "idx"))
+
+    seg_idx = timed("segment_build", seg_build)
+    seg_dps = n_web / timings["segment_build"]
+
+    def q_wand():
+        return len(W.search_wand(seg_idx, "market price growth", k=100))
+
+    timed("q_wand_cold", q_wand)
+    timed("q_wand_warm", q_wand)
+    shutil.rmtree(seg_dir, ignore_errors=True)
+
     # -- phase 3: warm query latencies --------------------------------------
     queries = {
         "q_free_single": lambda: executor.execute(idx, "market").count(),
@@ -117,6 +147,7 @@ def main() -> None:
         "build_docs_per_sec": round(build_dps, 1),
         "web_corpus_docs": n_web,
         "web_build_docs_per_sec": round(web_dps, 1),
+        "segment_build_docs_per_sec": round(seg_dps, 1),
         "web_postings": int(web_row["postings"]),
         "web_tokens": int(web_row["tokens"]),
         "cpus": cpus,

@@ -46,7 +46,10 @@ def main() -> None:
     spark = get_spark("build_index")
     docs = spark.read.parquet(args.input)
     if args.html:
-        docs = corpus.ingest_filters(corpus.with_hash_doc_ids(docs))
+        # dense ids: the segment layer's doc-partitioned blocks need
+        # bounded occupancy (hash ids would put every posting in its own
+        # block — see sources/corpus.with_dense_doc_ids)
+        docs = corpus.ingest_filters(corpus.with_dense_doc_ids(docs))
         docs = docs.select(
             "doc_id", make_extract_text_udf()(F.col("html")).alias("text")
         )

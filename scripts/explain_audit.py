@@ -1,0 +1,145 @@
+"""Physical-plan audit: print .explain("formatted") for the engine's key
+plans and assert the properties that matter at 100 TB:
+
+* segment term lookup — bucket partition pruning + term predicate
+  pushdown reach the parquet scan; pos_payload column NOT read for
+  tf-only lookups (column pruning);
+* BM25 scoring — term_stats joined via BroadcastHashJoin; no doc_stats
+  join (dl rides in postings); top-k is TakeOrderedAndProject;
+* postings build — exactly the intended shuffles (partial agg before
+  exchange), WholeStageCodegen around the relational stages.
+
+Writes the annotated plans to BENCH/PLANS.md. Exit code 1 if an
+assertion fails.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark import engine
+    from search_engine_spark.functions.analyzer import AnalyzerConfig
+    from search_engine_spark.operators import postings as P
+    from search_engine_spark.operators import search as S
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources import catalog, corpus
+
+    spark = get_spark("explain-audit", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = corpus.read_documents(spark, "/root/testdata/sf0.001")
+
+    sections: list[tuple[str, str, list[tuple[str, bool]]]] = []
+    failures = 0
+
+    def check(title: str, plan: str, asserts: list[tuple[str, str, bool]]):
+        nonlocal failures
+        results = []
+        for desc, pattern, want in asserts:
+            ok = bool(re.search(pattern, plan)) == want
+            results.append((desc, ok))
+            if not ok:
+                failures += 1
+        sections.append((title, plan, results))
+
+    # 1. segment lookup
+    tmp = tempfile.mkdtemp(prefix="audit_idx_")
+    catalog.build_durable_index(spark, docs, os.path.join(tmp, "idx"),
+                                shards=2, buckets=16, block_span=64)
+    idx = catalog.load_index(spark, os.path.join(tmp, "idx"))
+    lookup = idx.lookup(["market", "price"])
+    check(
+        "Segment term lookup (tf-only)", plan_of(lookup),
+        [
+            ("bucket partition filter present", r"PartitionFilters: \[.*bucket", True),
+            ("term predicate pushed to scan", r"PushedFilters: \[.*[Ii]n\(term", True),
+            ("pos_payload NOT in read schema", r"ReadSchema:.*pos_payload", False),
+        ],
+    )
+
+    # 2. BM25 scoring plan on the segment index
+    scored = S.search_freetext(idx, "market price growth", k=100)
+    p2 = plan_of(scored)
+    check(
+        "BM25 top-k over segment index", p2,
+        [
+            ("broadcast join for term stats", r"BroadcastHashJoin|BroadcastExchange", True),
+            ("top-k is TakeOrderedAndProject", r"TakeOrderedAndProject", True),
+            ("no SortMergeJoin in the query path", r"SortMergeJoin", False),
+        ],
+    )
+
+    # 3. postings build plans (positional → ObjectHashAggregate, which
+    # cannot codegen — collect_list has a typed buffer; tf-only path must
+    # stay inside WholeStageCodegen)
+    post = P.build_postings(docs, AnalyzerConfig.full())
+    p3 = plan_of(post)
+    check(
+        "Postings build (positional)", p3,
+        [
+            ("partial aggregation before exchange", r"partial_count", True),
+            ("arrow-batched analysis UDF", r"ArrowEvalPython|MapInPandas", True),
+            ("analysis UDF evaluated exactly once",
+             r"\(\d+\) ArrowEvalPython[\s\S]*\(\d+\) ArrowEvalPython", False),
+        ],
+    )
+    post_tf = P.build_postings(docs, AnalyzerConfig.full(), positional=False)
+    check(
+        "Postings build (tf-only)", plan_of(post_tf),
+        [
+            # AQE's formatted output omits WholeStageCodegen wrappers
+            # pre-execution; HashAggregate (vs ObjectHashAggregate) is the
+            # codegen-capable marker
+            ("codegen-capable HashAggregate used", r"\bHashAggregate\b", True),
+            ("analysis UDF evaluated exactly once",
+             r"\(\d+\) ArrowEvalPython[\s\S]*\(\d+\) ArrowEvalPython", False),
+        ],
+    )
+
+    # 4. in-memory index path: doc_stats join eliminated (dl in postings)
+    mem = engine.build_index(docs, AnalyzerConfig.full(), cache=False)
+    p4 = plan_of(S.search_freetext(mem, "market price", k=10))
+    check(
+        "Scoring without doc_stats join", p4,
+        [
+            ("single scan of postings source", r"Scan", True),
+        ],
+    )
+
+    out = os.path.join(ROOT, "BENCH", "PLANS.md")
+    with open(out, "w") as f:
+        f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"
+                "Key plans with the properties asserted for 100 TB scale.\n")
+        for title, plan, results in sections:
+            f.write(f"\n## {title}\n\n")
+            for desc, ok in results:
+                f.write(f"- {'✅' if ok else '❌'} {desc}\n")
+            f.write("\n```\n" + plan.strip()[:6000] + "\n```\n")
+    for title, _, results in sections:
+        for desc, ok in results:
+            print(f"{'OK  ' if ok else 'FAIL'} {title}: {desc}")
+    print(f"written {out}; failures={failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -49,6 +49,33 @@ def main() -> None:
             "doc_id", make_extract_text_udf()(F.col("html")).alias("text")
         )
 
+    if "--stage-only" in sys.argv:
+        # compute-stage scaling: the parallelizable core (extract UDF →
+        # analysis UDF → explode → salted aggs), no file writes/commits —
+        # the fraction that maps 1:1 onto added executors on a real
+        # cluster, free of the local-FS commit constants
+        from search_engine_spark.operators import postings as P
+
+        def stage():
+            pr = prepared(web)
+            post = P.build_postings(pr, AnalyzerConfig.full(), positional=True)
+            ts = P.term_stats(post)
+            post.groupBy().count().collect()
+            ts.groupBy().count().collect()
+
+        stage()  # warm (JIT + codegen)
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            stage()
+            sec = time.perf_counter() - t0
+            best = sec if best is None or sec < best else best
+        print(json.dumps({
+            "cpus": cpus, "docs": n, "mode": "stage-only",
+            "build_sec": round(best, 3), "docs_per_sec": round(n / best, 1),
+        }))
+        return
+
     tmp = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
     try:
         # warm-up on ~5% of docs
@@ -62,7 +89,8 @@ def main() -> None:
         for r in range(runs):
             out = os.path.join(tmp, f"run{r}")
             t0 = time.perf_counter()
-            catalog.build_durable_index(spark, prepared(web), out, shards=2,
+            catalog.build_durable_index(spark, prepared(web), out,
+                                        shards=int(os.environ.get("SCALE_SHARDS", "2")),
                                         block_span=span)
             sec = time.perf_counter() - t0
             shutil.rmtree(out)

@@ -31,12 +31,18 @@ def explode_terms(docs: DataFrame, conf: AnalyzerConfig = AnalyzerConfig.full(),
     pUDF is the only Python in the pipeline and is Arrow-batched.
     """
     toks = tokens_column(docs, text_col=text_col, conf=conf)
+    # posexplode_OUTER on purpose: plain posexplode makes Catalyst infer a
+    # `size(tokens)>0` pre-Generate filter whose pushdown DUPLICATES the
+    # ArrowEvalPython node — the analyzer UDF (the most expensive stage of
+    # the build) would run twice per row. The outer variant emits one
+    # null row for empty docs instead, dropped by the term filter below.
     return (
         toks.select(
             "doc_id",
             F.size("tokens").cast(IntegerType()).alias("dl"),
-            F.posexplode("tokens").alias("pos0", "term"),
+            F.posexplode_outer("tokens").alias("pos0", "term"),
         )
+        .filter(F.col("term").isNotNull())
         .select("doc_id", "dl", "term",
                 (F.col("pos0") + 1).cast(IntegerType()).alias("pos"))
     )

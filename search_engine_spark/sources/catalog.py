@@ -76,39 +76,51 @@ def build_durable_index(
         post = P.build_postings(docs, conf, positional=positional).withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
         )
-        post.write.mode("overwrite").partitionBy("bucket").parquet(stage_dir)
-        n = spark.read.parquet(stage_dir).count()
+        # Range-partition on (bucket, term, doc_id) before the partitionBy
+        # write. Three birds: (1) without a pre-partition, every task
+        # writes into every bucket dir — file count scales as tasks x
+        # buckets and commit overhead WORSENS with more cores; (2) a plain
+        # hash repartition(buckets) makes one task per bucket, and Zipf
+        # head-term buckets become stragglers that cap scaling — range
+        # sampling balances them, and including doc_id lets one huge term
+        # split across tasks (the skew handling of the north rule);
+        # (3) sortWithinPartitions gives term-ordered files whose parquet
+        # min/max term stats prune term lookups (the word2byte analog).
+        # persist first: repartitionByRange runs a boundary-SAMPLING job
+        # that would otherwise re-execute the whole analysis pipeline
+        # (extract+tokenize+stem UDFs) a second time
+        from pyspark import StorageLevel
+        post = post.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            parts = max(2 * spark.sparkContext.defaultParallelism, buckets)
+            post.repartitionByRange(parts, "bucket", "term", "doc_id") \
+                .sortWithinPartitions("bucket", "term", "doc_id") \
+                .write.mode("overwrite").partitionBy("bucket").parquet(stage_dir)
+            n = post.count()  # cache hit — no parquet re-list/re-read job
+        finally:
+            post.unpersist()
         _record(index_dir, "postings_stage", rows=n,
                 duration_sec=round(time.perf_counter() - t0, 3))
 
-    if not _done(index_dir, "doc_stats"):
-        # dl already rides on every posting row — deriving doc_stats from
-        # the staged postings avoids a SECOND full tokenization pass over
-        # the corpus; docs that produced no tokens are re-added with dl=0
-        t0 = time.perf_counter()
-        staged = spark.read.parquet(stage_dir)
-        ds = staged.select("doc_id", "dl").distinct()
-        empties = docs.select("doc_id").join(
-            ds.select("doc_id"), "doc_id", "left_anti"
-        ).withColumn("dl", F.lit(0))
-        ds.unionByName(empties).write.mode("overwrite") \
-            .parquet(os.path.join(index_dir, "doc_stats"))
-        _record(index_dir, "doc_stats",
-                rows=spark.read.parquet(os.path.join(index_dir, "doc_stats")).count(),
-                duration_sec=round(time.perf_counter() - t0, 3))
-
-    if not _done(index_dir, "term_stats"):
-        t0 = time.perf_counter()
-        staged = spark.read.parquet(stage_dir)
-        ts = P.term_stats(staged)
-        ts.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
-        _record(index_dir, "term_stats",
-                rows=spark.read.parquet(os.path.join(index_dir, "term_stats")).count(),
-                duration_sec=round(time.perf_counter() - t0, 3))
-
-    if not _done(index_dir, "stats"):
-        ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
-        row = ds.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
+    def _build_doc_stats() -> None:
+        if _done(index_dir, "stats"):
+            return
+        if not _done(index_dir, "doc_stats"):
+            # dl already rides on every posting row — deriving doc_stats
+            # from the staged postings avoids a SECOND full tokenization
+            # pass; docs that produced no tokens are re-added with dl=0
+            t0 = time.perf_counter()
+            st = spark.read.parquet(stage_dir)
+            ds = st.select("doc_id", "dl").distinct()
+            empties = docs.select("doc_id").join(
+                ds.select("doc_id"), "doc_id", "left_anti"
+            ).withColumn("dl", F.lit(0))
+            ds.unionByName(empties).write.mode("overwrite") \
+                .parquet(os.path.join(index_dir, "doc_stats"))
+            _record(index_dir, "doc_stats",
+                    duration_sec=round(time.perf_counter() - t0, 3))
+        dsr = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        row = dsr.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
         stats = {
             "n_docs": row["n"], "total_len": int(row["t"] or 0),
             "avgdl": (row["t"] / row["n"]) if row["n"] else 0.0,
@@ -122,31 +134,67 @@ def build_durable_index(
             json.dump(stats, f)
         _record(index_dir, "stats")
 
+    def _build_term_stats() -> None:
+        if _done(index_dir, "term_stats"):
+            return
+        t0 = time.perf_counter()
+        st = spark.read.parquet(stage_dir)
+        P.term_stats(st).write.mode("overwrite") \
+            .parquet(os.path.join(index_dir, "term_stats"))
+        _record(index_dir, "term_stats",
+                duration_sec=round(time.perf_counter() - t0, 3))
+
     staged = spark.read.parquet(stage_dir)
     per_shard = math.ceil(buckets / shards)
-    for k in range(shards):
+
+    def _build_shard(k: int) -> None:
         step = f"segments_shard_{k}"
         if _done(index_dir, step):
-            continue
+            return
         t0 = time.perf_counter()
         lo, hi = k * per_shard, min((k + 1) * per_shard, buckets)
         part = staged.filter((F.col("bucket") >= lo) & (F.col("bucket") < hi))
         seg = SEG.encode_segments(part, buckets=buckets, block_span=block_span,
                                   positional=positional)
         out = os.path.join(index_dir, "segments", f"shard={k}")
-        seg.write.mode("overwrite").partitionBy("bucket").parquet(out)
-        written = spark.read.parquet(out)
-        lineage = written.agg(
+        from pyspark import StorageLevel
+        seg = seg.persist(StorageLevel.MEMORY_AND_DISK)  # sampling reuse
+        try:
+            seg_parts = max(spark.sparkContext.defaultParallelism, hi - lo)
+            seg.repartitionByRange(seg_parts, "bucket", "term", "block_id") \
+                .sortWithinPartitions("bucket", "term", "block_id") \
+                .write.mode("overwrite").partitionBy("bucket").parquet(out)
+            # lineage from the persisted frame (cache hit) — identical rows
+            # to the files just written, no re-read job
+            lineage = seg.agg(
             F.count("*").alias("blocks"),
             F.sum("n_docs").alias("postings"),
             F.sum(F.length("payload")).alias("payload_bytes"),
             F.sum(F.crc32(F.col("payload"))).alias("checksum"),
-        ).collect()[0]
+            ).collect()[0]
+        finally:
+            seg.unpersist()
         _record(index_dir, step, bucket_lo=lo, bucket_hi=hi,
                 blocks=lineage["blocks"], postings=int(lineage["postings"] or 0),
                 payload_bytes=int(lineage["payload_bytes"] or 0),
                 checksum=int(lineage["checksum"] or 0),
                 duration_sec=round(time.perf_counter() - t0, 3))
+
+    # All post-stage steps depend only on the staged postings and are
+    # mutually independent: submit stats + shards concurrently so the
+    # scheduler backfills one job's commit/tail with another's tasks
+    # (Spark FIFO interleaves jobs from multiple submitter threads).
+    # Failures propagate; completed steps keep their manifests (resume).
+    from concurrent.futures import ThreadPoolExecutor
+
+    tasks = [(_build_doc_stats, ()), (_build_term_stats, ())] + [
+        (_build_shard, (k,)) for k in range(shards)
+    ]
+    workers = min(6, len(tasks))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futures = [pool.submit(fn, *args) for fn, args in tasks]
+        for f in futures:
+            f.result()
 
     _record(index_dir, "build_complete", shards=shards, buckets=buckets)
     return index_dir

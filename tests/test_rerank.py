@@ -1,0 +1,55 @@
+"""Rerank (Q7: title boost + recency with pinned as_of) and hydration
+(S10) against a hand-computed expectation."""
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import search as S
+
+
+def test_rerank_title_boost_and_recency(spark, built_index, corpus_sdf, oracle_index):
+    from tests import oracle
+
+    o_index, doc_sizes = oracle_index
+    base = S.search_freetext(built_index, "market price", k=20)
+    as_of = date(2022, 4, 1)
+    got = {
+        r.doc_id: r.score
+        for r in S.rerank(base, corpus_sdf, ["market", "price"], as_of, k=20,
+                          ts_col="warc_ts").collect()
+    }
+    base_scores = dict(oracle.search_freetext(o_index, doc_sizes, "market price", k=20))
+    texts = {r.doc_id: (r.text, r.warc_ts) for r in corpus_sdf.collect()}
+    for d, s in got.items():
+        want = base_scores[d]
+        text, ts = texts[d]
+        low = text.lower()
+        for t in ("market", "price"):
+            if t in low:
+                want *= 1.10
+        days = (as_of - ts.date()).days
+        if 0 <= days < 100:
+            want *= 1.40 - days * (0.6 / 99.0)
+        assert s == pytest.approx(want, abs=1e-9), d
+
+
+def test_rerank_without_recency(spark, built_index, corpus_sdf):
+    base = S.search_freetext(built_index, "germany", k=5)
+    out = S.rerank(base, corpus_sdf, ["germany"], date(2022, 4, 1), k=5)
+    rows = out.collect()
+    assert len(rows) == min(5, base.count())
+    # every hit contains the term → uniform 1.10 boost keeps order
+    base_ids = [r.doc_id for r in base.collect()]
+    assert [r.doc_id for r in rows] == base_ids
+
+
+def test_hydrate_returns_documents(spark, built_index, corpus_sdf):
+    base = S.search_freetext(built_index, "market", k=5)
+    got = S.hydrate(base, corpus_sdf).collect()
+    assert len(got) == 5
+    assert all(r.text is not None and r.url is not None for r in got)
+    # order preserved: score desc, doc_id asc
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)

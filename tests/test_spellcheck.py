@@ -1,0 +1,46 @@
+"""Spellcheck / ticker guard / abbreviation expansion (Q2-Q3 parity)."""
+
+from search_engine_spark.plans import spellcheck as SP
+
+
+def _checker():
+    return SP.VocabularySpellchecker(
+        {"market": 100, "price": 80, "germany": 30, "trade": 50, "trades": 10}
+    )
+
+
+def test_exact_word_untouched():
+    assert _checker().correct("market") == "market"
+
+
+def test_edit1_correction_prefers_df():
+    # "marke" is distance 1 from "market" (insert)
+    assert _checker().correct("marke") == "market"
+    # "trada" → trade (replace) beats trades (distance 2)
+    assert _checker().correct("trada") == "trade"
+
+
+def test_edit2_fallback():
+    assert _checker().correct("markt") == "market"  # dist 1 actually (delete)
+    assert _checker().correct("mrkt") == "market"   # dist 2
+
+
+def test_oov_unchanged():
+    assert _checker().correct("zzzzzz") == "zzzzzz"
+
+
+def test_ticker_guard():
+    c = _checker()
+    out = SP.correct_query("AAPL marke", c, symbols=frozenset({"aapl"}))
+    assert out == "AAPL market"
+
+
+def test_abbreviation_expansion():
+    out = SP.expand_abbreviations("gdp growth", {"gdp": "gross domestic product"})
+    assert out == 'gdp growth "gross domestic product"'
+    assert SP.expand_abbreviations("plain query", {}) == "plain query"
+
+
+def test_from_index(built_index):
+    c = SP.VocabularySpellchecker.from_index(built_index)
+    assert c.correct("merket") == "market"

@@ -229,6 +229,15 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import textquality
+
+    return textquality.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "distinct_ratio", "stopword_ratio", "mean_token_len", "quality",
+    )
+
+
 # rows-only entries (hash-based ops whose exact values SQL cannot
 # reproduce; the driver records a weaker rows-only check by design)
 
@@ -272,6 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "user_stats": q_user_stats,
         "window_topk": q_window_topk,
+        "quality_score": q_quality_score,
         "simhash_near_dups": q_simhash_near_dups,
         "minhash_survivors": q_minhash_survivors,
         "language_id": q_language_id,
@@ -469,4 +479,36 @@ def oracle_sql() -> dict[str, str]:
                 FROM c
             ) WHERE rnk <= 3
         """,
+        "quality_score": _quality_score_sql(),
     }
+
+
+def _quality_score_sql() -> str:
+    from search_engine_spark.functions.analyzer import load_stopwords
+
+    sw = sorted(load_stopwords())[:64]
+    sw_list = ", ".join("'" + w.replace("'", "''") + "'" for w in sw)
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   LENGTH(text) AS n_chars
+            FROM documents
+        ), r AS (
+            SELECT doc_id, n_tokens,
+                   ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens, 6)
+                       AS distinct_ratio,
+                   ROUND(CAST(len(list_intersect(toks, [{sw_list}])) AS DOUBLE)
+                         / len(list_distinct(toks)), 6) AS stopword_ratio,
+                   ROUND(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6)
+                       AS mean_token_len
+            FROM t
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, distinct_ratio,
+               stopword_ratio, mean_token_len,
+               ROUND(CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4 ELSE 0 END
+                     + LEAST(distinct_ratio * 0.4, 0.4)
+                     + CASE WHEN stopword_ratio > 0 THEN 0.2 ELSE 0 END,
+                     6) AS quality
+        FROM r
+    """

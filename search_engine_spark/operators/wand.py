@@ -41,11 +41,20 @@ from . import segments as SEG
 
 
 def search_wand(index, query: str, k: int = 100,
-                k1: float = 1.2, b: float = 0.75) -> list[tuple[int, float]]:
+                k1: float = 1.2, b: float = 0.75,
+                max_blocks_per_term: int | None = None,
+                ) -> list[tuple[int, float]]:
     """BM25 top-k over a SegmentIndex via block-max WAND.
 
     Returns [(doc_id, score)] — a driver-side result (the serving path);
     use operators.search for the distributed DataFrame path.
+
+    ``max_blocks_per_term`` enables the impact-ordered fallback for
+    stopword-scale terms at web scale: each term keeps only its
+    ``max_blocks_per_term`` highest-upper-bound blocks (ub from
+    block_max_tf), bounding driver transfer for a 10^12-doc head term.
+    Results become approximate (documented safe-approximation: dropped
+    blocks can only LOWER a doc's score, never raise it); None = exact.
     """
     toks = analyze_query(query, index.analyzer)
     if not toks:
@@ -57,10 +66,26 @@ def search_wand(index, query: str, k: int = 100,
 
     n = index.stats["n_docs"]
     avgdl = index.stats["avgdl"]
-    dfs = {
-        r.term: r.df
-        for r in index.term_stats.filter(F.col("term").isin(terms)).collect()
-    }
+    if hasattr(index, "mini_index"):
+        # one pruned fetch for all terms, LRU-cached on the driver —
+        # a repeat-term query launches ZERO Spark jobs (the reference's
+        # per-query mini-index byte loads, index_loader.py:71-128)
+        mini = index.mini_index(terms)
+        dfs = {t: df for t, (df, _) in mini.items()}
+        blocks = [blk for _, blks in mini.values() for blk in blks]
+    else:
+        dfs = {
+            r.term: r.df
+            for r in index.term_stats.filter(F.col("term").isin(terms)).collect()
+        }
+        blocks = (
+            index.segments.filter(
+                F.col("bucket").isin(index._buckets_for(terms))
+                & F.col("term").isin(terms)
+            )
+            .select("term", "block_id", "block_max_tf", "payload")
+            .collect()
+        ) if dfs else []
     if not dfs:
         return []
     idf = {
@@ -68,14 +93,16 @@ def search_wand(index, query: str, k: int = 100,
         for t, df in dfs.items()
     }
 
-    blocks = (
-        index.segments.filter(
-            F.col("bucket").isin(index._buckets_for(terms))
-            & F.col("term").isin(terms)
-        )
-        .select("term", "block_id", "block_max_tf", "payload")
-        .collect()
-    )
+    if max_blocks_per_term is not None:
+        per_term: dict[str, list] = defaultdict(list)
+        for blk in blocks:
+            per_term[blk.term].append(blk)
+        blocks = []
+        for t, blks in per_term.items():
+            blks.sort(key=lambda blk: SEG.bm25_upper_bound(
+                dfs[t], n, blk.block_max_tf, k1, b), reverse=True)
+            blocks.extend(blks[:max_blocks_per_term])
+
     by_range: dict[int, list] = defaultdict(list)
     for blk in blocks:
         by_range[blk.block_id].append(blk)

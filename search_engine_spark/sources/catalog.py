@@ -217,7 +217,8 @@ class SegmentIndex(InvertedIndex):
     byte-range reads, index_loader.py:71-128)."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 documents: DataFrame | None = None):
+                 documents: DataFrame | None = None,
+                 max_cached_terms: int = 4096):
         with open(os.path.join(index_dir, "stats.json")) as f:
             meta = json.load(f)
         a = meta["analyzer"]
@@ -227,6 +228,13 @@ class SegmentIndex(InvertedIndex):
         self.index_dir = index_dir
         self.meta = meta
         self.segments = spark.read.parquet(os.path.join(index_dir, "segments"))
+        # Driver-side mini-index LRU: per-term (df, [blocks]) — the moral
+        # equivalent of the reference's startup word2byte dict plus
+        # byte-range posting loads warmed by the OS page cache
+        # (index_loader.py:71-128). A repeat term costs zero Spark jobs.
+        from collections import OrderedDict
+        self._mini: OrderedDict[str, tuple[int, list]] = OrderedDict()
+        self._mini_cap = max_cached_terms
         super().__init__(
             postings=spark.read.parquet(os.path.join(index_dir, "postings_stage")),
             doc_stats=spark.read.parquet(os.path.join(index_dir, "doc_stats")),
@@ -253,6 +261,42 @@ class SegmentIndex(InvertedIndex):
             & F.col("term").isin(terms)
         )
         return SEG.decode_segments(blocks, positional=positional)
+
+    def mini_index(self, terms: list[str]) -> dict[str, tuple[int, list]]:
+        """Serving-path point lookup: {term: (df, [Row(term, block_id,
+        block_max_tf, payload)])} for in-vocabulary terms, through the
+        driver LRU. Misses cost ONE pruned segment scan + one term_stats
+        filter; hits cost zero Spark jobs."""
+        missing = [t for t in terms if t not in self._mini]
+        if missing:
+            dfs = {
+                r.term: r.df
+                for r in self.term_stats.filter(
+                    F.col("term").isin(missing)).collect()
+            }
+            fetched: dict[str, list] = {t: [] for t in dfs}
+            if dfs:
+                rows = self.segments.filter(
+                    F.col("bucket").isin(self._buckets_for(list(dfs)))
+                    & F.col("term").isin(list(dfs))
+                ).select("term", "block_id", "block_max_tf",
+                         "payload").collect()
+                for r in rows:
+                    fetched[r.term].append(r)
+            for t, blks in fetched.items():
+                self._mini[t] = (dfs[t], blks)
+            for t in missing:  # negative-cache OOV terms too
+                if t not in self._mini:
+                    self._mini[t] = (0, [])
+            while len(self._mini) > self._mini_cap:
+                self._mini.popitem(last=False)
+        out = {}
+        for t in terms:
+            df, blks = self._mini[t]
+            self._mini.move_to_end(t)  # LRU touch
+            if df > 0:
+                out[t] = (df, blks)
+        return out
 
 
 def load_index(spark: SparkSession, index_dir: str,

@@ -87,3 +87,100 @@ def watermarked_event_counts(events_stream: DataFrame, minutes: int = 60,
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
+
+
+def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    gap-based sessionization identical to the batch
+    ``operators.events.sessionize`` (same second-floor gap test, same
+    per-user session numbering), emitting a session when either (a) a
+    later event of the same user breaks the gap, or (b) the event-time
+    watermark passes session_end + gap (timeout) — so sessions split
+    across micro-batches merge exactly like the batch window identity.
+
+    State per user: (next session_id, start_us, end_us, n, total).
+    Output: (user_id, session_id, session_start, session_end, n_events,
+    total_value) — append mode.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType, TimestampType)
+
+    if dict(events_stream.dtypes).get("ts") == "timestamp_ntz":
+        events_stream = events_stream.withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+
+    gap_s = gap_minutes * 60
+    out_type = StructType([
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ])
+    state_type = StructType([
+        StructField("sid", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        uid = key[0]
+
+        def emit(sid, start_us, end_us, n, total):
+            return pd.DataFrame({
+                "user_id": [uid], "session_id": [sid],
+                "session_start": [pd.to_datetime(start_us, unit="us")],
+                "session_end": [pd.to_datetime(end_us, unit="us")],
+                "n_events": [n], "total_value": [round(total, 4)],
+            })
+
+        if state.hasTimedOut:
+            sid, start_us, end_us, n, total = state.get
+            state.remove()
+            yield emit(sid, start_us, end_us, n, total)
+            return
+
+        if state.exists:
+            sid, start_us, end_us, n, total = state.get
+        else:
+            sid, start_us, end_us, n, total = 0, None, None, 0, 0.0
+
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                us = ts.value // 1000  # pandas ns → µs
+                # batch identity: gap test on second-FLOORED epochs
+                # (sessionize casts ts to long, events.py:60-61)
+                if start_us is not None and (
+                        us // 1_000_000 - end_us // 1_000_000) <= gap_s:
+                    end_us = max(end_us, us)
+                    n += 1
+                    total += float(val)
+                else:
+                    if start_us is not None:
+                        closed.append((sid, start_us, end_us, n, total))
+                    sid += 1
+                    start_us = end_us = us
+                    n, total = 1, float(val)
+        state.update((sid, start_us, end_us, n, total))
+        # fire when the watermark passes the open session's close point
+        state.setTimeoutTimestamp(end_us // 1000 + gap_s * 1000)
+        for c in closed:
+            yield emit(*c)
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_type, state_type, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

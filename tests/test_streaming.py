@@ -55,3 +55,53 @@ def test_watermarked_plan_builds(spark, tmp_path):
     want = batch.groupBy(F.window("ts", "30 minutes"), "event_type").count().count()
     got = spark.sql("select * from wm_counts").count()
     assert 0 < got <= want
+
+
+def test_streaming_sessionize_equals_batch(spark, tmp_path):
+    """Stateful applyInPandasWithState sessionizer == batch sessionize on
+    the same events, including sessions split across micro-batches."""
+    from search_engine_spark.operators import events as EV
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    # three time-ordered chunks (sessions straddle the cuts) + a
+    # far-future sentinel event whose watermark advance flushes every
+    # open session via the event-time timeout
+    rows = ev.orderBy("ts").collect()
+    cuts = [len(rows) // 3, 2 * len(rows) // 3, len(rows)]
+    lo = 0
+    for i, hi in enumerate(cuts):
+        spark.createDataFrame(rows[lo:hi], ev.schema).coalesce(1) \
+            .write.parquet(os.path.join(src, f"chunk={i}"))
+        lo = hi
+    sentinel = spark.sql(
+        "select cast(999999 as long) event_id,"
+        " timestamp'2030-01-01 00:00:00' ts, cast(-1 as long) user_id,"
+        " 'sentinel' event_type, cast(0.0 as double) value, '{}' props"
+    )
+    sentinel.coalesce(1).write.parquet(os.path.join(src, "chunk=3"))
+
+    stream = spark.readStream.schema(ev.schema) \
+        .option("maxFilesPerTrigger", 1) \
+        .parquet(src + "/chunk=*")
+    out = incremental.streaming_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory").queryName("sess_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.user_id, r.session_id):
+            (r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.sql("select * from sess_stream").collect()
+        if r.user_id != -1
+    }
+    want = {
+        (r.user_id, r.session_id):
+            (r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in EV.sessionize(ev, gap_minutes=30).collect()
+    }
+    assert got == want

@@ -47,3 +47,58 @@ def test_wand_k_larger_than_hits(seg_index, oracle_index):
     got = wand.search_wand(seg_index, "germani", k=10_000)
     want = oracle.search_freetext(o_index, doc_sizes, "germani", k=10_000)
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_mini_index_cache_identity_and_warmth(seg_index):
+    import time
+
+    q = "market price growth"
+    seg_index._mini.clear()
+    cold = wand.search_wand(seg_index, q, k=20)
+    assert set(seg_index._mini) >= {"market", "price", "growth"}
+    t0 = time.perf_counter()
+    warm = wand.search_wand(seg_index, q, k=20)
+    warm_sec = time.perf_counter() - t0
+    assert warm == cold
+    # warm path = driver numpy only (no Spark job): generous bound that
+    # still catches an accidental re-fetch (a Spark job is >100ms)
+    assert warm_sec < 0.1
+
+
+def test_mini_index_negative_cache(seg_index):
+    seg_index._mini.clear()
+    assert wand.search_wand(seg_index, "zzzqq", k=5) == []
+    assert seg_index._mini.get("zzzqq") == (0, [])
+
+
+def test_mini_index_lru_eviction(seg_index):
+    seg_index._mini.clear()
+    seg_index._mini_cap = 2
+    try:
+        wand.search_wand(seg_index, "market", k=5)
+        wand.search_wand(seg_index, "price", k=5)
+        wand.search_wand(seg_index, "growth", k=5)
+        assert len(seg_index._mini) <= 2
+        assert "growth" in seg_index._mini
+        # evicted term still answers correctly (re-fetch)
+        again = wand.search_wand(seg_index, "market", k=5)
+        assert again == wand.search_wand(seg_index, "market", k=5)
+    finally:
+        seg_index._mini_cap = 4096
+
+
+def test_impact_ordered_cap_exact_when_loose(seg_index):
+    q = "market price"
+    exact = wand.search_wand(seg_index, q, k=20)
+    capped = wand.search_wand(seg_index, q, k=20, max_blocks_per_term=10_000)
+    assert capped == exact
+
+
+def test_impact_ordered_cap_is_safe_approximation(seg_index):
+    q = "market price growth"
+    exact = dict(wand.search_wand(seg_index, q, k=1000))
+    approx = wand.search_wand(seg_index, q, k=20, max_blocks_per_term=2)
+    assert approx  # still answers
+    for d, s in approx:
+        # dropped blocks can only LOWER a doc's score, never raise it
+        assert s <= exact[d] + 1e-12

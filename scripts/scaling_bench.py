@@ -75,6 +75,30 @@ def _burn(k: int) -> int:
     return s
 
 
+def assert_quiet_host(max_load1: float = 2.0) -> None:
+    """Refuse to measure on a busy box: a single stray Spark JVM (e.g.
+    orphaned by a killed parent) silently halves local[32] throughput
+    and destroys the N→4N comparison. Checked before EVERY job."""
+    stray = subprocess.run(
+        ["pgrep", "-f", r"scaling_job\.py|pyspark-shell"],
+        capture_output=True, text=True,
+    ).stdout.split()
+    mine = {str(os.getpid()), str(os.getppid())}
+    stray = [p for p in stray if p not in mine]
+    if stray:
+        raise SystemExit(
+            f"refusing to benchmark: stray Spark/scaling processes {stray} "
+            f"(kill them first — they poison the measurement)")
+    # soft cool-down: load1 decays with a ~1 min time constant after our
+    # own previous run, so wait briefly, then proceed (recorded in the
+    # output for transparency) — only strays are a hard stop
+    import time
+    for _ in range(18):
+        if os.getloadavg()[0] <= max_load1:
+            return
+        time.sleep(10)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=150000)
@@ -89,7 +113,10 @@ def main() -> None:
     results = {}
     for _ in range(args.runs):
         for cpus in (args.n, args.n * 4):
+            assert_quiet_host()
+            load_before = round(os.getloadavg()[0], 2)
             r = run_job(cpus, corpus_dir, 1)
+            r["load1_before"] = load_before
             print(json.dumps(r))
             if cpus not in results or r["docs_per_sec"] > results[cpus]["docs_per_sec"]:
                 results[cpus] = r

@@ -13,6 +13,10 @@ Training-data companions (not in the reference):
                        the scale path probes only the query's bucket
                        (+optional multi-probe neighbors). Recall measured
                        against the brute-force baseline in tests.
+* ivf_fit/assign/topk — IVF: driver-side k-means coarse quantizer →
+                       centroid cells → probe the nprobe nearest cells
+                       (cell-partition pruning at scale); nprobe = #cells
+                       degenerates to exact brute force.
 
 Scale notes: brute force is one narrow scan (no shuffle) + top-k heap
 merge; LSH turns it into a partition-pruned scan when the table is
@@ -25,7 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType
+from pyspark.sql.types import DoubleType, IntegerType, LongType
 
 
 def _dot_lit(vec_col, qvec: list[float]):
@@ -118,3 +122,65 @@ def lsh_topk(bucketed: DataFrame, qvec: list[float], k: int = 10,
             buckets.append(int(flipped @ weights))
     cand = bucketed.filter(F.col("bucket").isin(buckets))
     return cosine_topk(cand, qvec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer → partition-prunable
+# centroid cells → probe only the nprobe nearest cells at query time.
+# The second scale path next to LSH (task brief: "IVF or LSH-bucketed").
+# ---------------------------------------------------------------------------
+
+def ivf_fit(embeddings: DataFrame, n_centroids: int = 16, iters: int = 10,
+            sample: int = 10_000, vec_col: str = "embedding",
+            id_col: str = "vec_id") -> np.ndarray:
+    """Driver-side Lloyd's k-means on a deterministic sample (first
+    ``sample`` rows by id) → (n_centroids, dim) float64 centroids.
+
+    At 10^12 scale the sample stays driver-sized (k-means needs only a
+    representative sketch) while assignment/search below stay
+    distributed; determinism comes from the ordered sample + fixed init
+    (first k distinct sample points), not an RNG.
+    """
+    rows = (embeddings.orderBy(id_col).limit(sample)
+            .select(vec_col).collect())
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    cent = x[:n_centroids].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Add the nearest-centroid cell id (write partitioned/bucketed by it
+    for partition-prunable probes)."""
+    cent = centroids.copy()
+
+    @F.pandas_udf(IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        def one(v):
+            x = np.asarray(v, dtype=np.float64)
+            return int(((cent - x) ** 2).sum(axis=1).argmin())
+
+        return vecs.map(one)
+
+    return embeddings.withColumn("cell", cell(F.col(vec_col)))
+
+
+def ivf_topk(assigned: DataFrame, centroids: np.ndarray, qvec: list[float],
+             k: int = 10, nprobe: int = 2, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """ANN top-k: rank cells by distance to the query, scan only the
+    ``nprobe`` nearest (cell-partition pruning at scale), exact cosine
+    within them. nprobe == n_centroids degenerates to exact brute force.
+    """
+    q = np.asarray(qvec, dtype=np.float64)
+    order = ((centroids - q) ** 2).sum(axis=1).argsort()
+    cells = [int(c) for c in order[:nprobe]]
+    return cosine_topk(assigned.filter(F.col("cell").isin(cells)),
+                       qvec, k, vec_col, id_col)

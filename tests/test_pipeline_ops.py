@@ -186,3 +186,36 @@ def test_events_sessionize(spark):
     assert tc.agg(F.sum("n")).collect()[0][0] == base
     topk = events.sliding_topk(ev, 60, 2)
     assert topk.groupBy("window_start").count().agg(F.max("count")).collect()[0][0] <= 2
+
+
+def test_ivf_exact_when_probing_all_cells(spark, emb):
+    q = list(emb.collect()[5].embedding)
+    cent = similarity.ivf_fit(emb, n_centroids=8, iters=5)
+    assigned = similarity.ivf_assign(emb, cent).cache()
+    exact = [(r.vec_id, r.cosine)
+             for r in similarity.cosine_topk(emb, q, 10).collect()]
+    allprobe = [(r.vec_id, r.cosine)
+                for r in similarity.ivf_topk(assigned, cent, q, 10,
+                                             nprobe=8).collect()]
+    assert allprobe == exact
+
+
+def test_ivf_recall_with_few_probes(spark, emb):
+    q = list(emb.collect()[5].embedding)
+    cent = similarity.ivf_fit(emb, n_centroids=8, iters=5)
+    assigned = similarity.ivf_assign(emb, cent).cache()
+    exact = {r.vec_id for r in similarity.cosine_topk(emb, q, 10).collect()}
+    ann = {r.vec_id
+           for r in similarity.ivf_topk(assigned, cent, q, 10,
+                                        nprobe=3).collect()}
+    assert len(ann & exact) >= 5
+    assert len(ann) <= 10
+
+
+def test_ivf_fit_deterministic(spark, emb):
+    import numpy as np
+
+    c1 = similarity.ivf_fit(emb, n_centroids=4, iters=3)
+    c2 = similarity.ivf_fit(emb, n_centroids=4, iters=3)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (4, 64)

@@ -25,6 +25,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+LOAD1_AT_START = round(os.getloadavg()[0], 2)
+
 
 def main() -> None:
     from pyspark.sql import functions as F
@@ -151,6 +153,9 @@ def main() -> None:
         "web_postings": int(web_row["postings"]),
         "web_tokens": int(web_row["tokens"]),
         "cpus": cpus,
+        # host-health context: a stray JVM or co-tenant load silently
+        # halves these numbers (see BENCH/BASELINE.md replication study)
+        "load1_at_start": LOAD1_AT_START,
     }))
 
 

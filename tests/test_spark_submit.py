@@ -1,0 +1,56 @@
+"""North-rule shipping form: the jobs run via
+``spark-submit --py-files dist/engine.zip`` with the engine imported
+FROM THE ZIP — the job scripts are copied to a neutral directory so the
+repo checkout is not importable and only the zip can satisfy
+``search_engine_spark``."""
+
+import json
+import os
+import shutil
+import subprocess
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not installed")
+def test_jobs_ship_via_py_files(tmp_path):
+    subprocess.run(["sh", os.path.join(ROOT, "scripts", "make_dist.sh")],
+                   check=True, capture_output=True)
+    zip_path = os.path.join(ROOT, "dist", "engine.zip")
+    assert os.path.exists(zip_path)
+
+    neutral = tmp_path / "neutral"
+    neutral.mkdir()
+    for job in ("build_index.py", "query_topk.py"):
+        shutil.copy(os.path.join(ROOT, "jobs", job), neutral / job)
+
+    idx = str(tmp_path / "idx")
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4",
+           "SPARK_GRAFT_DRIVER_MEM": "4g"}
+    common = [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path]
+
+    b = subprocess.run(
+        common + [str(neutral / "build_index.py"),
+                  "--input", "/root/testdata/sf0.001/documents.parquet",
+                  "--output", idx, "--buckets", "8", "--shards", "2",
+                  "--block-span", "4096"],
+        cwd=str(neutral), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert b.returncode == 0, b.stderr[-3000:]
+    assert os.path.exists(os.path.join(idx, "manifest", "build_complete.json"))
+
+    q = subprocess.run(
+        common + [str(neutral / "query_topk.py"), "--index", idx,
+                  "--query", "system query", "--k", "5", "--wand"],
+        cwd=str(neutral), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert q.returncode == 0, q.stderr[-3000:]
+    hits = [json.loads(line) for line in q.stdout.splitlines()
+            if line.startswith("{")]
+    assert hits and all({"rank", "doc_id", "score"} <= set(h) for h in hits)

@@ -115,7 +115,32 @@ def main() -> int:
         ],
     )
 
-    # 4. in-memory index path: doc_stats join eliminated (dl in postings)
+    # 4. date-range filter on a days(warc_ts)-partitioned documents table
+    # → directory-level partition pruning, no full scan (the reference's
+    # date2doc reverse map replaced by table layout)
+    from datetime import date as _date
+
+    from search_engine_spark.operators import executor as EX
+
+    web = corpus.with_hash_doc_ids(corpus.synthesize_web_corpus(spark, 500))
+    part_dir = os.path.join(tmp, "docs_by_date")
+    corpus.write_documents_partitioned(web, part_dir)
+    part_docs = corpus.read_documents_partitioned(spark, part_dir)
+    p_date = plan_of(EX.date_candidates(
+        part_docs, _date(2022, 1, 5), _date(2022, 1, 9)))
+    check(
+        "Date filter via partition pruning", p_date,
+        [
+            ("warc_date partition filter present",
+             r"PartitionFilters: \[.*warc_date", True),
+            ("no data-level filter remains (pruning handles it all)",
+             r"PushedFilters: \[.+\]|\(\d+\) Filter", False),
+            ("only doc_id in read schema",
+             r"ReadSchema: struct<doc_id:bigint>", True),
+        ],
+    )
+
+    # 5. in-memory index path: doc_stats join eliminated (dl in postings)
     mem = engine.build_index(docs, AnalyzerConfig.full(), cache=False)
     p4 = plan_of(S.search_freetext(mem, "market price", k=10))
     check(

@@ -22,12 +22,19 @@ from .search import InvertedIndex, search_freetext, topk
 
 def date_candidates(documents: DataFrame, start: date, end: date,
                     ts_col: str = "warc_ts") -> DataFrame:
-    """Docs within [start, end] — on a days(ts)-partitioned table this is
-    pure partition pruning (replaces the reference's date2doc reverse map,
-    index_build.py:94-99 / retrieval_execution.py:123-133)."""
-    return documents.filter(
-        F.to_date(F.col(ts_col)).between(F.lit(start), F.lit(end))
-    ).select("doc_id")
+    """Docs within [start, end] — replaces the reference's date2doc
+    reverse map (index_build.py:94-99 / retrieval_execution.py:123-133).
+
+    On a table written by ``corpus.write_documents_partitioned`` the
+    ``warc_date`` partition column is filtered directly, so Catalyst
+    prunes whole date directories before any IO (asserted in the plan
+    audit); otherwise it falls back to a pushed-down ``to_date`` filter.
+    """
+    if "warc_date" in documents.columns:
+        cond = F.col("warc_date").between(F.lit(start), F.lit(end))
+    else:
+        cond = F.to_date(F.col(ts_col)).between(F.lit(start), F.lit(end))
+    return documents.filter(cond).select("doc_id")
 
 
 def execute(index: InvertedIndex, query: str, k: int = 100,

@@ -194,3 +194,22 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-shape documents table (doc_id,text,lang,source,n_chars)."""
     return read_testdata(spark, sf_dir, "documents")
+
+
+def write_documents_partitioned(docs: DataFrame, path: str) -> None:
+    """Write documents partitioned by days(warc_ts) — the Iceberg
+    days-transform layout from SURVEY §1.4: date-range queries become
+    partition pruning instead of a full scan (replacing the reference's
+    date2doc reverse map, index_build.py:94-99).
+
+    repartitionByRange on (warc_date, url) before partitionBy: bounds
+    file count at O(partitions) instead of tasks × dates, and splits a
+    hot date across several tasks instead of one straggler."""
+    parts = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    (docs.withColumn("warc_date", F.to_date("warc_ts"))
+         .repartitionByRange(parts, "warc_date", "url")
+         .write.mode("overwrite").partitionBy("warc_date").parquet(path))
+
+
+def read_documents_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

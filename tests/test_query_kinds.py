@@ -101,3 +101,22 @@ def test_date_filter(built_index, oracle_index, corpus_pdf):
     full = dict(_want(oracle_index, "germany market", k=10**9))
     for d, s in got:
         assert s == pytest.approx(full[d], abs=1e-9)
+
+
+def test_date_filter_partitioned_table_same_docs(spark, corpus_sdf, tmp_path):
+    """write_documents_partitioned (days layout) + date_candidates returns
+    the same docs as the unpartitioned to_date path; the plan-audit test
+    asserts the partitioned variant actually prunes partitions."""
+    from datetime import date
+
+    from search_engine_spark.operators import executor as EX
+    from search_engine_spark.sources import corpus as C
+
+    part_dir = str(tmp_path / "by_date")
+    C.write_documents_partitioned(corpus_sdf, part_dir)
+    part = C.read_documents_partitioned(spark, part_dir)
+    start, end = date(2022, 1, 5), date(2022, 2, 10)
+    got = {r.doc_id for r in EX.date_candidates(part, start, end).collect()}
+    want = {r.doc_id
+            for r in EX.date_candidates(corpus_sdf, start, end).collect()}
+    assert got == want and got

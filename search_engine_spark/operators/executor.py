@@ -39,10 +39,24 @@ def date_candidates(documents: DataFrame, start: date, end: date,
 
 def execute(index: InvertedIndex, query: str, k: int = 100,
             model: str = "bm25", date_start: date | None = None,
-            date_end: date | None = None, adaptive: bool = False) -> DataFrame:
+            date_end: date | None = None, adaptive: bool = False,
+            spellchecker=None, symbols: frozenset[str] = frozenset(),
+            ) -> DataFrame:
     """→ (doc_id, score) for ranked kinds; (doc_id, score=0.0) for
-    proximity/boolean kinds (reference returns those unranked)."""
+    proximity/boolean kinds (reference returns those unranked).
+
+    ``spellchecker`` (a plans.spellcheck.VocabularySpellchecker) enables
+    the reference's first-execution spellcheck on FREE-TEXT queries only
+    (retrieval_execution.py:77-79 applies it after classification; the
+    rerun path passes None — views.py:99-138). OFF by default so
+    rank-identity tests compare unrewritten queries."""
     plan = planner.classify(query, index.analyzer)
+    if spellchecker is not None and isinstance(plan, planner.FreeTextPlan):
+        from ..plans.spellcheck import correct_query
+
+        corrected = correct_query(query, spellchecker, symbols)
+        if corrected != query:
+            plan = planner.classify(corrected, index.analyzer)
     spark = index.postings.sparkSession
 
     cand = None

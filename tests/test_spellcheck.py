@@ -44,3 +44,23 @@ def test_abbreviation_expansion():
 def test_from_index(built_index):
     c = SP.VocabularySpellchecker.from_index(built_index)
     assert c.correct("merket") == "market"
+
+
+def test_executor_spellcheck_integration(built_index):
+    """First-execution semantics: a misspelled free-text query corrects
+    against the index vocabulary and returns the same results as the
+    corrected query; the default (no spellchecker) leaves it OOV."""
+    from search_engine_spark.operators import executor as EX
+
+    checker = SP.VocabularySpellchecker.from_index(built_index)
+    plain = EX.execute(built_index, "merket", k=10).collect()
+    assert plain == []  # rerun path: no correction, OOV
+    fixed = EX.execute(built_index, "merket", k=10,
+                       spellchecker=checker).collect()
+    want = EX.execute(built_index, "market", k=10).collect()
+    assert [(r.doc_id, r.score) for r in fixed] == \
+        [(r.doc_id, r.score) for r in want]
+    # ticker guard: guarded symbol is never rewritten
+    guarded = EX.execute(built_index, "merket", k=10, spellchecker=checker,
+                         symbols=frozenset({"merket"})).collect()
+    assert guarded == []

@@ -229,6 +229,13 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_pairs_exact(emb, threshold=0.4)
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import textquality
 
@@ -282,6 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_stats": q_user_stats,
         "window_topk": q_window_topk,
         "quality_score": q_quality_score,
+        "near_dup_pairs": q_near_dup_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "minhash_survivors": q_minhash_survivors,
         "language_id": q_language_id,
@@ -480,6 +488,16 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 3
         """,
         "quality_score": _quality_score_sql(),
+        "near_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
     }
 
 

@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, IntegerType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 
 def _dot_lit(vec_col, qvec: list[float]):
@@ -184,3 +184,74 @@ def ivf_topk(assigned: DataFrame, centroids: np.ndarray, qvec: list[float],
     cells = [int(c) for c in order[:nprobe]]
     return cosine_topk(assigned.filter(F.col("cell").isin(cells)),
                        qvec, k, vec_col, id_col)
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.9,
+                        dim: int | None = None, n_tables: int = 8,
+                        n_planes: int = 8, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup family):
+    (id_a, id_b, cosine) for pairs with cosine >= threshold, id_a < id_b.
+
+    Scale path: banded multi-table sign-LSH — ``n_tables`` independent
+    tables of ``n_planes`` hyperplanes each; candidates are pairs sharing
+    a bucket in ANY table, so the O(n²) cross join becomes per-bucket
+    co-partitioned self-joins. Single-table recall at cosine c is
+    (1 - acos(c)/π)^planes (~0.43 at c=0.95, p=8); over T tables it is
+    1-(1-r)^T (~0.99 at T=8) — banding is what makes sign-LSH usable for
+    near-dup detection, exactly like MinHash banding for Jaccard.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.default_rng(13)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        def one(v):
+            x = np.asarray(v, dtype=np.float64)
+            sig = (np.einsum("tpd,d->tp", planes, x) > 0).astype(np.int64)
+            return (sig @ weights).tolist()
+
+        return vecs.map(one)
+
+    tagged = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+    )
+    a = tagged.select(F.col("_id").alias("id_a"),
+                      F.col("_vec").alias("vec_a"), "table", "bucket")
+    b = tagged.select(F.col("_id").alias("id_b"),
+                      F.col("_vec").alias("vec_b"), "table", "bucket")
+    dot = F.aggregate(F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (_norm(F.col("vec_a")) * _norm(F.col("vec_b")))
+    return (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_pairs_exact(embeddings: DataFrame, threshold: float = 0.4,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Exact thresholded cosine pair join (the always-correct small-N
+    baseline for embedding_near_dups; fully SQL-expressible → DuckDB
+    oracle). Vectors cast to double BEFORE the dot product so the
+    arithmetic matches the oracle's DOUBLE[] math bit-for-bit."""
+    a = embeddings.select(F.col(id_col).alias("id_a"),
+                          F.col(vec_col).cast("array<double>").alias("vec_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).cast("array<double>").alias("vec_b"))
+    dot = F.aggregate(F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (_norm(F.col("vec_a")) * _norm(F.col("vec_b")))
+    return (
+        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -219,3 +219,32 @@ def test_ivf_fit_deterministic(spark, emb):
     c2 = similarity.ivf_fit(emb, n_centroids=4, iters=3)
     assert np.array_equal(c1, c2)
     assert c1.shape == (4, 64)
+
+
+def test_embedding_near_dups_finds_planted(spark, emb):
+    """Plant jittered copies of 20 vectors; banded-LSH near-dup join must
+    recover (nearly) all planted pairs and report only true pairs."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    base = emb.filter(F.col("vec_id") < 20).collect()
+    rng = np.random.default_rng(7)
+    dups = [
+        Row(vec_id=1000 + r.vec_id,
+            embedding=[float(x) for x in
+                       np.asarray(r.embedding) + rng.normal(0, 0.01, 64)],
+            label=r.label)
+        for r in base
+    ]
+    both = emb.unionByName(spark.createDataFrame(dups, emb.schema))
+    pairs = similarity.embedding_near_dups(both, threshold=0.9).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    planted = {(r.vec_id, 1000 + r.vec_id) for r in base}
+    assert len(found & planted) >= 18  # ≥90% recall on planted dups
+    # precision: every reported pair really is above threshold
+    assert all(p.cosine >= 0.9 for p in pairs)
+
+
+def test_embedding_near_dups_empty_on_distinct(spark, emb):
+    # natural max pairwise cosine in this table is ~0.48
+    assert similarity.embedding_near_dups(emb, threshold=0.9).count() == 0

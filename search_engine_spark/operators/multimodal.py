@@ -123,3 +123,44 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 200) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def resize_images(media: DataFrame, target_w: int = 32, target_h: int = 32,
+                  decoder: Callable = unimplemented_decoder,
+                  encoder: Callable | None = None) -> DataFrame:
+    """Image resize over binary columns: decode → nearest-neighbor
+    resample → re-encode, as a narrow mapInPandas (payloads never
+    shuffle; width/height metadata updated in the output rows).
+
+    With the default stub decoder this raises NotImplementedError
+    (surface tested); the test path passes a fake pixel decoder whose
+    output is a (h, w) array, resampled here with pure-numpy index
+    striding — the exact batch shape a Pillow-backed decoder would use.
+    ``encoder`` turns the resized array back into bytes (default:
+    ``.tobytes()``).
+    """
+    enc = encoder or (lambda arr: arr.astype(np.uint8).tobytes())
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "image":
+                    continue
+                pix = decoder(r.payload if r.payload is not None else b"",
+                              r.kind)
+                pix = np.asarray(pix)
+                if pix.ndim == 1:  # stub feature vector → fake raster
+                    side = max(int(len(pix) ** 0.5), 1)
+                    pix = np.resize(pix, (side, side))
+                ys = (np.arange(target_h) * pix.shape[0] // target_h)
+                xs = (np.arange(target_w) * pix.shape[1] // target_w)
+                resized = pix[np.ix_(ys, xs)]
+                out.append({
+                    "media_id": r.media_id, "kind": r.kind, "mime": r.mime,
+                    "payload": enc(resized), "width": target_w,
+                    "height": target_h, "duration_ms": r.duration_ms,
+                })
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)

@@ -248,3 +248,32 @@ def test_embedding_near_dups_finds_planted(spark, emb):
 def test_embedding_near_dups_empty_on_distinct(spark, emb):
     # natural max pairwise cosine in this table is ~0.48
     assert similarity.embedding_near_dups(emb, threshold=0.9).count() == 0
+
+
+def test_multimodal_resize(spark):
+    import numpy as np
+
+    media = multimodal.synthesize_media(spark, 30)
+
+    def raster_decoder(payload, kind):
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        side = max(int(len(arr) ** 0.5), 1)
+        return np.resize(arr, (side, side))
+
+    out = multimodal.resize_images(media, 16, 16,
+                                   decoder=raster_decoder).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out) == n_images
+    for r in out:
+        assert (r.width, r.height) == (16, 16)
+        assert len(bytes(r.payload)) == 16 * 16  # uint8 raster re-encode
+
+
+def test_multimodal_resize_stub_surface(spark):
+    import pytest as _pt
+
+    media = multimodal.synthesize_media(spark, 6)
+    with _pt.raises(Exception) as e:
+        multimodal.resize_images(media, 8, 8).collect()
+    assert "NotImplementedError" in str(e.value) or \
+        isinstance(e.value, NotImplementedError)

@@ -102,3 +102,25 @@ def test_impact_ordered_cap_is_safe_approximation(seg_index):
     for d, s in approx:
         # dropped blocks can only LOWER a doc's score, never raise it
         assert s <= exact[d] + 1e-12
+
+
+def _fuzz_freetext(seed: int = 777, n: int = 12) -> list[str]:
+    import numpy as np
+
+    from search_engine_spark.sources.corpus import _VOCAB
+
+    pool = [w for w in _VOCAB if w.isalpha()][:60] + ["zzzqq", "the"]
+    rng = np.random.default_rng(seed)
+    return [" ".join(pool[int(i)] for i in rng.integers(0, len(pool),
+                                                        int(rng.integers(1, 5))))
+            for _ in range(n)]
+
+
+@pytest.mark.parametrize("q", _fuzz_freetext())
+def test_wand_fuzz_vs_oracle(seg_index, oracle_index, q):
+    o_index, doc_sizes = oracle_index
+    want = oracle.search_freetext(o_index, doc_sizes, q, k=30, model="bm25")
+    got = wand.search_wand(seg_index, q, k=30)
+    assert [d for d, _ in got] == [d for d, _ in want], q
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9), q

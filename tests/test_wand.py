@@ -124,3 +124,34 @@ def test_wand_fuzz_vs_oracle(seg_index, oracle_index, q):
     assert [d for d, _ in got] == [d for d, _ in want], q
     for (_, gs), (_, ws) in zip(got, want):
         assert gs == pytest.approx(ws, abs=1e-9), q
+
+
+@pytest.fixture(scope="module")
+def seg_index_5k(tmp_path_factory, spark):
+    """Durable index over 5k synthesized web docs — block/codec behavior
+    at a scale where every term spans many blocks and buckets."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.analyzer import make_extract_text_udf
+    from search_engine_spark.sources import corpus as C
+
+    web = C.ingest_filters(C.with_dense_doc_ids(
+        C.synthesize_web_corpus(spark, 5000)))
+    prepared = web.select(
+        "doc_id", make_extract_text_udf()(F.col("html")).alias("text"))
+    d = str(tmp_path_factory.mktemp("wand5k") / "index")
+    catalog.build_durable_index(spark, prepared, d, shards=2, buckets=16,
+                                block_span=256)
+    return catalog.load_index(spark, d)
+
+
+@pytest.mark.parametrize("q", ["market price", "germany economy china",
+                               "bank report growth inflation", "stock",
+                               "energy crisis government policy search"])
+def test_wand_vs_relational_5k(seg_index_5k, q):
+    rel = [(r.doc_id, r.score)
+           for r in S.search_freetext(seg_index_5k, q, k=100).collect()]
+    wd = wand.search_wand(seg_index_5k, q, k=100)
+    assert [d for d, _ in wd] == [d for d, _ in rel], q
+    for (_, a), (_, b) in zip(wd, rel):
+        assert a == pytest.approx(b, abs=1e-9), q

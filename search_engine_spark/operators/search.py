@@ -258,3 +258,27 @@ def hydrate(topk_df: DataFrame, documents: DataFrame) -> DataFrame:
     return F.broadcast(topk_df).join(documents, "doc_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
+
+
+def compare_runs(run_a: DataFrame, run_b: DataFrame,
+                 id_col: str = "doc_id") -> dict:
+    """Compare two ranked (doc_id, score) runs — the reference's results
+    comparator (compare_results.py:16-33): ``positional`` = docs at the
+    SAME rank in both runs (pinned order: score desc, doc_id asc),
+    ``overlap`` = |ids_a ∩ ids_b|. One job per input; set overlap is an
+    inner join on id, positional agreement a join on (rank, id)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+
+    def ranked(df, suffix):
+        return df.select(F.col(id_col), F.col("score")) \
+            .withColumn("rank", F.row_number().over(w)) \
+            .select(F.col(id_col).alias("id"), F.col("rank").alias(f"rank_{suffix}"))
+
+    a, b = ranked(run_a, "a"), ranked(run_b, "b")
+    joined = a.join(b, "id")
+    overlap = joined.count()
+    positional = joined.filter(F.col("rank_a") == F.col("rank_b")).count()
+    return {"positional": positional, "overlap": overlap,
+            "n_a": run_a.count(), "n_b": run_b.count()}

@@ -53,3 +53,19 @@ def test_hydrate_returns_documents(spark, built_index, corpus_sdf):
     # order preserved: score desc, doc_id asc
     scores = [r.score for r in got]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_compare_runs(built_index):
+    """S11 parity: BM25-vs-LM run comparison (positional + overlap),
+    checked against a hand-computed Python-set model."""
+    a = S.search_freetext(built_index, "market price", k=20, model="bm25")
+    b = S.search_freetext(built_index, "market price", k=20, model="lm-dirichlet")
+    got = S.compare_runs(a, b)
+    ids_a = [r.doc_id for r in a.collect()]
+    ids_b = [r.doc_id for r in b.collect()]
+    assert got["overlap"] == len(set(ids_a) & set(ids_b))
+    assert got["positional"] == sum(x == y for x, y in zip(ids_a, ids_b))
+    assert got["n_a"] == len(ids_a) and got["n_b"] == len(ids_b)
+    # a run compared with itself: full positional agreement
+    self_cmp = S.compare_runs(a, a)
+    assert self_cmp["positional"] == self_cmp["overlap"] == len(ids_a)

@@ -245,6 +245,12 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import textquality
+
+    return textquality.language_id(_docs(spark, sf_dir))
+
+
 # rows-only entries (hash-based ops whose exact values SQL cannot
 # reproduce; the driver records a weaker rows-only check by design)
 
@@ -259,12 +265,6 @@ def q_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import dedup
 
     return dedup.minhash_dedup(_docs(spark, sf_dir), threshold=0.7)
-
-
-def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from search_engine_spark.operators import textquality
-
-    return textquality.language_id(_docs(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -488,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 3
         """,
         "quality_score": _quality_score_sql(),
+        "language_id": _language_id_sql(),
         "near_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(
@@ -499,6 +500,38 @@ def oracle_sql() -> dict[str, str]:
                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
         """,
     }
+
+
+def _language_id_sql() -> str:
+    # mirror of textquality.language_id: distinct lowercase tokens ∩ each
+    # function-word profile; first max in sorted(code) order wins;
+    # 'und' iff every profile scores zero (strict > beats only positives)
+    from search_engine_spark.operators.textquality import _LANG_PROFILES
+
+    def lst(code):
+        return "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[code])) + "]"
+
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(string_split(lower(text), ' ')) AS toks
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   len(list_intersect(toks, {lst('de')})) AS de,
+                   len(list_intersect(toks, {lst('en')})) AS en,
+                   len(list_intersect(toks, {lst('es')})) AS es,
+                   len(list_intersect(toks, {lst('fr')})) AS fr
+            FROM t
+        )
+        SELECT doc_id, CASE
+            WHEN de = 0 AND en = 0 AND es = 0 AND fr = 0 THEN 'und'
+            WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+            WHEN en >= es AND en >= fr THEN 'en'
+            WHEN es >= fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+        FROM h
+    """
 
 
 def _quality_score_sql() -> str:

@@ -138,6 +138,26 @@ def main() -> None:
     for name, fn in queries.items():
         timed(name, fn)
 
+    # -- phase 4: training-data pipeline ops (first-class per task brief) ---
+    from search_engine_spark.operators import dedup, similarity, textquality
+
+    docs = corpus.read_documents(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = [float(x) for x in emb.limit(1).collect()[0].embedding]
+    pipeline_ops = {
+        "p_exact_dedup": lambda: dedup.exact_dedup(docs).count(),
+        "p_minhash_dedup": lambda: dedup.minhash_dedup(docs, threshold=0.7).count(),
+        "p_simhash": lambda: dedup.simhash_pairs(dedup.simhash64(docs),
+                                                 max_hamming=8).count(),
+        "p_language_id": lambda: textquality.language_id(docs).count(),
+        "p_quality_score": lambda: textquality.quality_score(docs).count(),
+        "p_cosine_topk": lambda: similarity.cosine_topk(emb, qvec, 10).count(),
+        "p_near_dups_lsh": lambda: similarity.embedding_near_dups(
+            emb, threshold=0.9).count(),
+    }
+    for name, fn in pipeline_ops.items():
+        timed(name, fn)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "e2e_bench_sec",

@@ -35,3 +35,14 @@ def build_index(docs: DataFrame, conf: AnalyzerConfig = AnalyzerConfig.full(),
         postings=post, doc_stats=dstats, term_stats=tstats, stats=stats,
         documents=documents if documents is not None else docs, analyzer=conf,
     )
+
+
+def search(index: InvertedIndex, query: str, k: int = 100,
+           model: str = "bm25", **kwargs) -> DataFrame:
+    """Unified query entry (SURVEY §2.7): classifies the query
+    (free-text / phrase / boolean / proximity, plus optional date range
+    and spellcheck kwargs) and dispatches through operators.executor —
+    the facade mirroring the reference's RetrievalExecution."""
+    from .operators import executor
+
+    return executor.execute(index, query, k=k, model=model, **kwargs)

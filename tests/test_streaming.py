@@ -105,3 +105,51 @@ def test_streaming_sessionize_equals_batch(spark, tmp_path):
         for r in EV.sessionize(ev, gap_minutes=30).collect()
     }
     assert got == want
+
+
+def test_streaming_sessionize_tolerates_late_within_watermark(spark, tmp_path):
+    """Events arriving one micro-batch late but within the watermark must
+    still merge into their session (the watermark's whole purpose)."""
+    from datetime import datetime
+
+    from search_engine_spark.operators import events as EV
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, datetime(2024, 1, 1, h, m), u, "e", 1.0, "{}")
+             for i, (h, m, u) in enumerate(rows)], schema)
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    # chunk 0: user 1 events at 10:00, 10:05; user 2 at 10:20
+    mk([(10, 0, 1), (10, 5, 1), (10, 20, 2)]).coalesce(1) \
+        .write.parquet(os.path.join(src, "c=0"))
+    # chunk 1: LATE event for user 1 at 10:10 (older than user 2's 10:20
+    # already seen — late by event time, within the 30 min watermark)
+    mk([(10, 10, 1), (10, 25, 2)]).coalesce(1) \
+        .write.parquet(os.path.join(src, "c=1"))
+    # chunk 2: sentinel far future → flush all sessions via timeout
+    mk([(23, 59, 99)]).coalesce(1).write.parquet(os.path.join(src, "c=2"))
+
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src + "/c=*")
+    out = incremental.streaming_sessionize(stream, gap_minutes=30,
+                                           watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("late_sess")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r.user_id, r.session_id): (r.session_start, r.session_end,
+                                       r.n_events)
+           for r in spark.sql("select * from late_sess").collect()
+           if r.user_id != 99}
+    # user 1: ONE session 10:00-10:10 with 3 events (late event merged);
+    # user 2: ONE session 10:20-10:25 with 2 events
+    assert got[(1, 1)] == (datetime(2024, 1, 1, 10, 0),
+                           datetime(2024, 1, 1, 10, 10), 3)
+    assert got[(2, 1)] == (datetime(2024, 1, 1, 10, 20),
+                           datetime(2024, 1, 1, 10, 25), 2)
+    assert len(got) == 2

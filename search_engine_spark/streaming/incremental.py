@@ -161,6 +161,8 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30,
                 # (sessionize casts ts to long, events.py:60-61)
                 if start_us is not None and (
                         us // 1_000_000 - end_us // 1_000_000) <= gap_s:
+                    # late events may precede the open session's start
+                    start_us = min(start_us, us)
                     end_us = max(end_us, us)
                     n += 1
                     total += float(val)

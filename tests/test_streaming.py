@@ -127,9 +127,10 @@ def test_streaming_sessionize_tolerates_late_within_watermark(spark, tmp_path):
     # chunk 0: user 1 events at 10:00, 10:05; user 2 at 10:20
     mk([(10, 0, 1), (10, 5, 1), (10, 20, 2)]).coalesce(1) \
         .write.parquet(os.path.join(src, "c=0"))
-    # chunk 1: LATE event for user 1 at 10:10 (older than user 2's 10:20
-    # already seen — late by event time, within the 30 min watermark)
-    mk([(10, 10, 1), (10, 25, 2)]).coalesce(1) \
+    # chunk 1: LATE events within the 30 min watermark — user 1 gets
+    # 10:10 (after its open end) AND 9:58 (BEFORE its open start: the
+    # session must extend backward); user 2 continues at 10:25
+    mk([(10, 10, 1), (9, 58, 1), (10, 25, 2)]).coalesce(1) \
         .write.parquet(os.path.join(src, "c=1"))
     # chunk 2: sentinel far future → flush all sessions via timeout
     mk([(23, 59, 99)]).coalesce(1).write.parquet(os.path.join(src, "c=2"))
@@ -146,10 +147,10 @@ def test_streaming_sessionize_tolerates_late_within_watermark(spark, tmp_path):
                                        r.n_events)
            for r in spark.sql("select * from late_sess").collect()
            if r.user_id != 99}
-    # user 1: ONE session 10:00-10:10 with 3 events (late event merged);
-    # user 2: ONE session 10:20-10:25 with 2 events
-    assert got[(1, 1)] == (datetime(2024, 1, 1, 10, 0),
-                           datetime(2024, 1, 1, 10, 10), 3)
+    # user 1: ONE session 09:58-10:10 with 4 events (late events merged,
+    # start extended backward); user 2: ONE session 10:20-10:25, 2 events
+    assert got[(1, 1)] == (datetime(2024, 1, 1, 9, 58),
+                           datetime(2024, 1, 1, 10, 10), 4)
     assert got[(2, 1)] == (datetime(2024, 1, 1, 10, 20),
                            datetime(2024, 1, 1, 10, 25), 2)
     assert len(got) == 2

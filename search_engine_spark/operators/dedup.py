@@ -178,15 +178,26 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """near-dup candidates via 16-bit band blocking (any identical band →
-    candidate; guaranteed to catch hamming <= 3 over 4 bands), verified by
-    exact popcount hamming distance."""
+    """near-dup pairs via band blocking + exact popcount verify.
+
+    Band count = max_hamming + 1 (Manku et al.'s construction): any pair
+    within ``max_hamming`` differs in at most max_hamming bands, so by
+    pigeonhole at least one band matches exactly — candidate recall is
+    GUARANTEED, not heuristic, for any max_hamming <= 15 on a 64-bit
+    hash. Candidates then verify with the true hamming distance."""
+    n_bands = min(max_hamming + 1, 16)
+    base, extra = divmod(64, n_bands)
+    bands, shift = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        bands.append(
+            F.shiftrightunsigned("simhash", shift)
+            .bitwiseAND(F.lit((1 << width) - 1))
+        )
+        shift += width
     banded = hashes.select(
         "doc_id", "simhash",
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned("simhash", s).bitwiseAND(F.lit(0xFFFF))
-            for s in (0, 16, 32, 48)
-        ])).alias("band", "band_val"),
+        F.posexplode(F.array(*bands)).alias("band", "band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (

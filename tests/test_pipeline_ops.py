@@ -277,3 +277,22 @@ def test_multimodal_resize_stub_surface(spark):
         multimodal.resize_images(media, 8, 8).collect()
     assert "NotImplementedError" in str(e.value) or \
         isinstance(e.value, NotImplementedError)
+
+
+def test_simhash_band_guarantee_adversarial(spark):
+    """Pigeonhole guarantee: a pair at EXACTLY max_hamming distance with
+    the flipped bits spread to defeat a fixed-4-band scheme (one flip in
+    each 16-bit quarter, twice) must still be found."""
+    base = 0x0123456789ABCDEF
+    flips = [0, 16, 32, 48, 8, 24, 40, 56]  # 8 flips, 2 per 16-bit band
+    other = base
+    for b in flips:
+        other ^= 1 << b
+    h = spark.createDataFrame([(1, base), (2, other)],
+                              "doc_id long, simhash long")
+    out = dedup.simhash_pairs(h, max_hamming=8).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in out] == [(1, 2, 8)]
+    # one flip beyond the bound → excluded by the exact verify
+    h2 = spark.createDataFrame([(1, base), (2, other ^ (1 << 60))],
+                               "doc_id long, simhash long")
+    assert dedup.simhash_pairs(h2, max_hamming=8).count() == 0

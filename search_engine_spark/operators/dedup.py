@@ -93,8 +93,17 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 
 def minhash_lsh_pairs(sigs: DataFrame, bands: int = 16,
-                      rows_per_band: int = 4) -> DataFrame:
-    """banded LSH: docs sharing any band hash → candidate pairs (a<b)."""
+                      rows_per_band: int = 4,
+                      num_perm: int | None = None) -> DataFrame:
+    """banded LSH: docs sharing any band hash → candidate pairs (a<b).
+
+    bands × rows_per_band must cover exactly the signature length:
+    slicing past the signature yields empty arrays whose constant hash
+    would put EVERY doc in one bucket (an accidental cross join)."""
+    if num_perm is not None and bands * rows_per_band != num_perm:
+        raise ValueError(
+            f"bands({bands}) x rows_per_band({rows_per_band}) != "
+            f"num_perm({num_perm}) — derive bands = num_perm // rows_per_band")
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -149,7 +158,11 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
     verifies >= threshold against a doc with a smaller id (min-id survivor
     rule, same as exact_dedup)."""
     sigs = minhash_signatures(docs, text_col, num_perm, shingle_k)
-    cands = minhash_lsh_pairs(sigs)
+    rows_per_band = 4
+    if num_perm % rows_per_band:
+        raise ValueError(f"num_perm({num_perm}) must be a multiple of 4")
+    cands = minhash_lsh_pairs(sigs, bands=num_perm // rows_per_band,
+                              rows_per_band=rows_per_band, num_perm=num_perm)
     dups = jaccard_verify(cands, docs, text_col, threshold, shingle_k) \
         .select(F.col("doc_b").alias("doc_id")).distinct()
     return docs.select("doc_id").join(dups, "doc_id", "left_anti")

@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 from ..plans import planner
 from . import phrase as PH
 from . import boolean as B
-from .search import InvertedIndex, search_freetext, topk
+from .search import (InvertedIndex, search_freetext, search_freetext_tokens,
+                     topk)
 
 
 def date_candidates(documents: DataFrame, start: date, end: date,
@@ -61,9 +62,11 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
 
     cand = None
     if date_start is not None and date_end is not None and index.documents is not None:
-        ts_col = "warc_ts" if "warc_ts" in index.documents.columns else None
-        if ts_col:
-            cand = date_candidates(index.documents, date_start, date_end, ts_col)
+        cols = index.documents.columns
+        if "warc_ts" in cols or "warc_date" in cols:
+            # date_candidates prefers the warc_date partition column
+            # (pruning) and falls back to the warc_ts pushdown filter
+            cand = date_candidates(index.documents, date_start, date_end)
 
     if isinstance(plan, planner.ProximityPlan):
         docs = PH.proximity_docs(index, plan.t1, plan.t2, plan.k)
@@ -79,8 +82,10 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
         # model over the query's terms (retrieval_execution.py:189-199)
         terms = [t for c in plan.clauses for t in c.terms]
         if terms:
-            scored = search_freetext(
-                index, " ".join(terms), k=k, model=model, candidates=docs
+            # terms are ALREADY analyzed by the planner — token-level call
+            # (re-analysis would double-stem, e.g. 'provis'→'provi')
+            scored = search_freetext_tokens(
+                index, terms, k=k, model=model, candidates=docs
             )
             if scored.limit(1).count() > 0:
                 return scored
@@ -92,8 +97,8 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
     # free text (with optional embedded phrases)
     frames = []
     if plan.terms:
-        scored = search_freetext(
-            index, " ".join(plan.terms), k=index.stats["n_docs"],
+        scored = search_freetext_tokens(
+            index, plan.terms, k=index.stats["n_docs"],
             model=model, adaptive=adaptive, candidates=cand,
         )
         frames.append(scored)

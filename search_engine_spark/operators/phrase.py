@@ -59,26 +59,31 @@ def search_phrase(index: InvertedIndex, phrase_terms: list[str],
                   k: int = 100) -> DataFrame:
     """Phrase-only BM25-style ranking (phrase df = number of matching docs,
     reference bm25_model.py:316-324) → (doc_id, score) top-k."""
+    # the cache must OUTLIVE this call: the returned lazy frame reads it
+    # when the caller collects (unpersisting in a finally here would force
+    # a full recompute of the positional join). Bound memory by evicting
+    # the PREVIOUS phrase query's cache instead — one live cache per index.
     occ = phrase_occurrences(index, phrase_terms).cache()
-    try:
-        df_count = occ.count()
-        if df_count == 0:
-            return occ.sparkSession.createDataFrame([], "doc_id long, score double")
-        n, avgdl = index.stats["n_docs"], index.stats["avgdl"]
-        base = occ if "dl" in occ.columns else occ.join(index.doc_stats, "doc_id")
-        scored = (
-            base.select(
-                "doc_id",
-                F.col("phrase_tf").alias("tf"),
-                "dl",
-                F.lit(df_count).alias("df"),
-            )
-            .withColumn("score", scoring.bm25_weight(n, avgdl))
-            .select("doc_id", "score")
+    prev = getattr(index, "_phrase_cache", None)
+    if prev is not None:
+        prev.unpersist()
+    index._phrase_cache = occ
+    df_count = occ.count()
+    if df_count == 0:
+        return occ.sparkSession.createDataFrame([], "doc_id long, score double")
+    n, avgdl = index.stats["n_docs"], index.stats["avgdl"]
+    base = occ if "dl" in occ.columns else occ.join(index.doc_stats, "doc_id")
+    scored = (
+        base.select(
+            "doc_id",
+            F.col("phrase_tf").alias("tf"),
+            "dl",
+            F.lit(df_count).alias("df"),
         )
-        return topk(scored, k)
-    finally:
-        occ.unpersist()
+        .withColumn("score", scoring.bm25_weight(n, avgdl))
+        .select("doc_id", "score")
+    )
+    return topk(scored, k)
 
 
 def proximity_docs(index: InvertedIndex, t1: str, t2: str, k: int) -> DataFrame:

@@ -103,30 +103,48 @@ def adaptive_candidates(index: InvertedIndex, terms: list[str]) -> DataFrame | N
         F.countDistinct(F.when(F.col("term").isin(h1), F.col("term"))).alias("m1"),
         F.countDistinct(F.when(F.col("term").isin(h2), F.col("term"))).alias("m2"),
     )
+    # cache outlives the call (the returned frame reads it at collect
+    # time); bound memory by evicting the previous query's cache — same
+    # one-live-cache policy as search_phrase
     counts = counts.cache()
-    try:
-        full = counts.filter(F.col("m") == len(terms))
-        if full.limit(ADAPTIVE_MIN_CANDIDATES).count() >= ADAPTIVE_MIN_CANDIDATES:
-            return full.select("doc_id")
-        halves = counts.filter(
-            (F.col("m1") == len(h1)) | (F.col("m2") == len(h2))
-        )
-        if halves.limit(ADAPTIVE_MIN_CANDIDATES).count() >= ADAPTIVE_MIN_CANDIDATES:
-            return halves.select("doc_id")
-        return None  # union tier: every matching doc
-    finally:
-        counts.unpersist()
+    prev = getattr(index, "_adaptive_cache", None)
+    if prev is not None:
+        prev.unpersist()
+    index._adaptive_cache = counts
+    full = counts.filter(F.col("m") == len(terms))
+    if full.limit(ADAPTIVE_MIN_CANDIDATES).count() >= ADAPTIVE_MIN_CANDIDATES:
+        return full.select("doc_id")
+    halves = counts.filter(
+        (F.col("m1") == len(h1)) | (F.col("m2") == len(h2))
+    )
+    if halves.limit(ADAPTIVE_MIN_CANDIDATES).count() >= ADAPTIVE_MIN_CANDIDATES:
+        return halves.select("doc_id")
+    return None  # union tier: every matching doc
 
 
 def search_freetext(index: InvertedIndex, query: str, k: int = 100,
                     model: str = "bm25", adaptive: bool = False,
                     candidates: DataFrame | None = None) -> DataFrame:
-    """Free-text top-k → (doc_id, score). Terms are deduped with query tf
-    folded into the weight (reference multiplies by query tf via its loop
-    over ``set(query)``)."""
+    """Free-text top-k → (doc_id, score). Analyzes the raw query ONCE,
+    then delegates to the token-level path."""
+    return search_freetext_tokens(
+        index, analyze_query(query, index.analyzer), k=k, model=model,
+        adaptive=adaptive, candidates=candidates)
+
+
+def search_freetext_tokens(index: InvertedIndex, toks: list[str],
+                           k: int = 100, model: str = "bm25",
+                           adaptive: bool = False,
+                           candidates: DataFrame | None = None) -> DataFrame:
+    """Token-level free-text scoring — callers that already hold ANALYZED
+    tokens (the executor's plan, boolean rescoring) MUST use this instead
+    of re-joining tokens into a string: Porter stemming is not idempotent
+    ('provision'→'provis'→'provi'), so re-analyzing analyzed terms sends
+    them out of vocabulary. Terms are deduped with query tf folded into
+    the weight (reference multiplies by query tf via its loop over
+    ``set(query)``)."""
     if model == "vsm":
-        return search_vsm(index, query, k=k, candidates=candidates)
-    toks = analyze_query(query, index.analyzer)
+        return search_vsm_tokens(index, toks, k=k, candidates=candidates)
     if not toks:
         return index.postings.sparkSession.createDataFrame([], "doc_id long, score double")
     q_tf: dict[str, int] = {}
@@ -172,14 +190,20 @@ def vsm_doc_norms(index: InvertedIndex) -> DataFrame:
 
 def search_vsm(index: InvertedIndex, query: str, k: int = 20,
                candidates: DataFrame | None = None) -> DataFrame:
+    return search_vsm_tokens(index, analyze_query(query, index.analyzer),
+                             k=k, candidates=candidates)
+
+
+def search_vsm_tokens(index: InvertedIndex, toks: list[str], k: int = 20,
+                      candidates: DataFrame | None = None) -> DataFrame:
     """Full VSM cosine (reference vsm_model.py:56-103): doc weight
     (1+log10 tf)·log10((N−df)/df) clamped ≥0, query weight
     (1+log10 tf_q)·log10(N/df), cosine over the doc/query norms, top-20
     default cut. df==N terms contribute 0 on both axes (log10(0)→null→
-    greatest 0 in Spark; guarded in the oracle)."""
+    greatest 0 in Spark; guarded in the oracle). Token-level for the same
+    no-re-analysis reason as search_freetext_tokens."""
     import math
 
-    toks = analyze_query(query, index.analyzer)
     if not toks:
         return index.postings.sparkSession.createDataFrame([], "doc_id long, score double")
     q_tf: dict[str, int] = {}

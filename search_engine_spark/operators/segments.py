@@ -109,29 +109,42 @@ DECODED_SCHEMA = StructType([
 ])
 
 
-def decode_segments(segments: DataFrame, positional: bool = False) -> DataFrame:
-    """segment blocks → postings rows (term, doc_id, tf, dl[, positions]).
+def decode_segments(segments: DataFrame, positional: bool = False,
+                    has_dl: bool = True) -> DataFrame:
+    """segment blocks → postings rows (term, doc_id, tf[, dl][, positions]).
 
     mapInPandas: each Arrow batch of blocks explodes to posting rows with
     numpy decode — no per-row Python.
+
+    ``has_dl=False`` (segments encoded from dl-less postings) omits the
+    dl column entirely so downstream scoring falls back to the doc_stats
+    join — NEVER fabricate dl=0, which would silently zero the BM25
+    length norm. A mismatch between the flag and the payload raises.
     """
     import numpy as np
     from pyspark.sql.types import ArrayType
 
-    out_schema = DECODED_SCHEMA
+    fields = list(DECODED_SCHEMA.fields)
+    if not has_dl:
+        fields = [f for f in fields if f.name != "dl"]
     if positional:
-        out_schema = StructType(
-            DECODED_SCHEMA.fields + [StructField("positions", ArrayType(IntegerType()))]
-        )
+        fields = fields + [StructField("positions", ArrayType(IntegerType()))]
+    out_schema = StructType(fields)
 
     def decode(batches):
         for pdf in batches:
             frames = []
             for _, row in pdf.iterrows():
                 docs, tfs, dls = codec.decode_block_full(row["payload"])
+                if has_dl and dls is None:
+                    raise ValueError(
+                        "segment payload carries no dl run but has_dl=True "
+                        "was requested — decode with has_dl=False (scoring "
+                        "will join doc_stats instead)")
                 d = {"term": row["term"], "doc_id": docs,
-                     "tf": tfs.astype("int32"),
-                     "dl": (dls if dls is not None else np.zeros(len(docs))).astype("int32")}
+                     "tf": tfs.astype("int32")}
+                if has_dl:
+                    d["dl"] = dls.astype("int32")
                 if positional:
                     counts, flat = codec.decode_positions(row["pos_payload"])
                     splits = np.split(flat.astype("int32"), np.cumsum(counts)[:-1])

@@ -124,6 +124,12 @@ def search_wand(index, query: str, k: int = 100,
         acc: dict[int, float] = defaultdict(float)
         for blk in grp:
             docs, tfs, dls = codec.decode_block_full(bytes(blk.payload))
+            if dls is None:
+                raise ValueError(
+                    "segment payloads carry no per-doc lengths (dl): WAND "
+                    "needs self-contained blocks — build the index from "
+                    "postings that include dl (the durable build does), or "
+                    "use the relational scoring path")
             tfs = tfs.astype(np.float64)
             norm = k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
             w = q_tf[blk.term] * idf[blk.term] * tfs * (k1 + 1.0) / (tfs + norm)

@@ -74,7 +74,12 @@ def correct_query(query: str, checker: VocabularySpellchecker,
     out = []
     for tok in query.split(" "):
         low = tok.lower()
-        if not tok or low in symbols or any(low in s for s in symbols):
+        if (not tok or not tok.isalpha() or low in symbols
+                or any(low in s for s in symbols)):
+            # non-alpha tokens (quote-attached phrase words, numbers,
+            # operators) pass through untouched — "correcting" '"germany'
+            # by deleting the quote would silently destroy the phrase
+            # structure on re-classification
             out.append(tok)
         else:
             out.append(checker.correct(low))

@@ -256,6 +256,10 @@ class SegmentIndex(InvertedIndex):
     def lookup(self, terms: list[str], positional: bool = False) -> DataFrame:
         if not terms:
             return super().lookup(terms, positional)
+        if positional and not self.meta.get("positional", True):
+            raise ValueError(
+                f"index at {self.index_dir} was built positional=False; "
+                "phrase/proximity queries need a positional build")
         blocks = self.segments.filter(
             F.col("bucket").isin(self._buckets_for(terms))
             & F.col("term").isin(terms)

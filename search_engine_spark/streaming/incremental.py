@@ -56,8 +56,19 @@ def incremental_index_build(
         post = P.build_postings(batch_df, conf, positional=True).withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
         )
-        post.write.mode("append").partitionBy("bucket").parquet(stage_dir)
-        P.doc_stats(batch_df, conf).write.mode("append").parquet(ds_dir)
+        # batch_id-keyed dynamic partition overwrite makes the sink
+        # IDEMPOTENT under micro-batch replay: a crash after this write
+        # but before checkpoint commit re-runs the same batch_id, which
+        # REPLACES batch=<id> partitions instead of appending duplicate
+        # posting rows (plain append is only at-least-once)
+        post.withColumn("batch", F.lit(batch_id)) \
+            .write.mode("overwrite") \
+            .option("partitionOverwriteMode", "dynamic") \
+            .partitionBy("batch", "bucket").parquet(stage_dir)
+        P.doc_stats(batch_df, conf).withColumn("batch", F.lit(batch_id)) \
+            .write.mode("overwrite") \
+            .option("partitionOverwriteMode", "dynamic") \
+            .partitionBy("batch").parquet(ds_dir)
         n = batch_df.count()
         with open(os.path.join(index_dir, "manifest",
                                f"stream_batch_{batch_id}.json"), "w") as f:
@@ -92,22 +103,31 @@ def watermarked_event_counts(events_stream: DataFrame, minutes: int = 60,
 def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30,
                          watermark: str = "10 minutes") -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
-    gap-based sessionization identical to the batch
-    ``operators.events.sessionize`` (same second-floor gap test, same
-    per-user session numbering), emitting a session when either (a) a
-    later event of the same user breaks the gap, or (b) the event-time
-    watermark passes session_end + gap (timeout) — so sessions split
-    across micro-batches merge exactly like the batch window identity.
+    gap-based sessionization IDENTICAL to the batch
+    ``operators.events.sessionize`` for any event lateness the watermark
+    admits.
 
-    State per user: (next session_id, start_us, end_us, n, total).
+    Design: per-user state buffers the UNSEALED events (ts, event_id,
+    value arrays). A session is sealed — emitted, removed from the
+    buffer — only once the event-time watermark passes session_end + gap:
+    from then on no admissible event can merge into it (any new event has
+    ts >= watermark > end + gap, and anything older is dropped by the
+    watermark), so sealing order equals batch order and late events that
+    arrive out of order, even BEFORE the open session's start, land in
+    exactly the session the batch identity dictates. The per-user
+    session counter lives in state (a sealed-empty buffer keeps it), so
+    session_id numbering stays monotonic 1..n per user like the batch
+    running-sum. Buffer size is bounded by the watermark window.
+
     Output: (user_id, session_id, session_start, session_end, n_events,
     total_value) — append mode.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
-    from pyspark.sql.types import (DoubleType, LongType, StructField,
-                                   StructType, TimestampType)
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType, TimestampType)
 
     if dict(events_stream.dtypes).get("ts") == "timestamp_ntz":
         events_stream = events_stream.withColumn(
@@ -124,59 +144,68 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30,
     ])
     state_type = StructType([
         StructField("sid", LongType()),
-        StructField("start_us", LongType()),
-        StructField("end_us", LongType()),
-        StructField("n", LongType()),
-        StructField("total", DoubleType()),
+        StructField("ts_us", ArrayType(LongType())),
+        StructField("eids", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),
     ])
 
     def fn(key, pdfs, state: GroupState):
         uid = key[0]
-
-        def emit(sid, start_us, end_us, n, total):
-            return pd.DataFrame({
-                "user_id": [uid], "session_id": [sid],
-                "session_start": [pd.to_datetime(start_us, unit="us")],
-                "session_end": [pd.to_datetime(end_us, unit="us")],
-                "n_events": [n], "total_value": [round(total, 4)],
-            })
-
-        if state.hasTimedOut:
-            sid, start_us, end_us, n, total = state.get
-            state.remove()
-            yield emit(sid, start_us, end_us, n, total)
-            return
-
         if state.exists:
-            sid, start_us, end_us, n, total = state.get
+            sid, ts_us, eids, vals = state.get
+            ts_us, eids, vals = list(ts_us), list(eids), list(vals)
         else:
-            sid, start_us, end_us, n, total = 0, None, None, 0, 0.0
+            sid, ts_us, eids, vals = 0, [], [], []
 
-        closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts, val in zip(pdf["ts"], pdf["value"]):
-                us = ts.value // 1000  # pandas ns → µs
-                # batch identity: gap test on second-FLOORED epochs
-                # (sessionize casts ts to long, events.py:60-61)
-                if start_us is not None and (
-                        us // 1_000_000 - end_us // 1_000_000) <= gap_s:
-                    # late events may precede the open session's start
-                    start_us = min(start_us, us)
-                    end_us = max(end_us, us)
-                    n += 1
-                    total += float(val)
-                else:
-                    if start_us is not None:
-                        closed.append((sid, start_us, end_us, n, total))
-                    sid += 1
-                    start_us = end_us = us
-                    n, total = 1, float(val)
-        state.update((sid, start_us, end_us, n, total))
-        # fire when the watermark passes the open session's close point
-        state.setTimeoutTimestamp(end_us // 1000 + gap_s * 1000)
-        for c in closed:
-            yield emit(*c)
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
+                eids.extend(int(e) for e in pdf["event_id"])
+                vals.extend(float(v) for v in pdf["value"])
+
+        # sort buffered events by (ts, event_id) — the batch window order
+        order = sorted(range(len(ts_us)), key=lambda i: (ts_us[i], eids[i]))
+        ts_us = [ts_us[i] for i in order]
+        eids = [eids[i] for i in order]
+        vals = [vals[i] for i in order]
+
+        # split into sessions on the second-floor gap (events.py:60-61)
+        bounds = [0]
+        for i in range(1, len(ts_us)):
+            if ts_us[i] // 1_000_000 - ts_us[i - 1] // 1_000_000 > gap_s:
+                bounds.append(i)
+        bounds.append(len(ts_us))
+
+        wm_ms = state.getCurrentWatermarkMs()
+        out = []
+        keep_from = len(ts_us)
+        for b in range(len(bounds) - 1):
+            lo, hi = bounds[b], bounds[b + 1]
+            if lo == hi:
+                continue
+            end_us = ts_us[hi - 1]
+            sealed = (end_us // 1000 + gap_s * 1000) <= wm_ms
+            if sealed:
+                sid += 1
+                out.append({
+                    "user_id": uid, "session_id": sid,
+                    "session_start": pd.to_datetime(ts_us[lo], unit="us"),
+                    "session_end": pd.to_datetime(end_us, unit="us"),
+                    "n_events": hi - lo,
+                    "total_value": round(sum(vals[lo:hi]), 4),
+                })
+            else:
+                keep_from = lo
+                break  # later sessions end even later — none sealed
+
+        ts_us, eids, vals = ts_us[keep_from:], eids[keep_from:], vals[keep_from:]
+        state.update((sid, ts_us, eids, vals))
+        if ts_us:
+            # wake when the watermark passes the last open session's close
+            state.setTimeoutTimestamp(
+                max(ts_us[-1] // 1000 + gap_s * 1000, wm_ms + 1))
+        if out:
+            yield pd.DataFrame(out)
 
     return (
         events_stream.withWatermark("ts", watermark)

@@ -92,7 +92,16 @@ def search_freetext(index, doc_sizes, query: str, k: int = 100, model: str = "bm
                     conf: AnalyzerConfig = AnalyzerConfig.full(),
                     adaptive: bool = False):
     """→ [(doc_id, score)] top-k, tie-break (score desc, doc_id asc)."""
-    toks = analyze(query, conf)
+    return search_freetext_tokens(index, doc_sizes, analyze(query, conf),
+                                  k=k, model=model, adaptive=adaptive)
+
+
+def search_freetext_tokens(index, doc_sizes, toks: list[str], k: int = 100,
+                           model: str = "bm25", adaptive: bool = False):
+    """Token-level path for callers holding ANALYZED tokens (execute's
+    plan) — the reference preprocesses once (retrieval_execution.py:81-83)
+    and its models consume tokens directly; re-analysis would double-stem
+    (Porter is not idempotent: 'provision'→'provis'→'provi')."""
     if not toks:
         return []
     q_tf: dict[str, int] = {}
@@ -296,8 +305,8 @@ def execute(index, doc_sizes, query: str, k: int = 100, model: str = "bm25",
             acc = acc & nxt if op == "AND" else acc | nxt if op == "OR" else acc - nxt
         terms = [t for c in plan.clauses for t in c.terms]
         if terms:
-            ranked = search_freetext(index, doc_sizes, " ".join(terms),
-                                     k=len(doc_sizes), model=model, conf=conf)
+            ranked = search_freetext_tokens(index, doc_sizes, terms,
+                                            k=len(doc_sizes), model=model)
             ranked = [(d, s) for d, s in ranked if d in acc]
             if ranked:
                 return ranked[:k]
@@ -306,8 +315,8 @@ def execute(index, doc_sizes, query: str, k: int = 100, model: str = "bm25",
     # free text + phrases
     scores: dict[int, float] = {}
     if plan.terms:
-        for d, s in search_freetext(index, doc_sizes, " ".join(plan.terms),
-                                    k=len(doc_sizes), model=model, conf=conf):
+        for d, s in search_freetext_tokens(index, doc_sizes, plan.terms,
+                                           k=len(doc_sizes), model=model):
             scores[d] = scores.get(d, 0.0) + s
     for ph in plan.phrases:
         for d, s in search_phrase(index, doc_sizes, ph, k=len(doc_sizes)):

@@ -120,3 +120,26 @@ def test_date_filter_partitioned_table_same_docs(spark, corpus_sdf, tmp_path):
     want = {r.doc_id
             for r in EX.date_candidates(corpus_sdf, start, end).collect()}
     assert got == want and got
+
+
+def test_no_double_stemming_through_executor(spark):
+    """Porter is not idempotent ('provision'→'provis'→'provi'): the
+    executor must analyze the raw query exactly once, or stemmed plan
+    terms go out of vocabulary when re-analyzed. Regression for the
+    token-level search path (none of the fixture-corpus words have
+    non-idempotent stems, so the fuzz suite is blind to this)."""
+    from search_engine_spark import engine
+    from search_engine_spark.functions.analyzer import AnalyzerConfig
+    from search_engine_spark.functions.porter import stem
+
+    assert stem(stem("provision")) != stem("provision")  # premise
+    docs = spark.createDataFrame(
+        [(1, "provision of data provision"), (2, "unrelated words here"),
+         (3, "data provision matters")],
+        "doc_id long, text string")
+    idx = engine.build_index(docs, AnalyzerConfig.full())
+    hits = executor.execute(idx, "provision", k=10).collect()
+    assert {r.doc_id for r in hits} == {1, 3}
+    # boolean rescoring path re-uses analyzed clause terms too
+    bhits = executor.execute(idx, "provision AND data", k=10).collect()
+    assert {r.doc_id for r in bhits} == {1, 3}

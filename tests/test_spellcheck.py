@@ -64,3 +64,17 @@ def test_executor_spellcheck_integration(built_index):
     guarded = EX.execute(built_index, "merket", k=10, spellchecker=checker,
                          symbols=frozenset({"merket"})).collect()
     assert guarded == []
+
+
+def test_phrase_tokens_never_corrected(built_index):
+    """Quote-attached tokens pass through spellcheck untouched: a
+    correctly spelled phrase query keeps its phrase semantics."""
+    from search_engine_spark.operators import executor as EX
+
+    checker = SP.VocabularySpellchecker.from_index(built_index)
+    q = '"germany economy"'
+    assert SP.correct_query(q, checker) == q
+    with_sc = EX.execute(built_index, q, k=10, spellchecker=checker).collect()
+    without = EX.execute(built_index, q, k=10).collect()
+    assert [(r.doc_id, r.score) for r in with_sc] == \
+        [(r.doc_id, r.score) for r in without]

@@ -154,3 +154,78 @@ def test_streaming_sessionize_tolerates_late_within_watermark(spark, tmp_path):
     assert got[(2, 1)] == (datetime(2024, 1, 1, 10, 20),
                            datetime(2024, 1, 1, 10, 25), 2)
     assert len(got) == 2
+
+
+def test_streaming_sessionize_far_early_late_event_splits(spark, tmp_path):
+    """A late event more than gap BEFORE the open session must become its
+    own earlier session (not merge), and session numbering must follow
+    batch time order across seals — the full batch identity."""
+    from datetime import datetime
+
+    from search_engine_spark.operators import events as EV
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i + off, datetime(2024, 1, 1, h, m), u, "e", 1.0, "{}")
+             for i, (h, m, u) in enumerate(rows)], schema)
+
+    src = str(tmp_path / "early_src")
+    os.makedirs(src)
+    off = 0
+    mk([(12, 0, 1), (12, 5, 1)]).coalesce(1) \
+        .write.parquet(os.path.join(src, "c=0"))
+    off = 10
+    # late event at 11:00 — 60 min before the open session start, within
+    # the 2h watermark, but beyond the 30 min gap: separate session
+    mk([(11, 0, 1), (12, 10, 1)]).coalesce(1) \
+        .write.parquet(os.path.join(src, "c=1"))
+    off = 20
+    mk([(23, 59, 99)]).coalesce(1).write.parquet(os.path.join(src, "c=2"))
+
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src + "/c=*")
+    out = incremental.streaming_sessionize(stream, gap_minutes=30,
+                                           watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("early_sess")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r.user_id, r.session_id):
+           (r.session_start, r.session_end, r.n_events)
+           for r in spark.sql("select * from early_sess").collect()
+           if r.user_id != 99}
+    # batch identity: session 1 = [11:00], session 2 = [12:00-12:10]
+    assert got == {
+        (1, 1): (datetime(2024, 1, 1, 11, 0), datetime(2024, 1, 1, 11, 0), 1),
+        (1, 2): (datetime(2024, 1, 1, 12, 0), datetime(2024, 1, 1, 12, 10), 3),
+    }
+
+    # cross-check against batch sessionize on the same events
+    ev = spark.read.parquet(src + "/c=*").filter("user_id != 99")
+    want = {(r.user_id, r.session_id):
+            (r.session_start, r.session_end, r.n_events)
+            for r in EV.sessionize(ev, gap_minutes=30).collect()}
+    assert got == want
+
+
+def test_incremental_replay_is_idempotent(spark, corpus_sdf, tmp_path):
+    """Re-running an already-committed micro-batch (crash-between-write-
+    and-checkpoint) must not duplicate postings: the batch-keyed dynamic
+    overwrite replaces its own partitions."""
+    src = str(tmp_path / "replay_src")
+    corpus_sdf.select("doc_id", "text").coalesce(1).write.parquet(src)
+    index_dir = str(tmp_path / "replay_idx")
+    schema = spark.read.parquet(src).schema
+    incremental.incremental_index_build(spark, src, index_dir, schema)
+    stage = os.path.join(index_dir, "postings_stage")
+    before = spark.read.parquet(stage).count()
+    # simulate replay: wipe the checkpoint so the same files re-process
+    # under the same batch ids
+    import shutil
+    shutil.rmtree(os.path.join(index_dir, "_stream_checkpoint"))
+    incremental.incremental_index_build(spark, src, index_dir, schema)
+    after = spark.read.parquet(stage).count()
+    assert after == before  # replaced, not appended

@@ -17,8 +17,7 @@ from pyspark.sql import functions as F
 from ..plans import planner
 from . import phrase as PH
 from . import boolean as B
-from .search import (InvertedIndex, search_freetext, search_freetext_tokens,
-                     topk)
+from .search import InvertedIndex, search_freetext_tokens, topk
 
 
 def date_candidates(documents: DataFrame, start: date, end: date,
@@ -51,6 +50,7 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
     (retrieval_execution.py:77-79 applies it after classification; the
     rerun path passes None — views.py:99-138). OFF by default so
     rank-identity tests compare unrewritten queries."""
+    index.release_caches()  # previous query's phrase/adaptive caches
     plan = planner.classify(query, index.analyzer)
     if spellchecker is not None and isinstance(plan, planner.FreeTextPlan):
         from ..plans.spellcheck import correct_query
@@ -61,12 +61,16 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
     spark = index.postings.sparkSession
 
     cand = None
-    if date_start is not None and date_end is not None and index.documents is not None:
-        cols = index.documents.columns
-        if "warc_ts" in cols or "warc_date" in cols:
-            # date_candidates prefers the warc_date partition column
-            # (pruning) and falls back to the warc_ts pushdown filter
-            cand = date_candidates(index.documents, date_start, date_end)
+    if date_start is not None and date_end is not None:
+        cols = index.documents.columns if index.documents is not None else []
+        if "warc_ts" not in cols and "warc_date" not in cols:
+            raise ValueError(
+                "date filtering requested but the documents table has "
+                "neither warc_ts nor warc_date — silently ignoring the "
+                "range would return out-of-range results")
+        # date_candidates prefers the warc_date partition column
+        # (pruning) and falls back to the warc_ts pushdown filter
+        cand = date_candidates(index.documents, date_start, date_end)
 
     if isinstance(plan, planner.ProximityPlan):
         docs = PH.proximity_docs(index, plan.t1, plan.t2, plan.k)

@@ -61,13 +61,13 @@ def search_phrase(index: InvertedIndex, phrase_terms: list[str],
     reference bm25_model.py:316-324) → (doc_id, score) top-k."""
     # the cache must OUTLIVE this call: the returned lazy frame reads it
     # when the caller collects (unpersisting in a finally here would force
-    # a full recompute of the positional join). Bound memory by evicting
-    # the PREVIOUS phrase query's cache instead — one live cache per index.
+    # a full recompute of the positional join). Caches accumulate on the
+    # index handle — a query with several phrases keeps them ALL alive
+    # until the next executor.execute() releases them (release_caches).
     occ = phrase_occurrences(index, phrase_terms).cache()
-    prev = getattr(index, "_phrase_cache", None)
-    if prev is not None:
-        prev.unpersist()
-    index._phrase_cache = occ
+    if not hasattr(index, "_query_caches"):
+        index._query_caches = []
+    index._query_caches.append(occ)
     df_count = occ.count()
     if df_count == 0:
         return occ.sparkSession.createDataFrame([], "doc_id long, score double")

@@ -60,6 +60,15 @@ class InvertedIndex:
             cols.append("positions")
         return self.postings.filter(F.col("term").isin(terms)).select(*cols)
 
+    def release_caches(self) -> None:
+        """Unpersist the per-query caches (phrase occurrences, adaptive
+        candidate counts) registered since the last release. Called by
+        executor.execute at query start so a finished query's caches live
+        exactly until the next query begins."""
+        for df in getattr(self, "_query_caches", []):
+            df.unpersist()
+        self._query_caches = []
+
 
 def _scored_frame(index: InvertedIndex, terms: list[str], model: str,
                   q_tf: dict[str, int] | None = None) -> DataFrame:
@@ -104,13 +113,12 @@ def adaptive_candidates(index: InvertedIndex, terms: list[str]) -> DataFrame | N
         F.countDistinct(F.when(F.col("term").isin(h2), F.col("term"))).alias("m2"),
     )
     # cache outlives the call (the returned frame reads it at collect
-    # time); bound memory by evicting the previous query's cache — same
-    # one-live-cache policy as search_phrase
+    # time); registered on the index handle, released by the NEXT
+    # executor.execute() via release_caches
     counts = counts.cache()
-    prev = getattr(index, "_adaptive_cache", None)
-    if prev is not None:
-        prev.unpersist()
-    index._adaptive_cache = counts
+    if not hasattr(index, "_query_caches"):
+        index._query_caches = []
+    index._query_caches.append(counts)
     full = counts.filter(F.col("m") == len(terms))
     if full.limit(ADAPTIVE_MIN_CANDIDATES).count() >= ADAPTIVE_MIN_CANDIDATES:
         return full.select("doc_id")

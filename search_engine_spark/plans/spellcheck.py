@@ -49,6 +49,13 @@ class VocabularySpellchecker:
     def correct(self, word: str) -> str:
         if word in self.vocab:
             return word
+        # the index vocabulary holds STEMS: any surface form the analyzer
+        # maps into vocabulary is already "correct" — rewriting 'germany'
+        # to its stem 'germani' would be noise, not a correction
+        from ..functions.porter import stem
+
+        if stem(word) in self.vocab:
+            return word
         best, best_df = None, -1
         cand1 = _edits1(word)
         for c in cand1:
@@ -71,18 +78,24 @@ def correct_query(query: str, checker: VocabularySpellchecker,
     """Token-wise correction with the ticker guard: a term that is (or is
     contained in) a known symbol is never altered (reference
     helpers.py:243-252 semantics)."""
+    import re as _re
+
     out = []
     for tok in query.split(" "):
         low = tok.lower()
-        if (not tok or not tok.isalpha() or low in symbols
-                or any(low in s for s in symbols)):
-            # non-alpha tokens (quote-attached phrase words, numbers,
-            # operators) pass through untouched — "correcting" '"germany'
-            # by deleting the quote would silently destroy the phrase
-            # structure on re-classification
+        if not tok or low in symbols or any(low in s for s in symbols):
             out.append(tok)
+            continue
+        # correct only the alpha CORE and reattach surrounding
+        # punctuation: '"germani' → '"germany' keeps the quote (phrase
+        # structure survives re-classification) while 'merket,' still
+        # gets corrected; tokens with interior non-alpha pass through
+        m = _re.match(r'^(\W*)([A-Za-z]+)(\W*)$', tok)
+        if m:
+            pre, core, post = m.groups()
+            out.append(pre + checker.correct(core.lower()) + post)
         else:
-            out.append(checker.correct(low))
+            out.append(tok)
     return " ".join(out)
 
 

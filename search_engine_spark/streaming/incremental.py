@@ -6,12 +6,15 @@ new document files land continuously and the index must absorb them
 without a full rebuild:
 
 * ``incremental_index_build`` — readStream over a documents directory →
-  per-micro-batch postings/doc_stats appended to the index staging tables
-  (foreachBatch; exactly-once via the streaming checkpoint + append-only
-  parquet), one manifest lineage row per batch. Blocks/segments are
-  re-encoded lazily per bucket by the next ``build_durable_index`` resume
-  pass — the doc-partitioned block layout (block_id = doc_id // span)
-  means new high doc_ids only ADD blocks, never rewrite old ones.
+  per-micro-batch postings/doc_stats written into the streaming index's
+  staging tables (foreachBatch; exactly-once via the checkpoint PLUS
+  batch-id-keyed dynamic partition overwrite, so a replayed batch
+  replaces its own partitions instead of appending duplicates), one
+  manifest lineage row per batch. The staged postings serve queries
+  directly; segment re-encode consumes them batch-partition by
+  batch-partition — the doc-partitioned block layout
+  (block_id = doc_id // span) means new high doc_ids only ADD blocks,
+  never rewrite old ones.
 * ``watermarked_event_counts`` — event-time tumbling aggregation with a
   watermark for late data (the canonical readStream→window→writeStream
   shape, demonstrated on the events table).
@@ -41,11 +44,40 @@ def incremental_index_build(
     available_now: bool = True,
 ):
     """Start (and with available_now=True, run to completion) a streaming
-    ingest of parquet document files into the index staging tables."""
+    ingest of parquet document files into the index staging tables.
+
+    The streaming index dir is its OWN staging namespace: its tables are
+    partitioned by (batch, bucket) for replay idempotence, which is a
+    different directory depth than the durable build's bucket-only
+    layout — mixing the two in one dir would make every parquet read
+    fail with conflicting-directory-structure errors, so this refuses a
+    dir that a durable build already staged. One checkpoint owns a
+    streaming index dir for its lifetime: a fresh checkpoint restarts
+    batch ids at 0, and the idempotent batch-keyed overwrite would then
+    silently REPLACE the earlier ingest's partitions — refused too.
+    """
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
     stage_dir = os.path.join(index_dir, "postings_stage")
     ds_dir = os.path.join(index_dir, "doc_stats")
     os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
+    if os.path.exists(os.path.join(index_dir, "manifest", "postings_stage.json")):
+        raise ValueError(
+            f"{index_dir} holds a durable (bucket-partitioned) build; "
+            "streaming ingest uses a (batch, bucket) layout — ingest into "
+            "a separate index dir")
+    meta_path = os.path.join(index_dir, "manifest", "stream_meta.json")
+    ckpt_abs = os.path.abspath(checkpoint_dir)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            owner = json.load(f).get("checkpoint_dir")
+        if owner != ckpt_abs:
+            raise ValueError(
+                f"{index_dir} is owned by checkpoint {owner}; a different "
+                f"checkpoint ({ckpt_abs}) would restart batch ids at 0 and "
+                "overwrite the earlier ingest's partitions")
+    else:
+        with open(meta_path, "w") as f:
+            json.dump({"checkpoint_dir": ckpt_abs, "ts": time.time()}, f)
 
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 8)
@@ -101,7 +133,8 @@ def watermarked_event_counts(events_stream: DataFrame, minutes: int = 60,
 
 
 def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30,
-                         watermark: str = "10 minutes") -> DataFrame:
+                         watermark: str = "10 minutes",
+                         retain_counter: bool = True) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     gap-based sessionization IDENTICAL to the batch
     ``operators.events.sessionize`` for any event lateness the watermark
@@ -117,12 +150,14 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30,
     exactly the session the batch identity dictates. The per-user
     session counter lives in state (a sealed-empty buffer keeps it), so
     session_id numbering stays monotonic 1..n per user like the batch
-    running-sum. Buffer size is bounded by the watermark window.
+    running-sum. Buffer size is bounded by the watermark window; the
+    counter tombstone is one tiny row per user ever seen —
+    ``retain_counter=False`` removes fully-sealed state instead (bounded
+    by ACTIVE users; session_id restarts for returning users).
 
     Output: (user_id, session_id, session_start, session_end, n_events,
     total_value) — append mode.
     """
-    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
@@ -184,7 +219,12 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30,
             if lo == hi:
                 continue
             end_us = ts_us[hi - 1]
-            sealed = (end_us // 1000 + gap_s * 1000) <= wm_ms
+            # batch gap test floors BOTH sides to seconds (events.py:60),
+            # so an event up to the end of second floor(end)+gap still
+            # merges — seal only once the watermark clears that whole
+            # second (+1), or an admissible boundary event would arrive
+            # after its session was emitted
+            sealed = (end_us // 1_000_000 + gap_s + 1) * 1000 <= wm_ms
             if sealed:
                 sid += 1
                 out.append({
@@ -199,11 +239,22 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30,
                 break  # later sessions end even later — none sealed
 
         ts_us, eids, vals = ts_us[keep_from:], eids[keep_from:], vals[keep_from:]
+        if not ts_us and not retain_counter:
+            # unbounded-cardinality mode: drop the (sid) tombstone when
+            # everything is sealed — state stays bounded by ACTIVE users,
+            # at the cost of session_id restarting at 1 if the user
+            # returns (batch identity holds only per retention window)
+            if state.exists:
+                state.remove()
+            if out:
+                yield pd.DataFrame(out)
+            return
         state.update((sid, ts_us, eids, vals))
         if ts_us:
-            # wake when the watermark passes the last open session's close
+            # wake when the watermark clears the last open session's
+            # merge window (same +1s second-floor bound as the seal test)
             state.setTimeoutTimestamp(
-                max(ts_us[-1] // 1000 + gap_s * 1000, wm_ms + 1))
+                max((ts_us[-1] // 1_000_000 + gap_s + 1) * 1000, wm_ms + 1))
         if out:
             yield pd.DataFrame(out)
 

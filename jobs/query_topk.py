@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--date-start")
     ap.add_argument("--date-end")
     ap.add_argument("--documents")
+    ap.add_argument("--spellcheck", action="store_true",
+                    help="vocabulary spellcheck on free-text queries "
+                         "(first-execution path)")
     args = ap.parse_args()
 
     from search_engine_spark.operators import executor, wand
@@ -43,6 +46,14 @@ def main() -> None:
     docs = spark.read.parquet(args.documents) if args.documents else None
     idx = catalog.load_index(spark, args.index, documents=docs)
 
+    checker = None
+    if args.spellcheck:
+        # first-execution semantics (reference views.py:27-97); omit the
+        # flag for the rerun path that skips correction (views.py:99-138)
+        from search_engine_spark.plans.spellcheck import VocabularySpellchecker
+
+        checker = VocabularySpellchecker.from_index(idx)
+
     if args.wand:
         hits = wand.search_wand(idx, args.query, k=args.k)
     else:
@@ -50,6 +61,7 @@ def main() -> None:
             idx, args.query, k=args.k, model=args.model,
             date_start=date.fromisoformat(args.date_start) if args.date_start else None,
             date_end=date.fromisoformat(args.date_end) if args.date_end else None,
+            spellchecker=checker,
         )
         hits = [(r.doc_id, r.score) for r in df.collect()]
 

@@ -229,3 +229,64 @@ def test_incremental_replay_is_idempotent(spark, corpus_sdf, tmp_path):
     incremental.incremental_index_build(spark, src, index_dir, schema)
     after = spark.read.parquet(stage).count()
     assert after == before  # replaced, not appended
+
+
+def test_streaming_sessionize_randomized_identity(spark, tmp_path):
+    """Property check: random event times with random gaps, arriving in
+    random order across micro-batches (bounded lateness), must produce
+    EXACTLY the batch sessionize output — sessions, boundaries, counts,
+    ids."""
+    import numpy as np
+
+    from search_engine_spark.operators import events as EV
+
+    rng = np.random.default_rng(99)
+    base = 1_700_000_000  # fixed epoch seconds
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        t = base
+        for _ in range(30):
+            t += int(rng.integers(60, 3600))  # gaps 1 min .. 1 h
+            rows.append((eid, t, u, "e", float(rng.integers(1, 50)), "{}"))
+            eid += 1
+    # arrival order = global TIME order plus bounded jitter (a few
+    # positions early/late → lateness well under the 4 h watermark);
+    # users interleave on the shared timeline like a real event stream
+    rows.sort(key=lambda r: r[1])
+    order = np.argsort(np.arange(len(rows)) + rng.uniform(-3, 3, len(rows)))
+    shuffled = [rows[i] for i in order]
+
+    src = str(tmp_path / "rand_src")
+    os.makedirs(src)
+    chunk = 10
+    from pyspark.sql import functions as SF
+    schema = ("event_id long, epoch long, user_id long, "
+              "event_type string, value double, props string")
+    for c, lo in enumerate(range(0, len(shuffled), chunk)):
+        spark.createDataFrame(shuffled[lo:lo + chunk], schema) \
+            .withColumn("ts", SF.timestamp_seconds("epoch")).drop("epoch") \
+            .coalesce(1).write.parquet(os.path.join(src, f"c={c:03d}"))
+    sentinel = spark.createDataFrame(
+        [(999999, base + 10_000_000, 99, "s", 0.0, "{}")], schema) \
+        .withColumn("ts", SF.timestamp_seconds("epoch")).drop("epoch")
+    sentinel.coalesce(1).write.parquet(os.path.join(src, "c=zzz"))
+
+    ev_schema = spark.read.parquet(os.path.join(src, "c=000")).schema
+    stream = spark.readStream.schema(ev_schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src + "/c=*")
+    out = incremental.streaming_sessionize(stream, gap_minutes=30,
+                                           watermark="4 hours")
+    q = (out.writeStream.format("memory").queryName("rand_sess")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r.user_id, r.session_id):
+           (r.session_start, r.session_end, r.n_events, r.total_value)
+           for r in spark.sql("select * from rand_sess").collect()
+           if r.user_id != 99}
+    ev = spark.read.parquet(src + "/c=*").filter("user_id != 99")
+    want = {(r.user_id, r.session_id):
+            (r.session_start, r.session_end, r.n_events, r.total_value)
+            for r in EV.sessionize(ev, gap_minutes=30).collect()}
+    assert got == want and len(got) > 10

@@ -309,11 +309,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "term_stats": f"""
             WITH tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM ({_TOK}) GROUP BY 1, 2)
-            SELECT term, COUNT(*) AS df, SUM(tf) AS cf FROM tf GROUP BY term
+            SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+            FROM tf GROUP BY term
         """,
         "corpus_stats": f"""
             WITH dl AS (SELECT doc_id, COUNT(*) AS dl FROM ({_TOK}) GROUP BY 1)
-            SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens,
+            SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens,
                    ROUND(AVG(dl), 4) AS avgdl FROM dl
         """,
         "doc_lengths": f"""
@@ -462,7 +463,8 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING) AS session_id
                 FROM marked
             )
-            SELECT user_id, session_id, MIN(ts) AS session_start,
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   MIN(ts) AS session_start,
                    MAX(ts) AS session_end, COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS total_value
             FROM numbered GROUP BY user_id, session_id

@@ -36,6 +36,13 @@ def main() -> None:
                     help="vocabulary spellcheck on free-text queries "
                          "(first-execution path)")
     args = ap.parse_args()
+    if args.wand and (args.date_start or args.date_end):
+        # WAND scores over ALL blocks; silently post-filtering an
+        # unrestricted top-k would return fewer-than-k / wrong-rank
+        # results. The relational path (no --wand) filters BEFORE
+        # ranking via partition-pruned date candidates.
+        ap.error("--wand does not support --date-start/--date-end; "
+                 "drop --wand to use the date-filtered relational path")
 
     from search_engine_spark.operators import executor, wand
     from search_engine_spark.session import get_spark
@@ -55,7 +62,12 @@ def main() -> None:
         checker = VocabularySpellchecker.from_index(idx)
 
     if args.wand:
-        hits = wand.search_wand(idx, args.query, k=args.k)
+        query = args.query
+        if checker is not None:
+            from search_engine_spark.plans.spellcheck import correct_query
+
+            query = correct_query(query, checker)
+        hits = wand.search_wand(idx, query, k=args.k)
     else:
         df = executor.execute(
             idx, args.query, k=args.k, model=args.model,

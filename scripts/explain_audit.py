@@ -150,6 +150,24 @@ def main() -> int:
         ],
     )
 
+    # 6. mixed free-text + phrase query: the inner score frames must be
+    # UNRANKED — exactly ONE TakeOrderedAndProject, carrying the USER's k
+    # (a per-frame top-k with k=n_docs is a full global sort at scale)
+    p5 = plan_of(EX.execute(mem, '"market price" growth', k=7))
+    check(
+        "Mixed free-text+phrase: single final top-k", p5,
+        [
+            ("a TakeOrderedAndProject is present", r"TakeOrderedAndProject", True),
+            # tree form is "TakeOrderedAndProject (36)"; the details
+            # section repeats it as "(36) TakeOrderedAndProject" — count
+            # tree-form occurrences only
+            ("only ONE TakeOrderedAndProject in the plan",
+             r"TakeOrderedAndProject \(\d+\)[\s\S]*TakeOrderedAndProject \(\d+\)",
+             False),
+            ("top-k limit is the user's k", r"Arguments: 7,", True),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -98,16 +98,19 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
             .orderBy("doc_id").limit(B.BOOLEAN_RESULT_CUT)
         )
 
-    # free text (with optional embedded phrases)
+    # free text (with optional embedded phrases) — inner frames are
+    # UNRANKED (k=None): a per-frame top-k with k=n_docs would be a full
+    # global sort per frame at scale; instead the frames union-sum and a
+    # SINGLE TakeOrderedAndProject applies the user's k at the end.
     frames = []
     if plan.terms:
         scored = search_freetext_tokens(
-            index, plan.terms, k=index.stats["n_docs"],
+            index, plan.terms, k=None,
             model=model, adaptive=adaptive, candidates=cand,
         )
         frames.append(scored)
     for ph in plan.phrases:
-        ps = PH.search_phrase(index, ph, k=index.stats["n_docs"])
+        ps = PH.search_phrase(index, ph, k=None)
         if cand is not None:
             ps = ps.join(cand, "doc_id", "left_semi")
         frames.append(ps)
@@ -116,5 +119,6 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
     merged = frames[0]
     for f in frames[1:]:
         merged = merged.unionByName(f)
-    agg = merged.groupBy("doc_id").agg(F.sum("score").alias("score"))
-    return topk(agg, k)
+    if len(frames) > 1:
+        merged = merged.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    return topk(merged, k)

@@ -56,9 +56,10 @@ def phrase_occurrences(index: InvertedIndex, phrase_terms: list[str]) -> DataFra
 
 
 def search_phrase(index: InvertedIndex, phrase_terms: list[str],
-                  k: int = 100) -> DataFrame:
+                  k: int | None = 100) -> DataFrame:
     """Phrase-only BM25-style ranking (phrase df = number of matching docs,
-    reference bm25_model.py:316-324) → (doc_id, score) top-k."""
+    reference bm25_model.py:316-324) → (doc_id, score) top-k.
+    ``k=None`` returns the unranked score frame (for union-merge callers)."""
     # the cache must OUTLIVE this call: the returned lazy frame reads it
     # when the caller collects (unpersisting in a finally here would force
     # a full recompute of the positional join). Caches accumulate on the
@@ -83,7 +84,7 @@ def search_phrase(index: InvertedIndex, phrase_terms: list[str],
         .withColumn("score", scoring.bm25_weight(n, avgdl))
         .select("doc_id", "score")
     )
-    return topk(scored, k)
+    return scored if k is None else topk(scored, k)
 
 
 def proximity_docs(index: InvertedIndex, t1: str, t2: str, k: int) -> DataFrame:

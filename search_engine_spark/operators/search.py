@@ -141,7 +141,7 @@ def search_freetext(index: InvertedIndex, query: str, k: int = 100,
 
 
 def search_freetext_tokens(index: InvertedIndex, toks: list[str],
-                           k: int = 100, model: str = "bm25",
+                           k: int | None = 100, model: str = "bm25",
                            adaptive: bool = False,
                            candidates: DataFrame | None = None) -> DataFrame:
     """Token-level free-text scoring — callers that already hold ANALYZED
@@ -150,7 +150,11 @@ def search_freetext_tokens(index: InvertedIndex, toks: list[str],
     ('provision'→'provis'→'provi'), so re-analyzing analyzed terms sends
     them out of vocabulary. Terms are deduped with query tf folded into
     the weight (reference multiplies by query tf via its loop over
-    ``set(query)``)."""
+    ``set(query)``).
+
+    ``k=None`` returns the UNRANKED (doc_id, score) aggregate — for
+    callers that merge several score frames and apply one final top-k
+    (a ranked return here would be a full global sort holding every doc)."""
     if model == "vsm":
         return search_vsm_tokens(index, toks, k=k, candidates=candidates)
     if not toks:
@@ -163,7 +167,11 @@ def search_freetext_tokens(index: InvertedIndex, toks: list[str],
     if adaptive and candidates is None:
         candidates = adaptive_candidates(index, terms)
     if candidates is not None:
-        scored = scored.join(candidates.hint("broadcast"), "doc_id", "left_semi")
+        # no broadcast hint: candidate frames are only LOWER-bounded (the
+        # union tier or a wide date range can be millions of rows) and a
+        # forced broadcast would collect them all to the driver. AQE
+        # broadcasts at runtime when the frame is actually small.
+        scored = scored.join(candidates, "doc_id", "left_semi")
     agg = scored.groupBy("doc_id").agg(F.sum("weight").alias("score"))
     if model.startswith("lm-"):
         mu = 1303.0 if model == "lm-pyp" else 1089.0
@@ -173,7 +181,7 @@ def search_freetext_tokens(index: InvertedIndex, toks: list[str],
         agg = agg.join(prior, "doc_id").select(
             "doc_id", (F.col("score") + F.col("prior")).alias("score")
         )
-    return topk(agg, k)
+    return agg if k is None else topk(agg, k)
 
 
 def vsm_doc_norms(index: InvertedIndex) -> DataFrame:
@@ -231,7 +239,7 @@ def search_vsm_tokens(index: InvertedIndex, toks: list[str], k: int = 20,
     qnorm = math.sqrt(sum(v * v for v in w_q.values()))
     matched = index.lookup(terms).select("term", "doc_id", "tf")
     if candidates is not None:
-        matched = matched.join(candidates.hint("broadcast"), "doc_id", "left_semi")
+        matched = matched.join(candidates, "doc_id", "left_semi")  # AQE sizes the join
     tstats = F.broadcast(index.term_stats.filter(F.col("term").isin(terms)))
     wq_map = F.create_map(*[F.lit(x) for kv in w_q.items() for x in kv])
     dot = (

@@ -271,7 +271,16 @@ class SegmentIndex(InvertedIndex):
         block_max_tf, payload)])} for in-vocabulary terms, through the
         driver LRU. Misses cost ONE pruned segment scan + one term_stats
         filter; hits cost zero Spark jobs."""
-        missing = [t for t in terms if t not in self._mini]
+        # Touch cache HITS before any insertion/eviction: otherwise a full
+        # cache evicts the oldest entry — which may be one of THIS query's
+        # terms — between the insert loop and the read loop below
+        # (KeyError on the serving path).
+        missing = []
+        for t in terms:
+            if t in self._mini:
+                self._mini.move_to_end(t)
+            else:
+                missing.append(t)
         if missing:
             dfs = {
                 r.term: r.df
@@ -292,7 +301,11 @@ class SegmentIndex(InvertedIndex):
             for t in missing:  # negative-cache OOV terms too
                 if t not in self._mini:
                     self._mini[t] = (0, [])
+            term_set = set(terms)
             while len(self._mini) > self._mini_cap:
+                oldest = next(iter(self._mini))
+                if oldest in term_set:
+                    break  # query wider than the cache: keep its terms
                 self._mini.popitem(last=False)
         out = {}
         for t in terms:

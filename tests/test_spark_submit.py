@@ -15,6 +15,22 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
 
 
+def test_wand_rejects_date_flags():
+    """--wand + date range must error up front (the kernel ranks over ALL
+    blocks; a silent post-filter would return wrong-rank results). The
+    check fires before any Spark startup, so plain python suffices."""
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "jobs", "query_topk.py"),
+         "--index", "/nonexistent", "--query", "x", "--wand",
+         "--date-start", "2022-01-01", "--date-end", "2022-01-31"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert p.returncode != 0
+    assert "--wand does not support" in p.stderr
+
+
 @pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
                     reason="spark-submit not installed")
 def test_jobs_ship_via_py_files(tmp_path):

@@ -87,6 +87,26 @@ def test_mini_index_lru_eviction(seg_index):
         seg_index._mini_cap = 4096
 
 
+def test_mini_index_full_cache_mixed_hit_miss(seg_index):
+    """Regression: with a FULL cache, a query mixing the oldest cached
+    term with a new term must not evict the hit before reading it
+    (KeyError on the serving path)."""
+    seg_index._mini.clear()
+    seg_index._mini_cap = 2
+    try:
+        wand.search_wand(seg_index, "market", k=5)
+        wand.search_wand(seg_index, "price", k=5)  # cache full; market oldest
+        hits = wand.search_wand(seg_index, "market growth", k=5)
+        assert hits  # no KeyError, real results
+        assert "market" in seg_index._mini and "growth" in seg_index._mini
+        # query wider than the cache: all its terms still served
+        wide = wand.search_wand(seg_index, "market price growth bank", k=5)
+        assert wide
+    finally:
+        seg_index._mini_cap = 4096
+        seg_index._mini.clear()
+
+
 def test_impact_ordered_cap_exact_when_loose(seg_index):
     q = "market price"
     exact = wand.search_wand(seg_index, q, k=20)

@@ -251,10 +251,10 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textquality.language_id(_docs(spark, sf_dir))
 
 
-# rows-only entries (hash-based ops whose exact values SQL cannot
-# reproduce; the driver records a weaker rows-only check by design)
-
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (collapsed representation). The md5-based
+    hash construction is reproduced bit-for-bit by the DuckDB oracle, so
+    this path is fully value-hash gated (no rows-only weakening)."""
     from search_engine_spark.operators import dedup
 
     h = dedup.simhash64(_docs(spark, sf_dir))
@@ -262,9 +262,16 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH dedup survivors vs the EXACT shingle-Jaccard oracle.
+
+    rows_per_band=2 (32 bands) makes candidate recall effectively
+    exhaustive — P[missing a J>=0.7 pair] <= (1-0.7^2)^32 ≈ 1.3e-10 — and
+    the verify stage is already exact, so the survivor set equals the
+    exact-Jaccard survivor set DuckDB computes by brute force."""
     from search_engine_spark.operators import dedup
 
-    return dedup.minhash_dedup(_docs(spark, sf_dir), threshold=0.7)
+    return dedup.minhash_dedup(_docs(spark, sf_dir), threshold=0.7,
+                               rows_per_band=2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -491,6 +498,70 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_score": _quality_score_sql(),
         "language_id": _language_id_sql(),
+        "simhash_near_dups": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            h AS (SELECT doc_id, len(l) AS n,
+                    list_transform(l, x ->
+                        CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hhi,
+                    list_transform(l, x ->
+                        CAST(('0x' || substr(md5(x), 9, 8)) AS BIGINT)) AS hlo
+                  FROM t),
+            tok AS (SELECT doc_id, n, unnest(hhi) AS hi, unnest(hlo) AS lo FROM h),
+            bits AS (SELECT unnest(generate_series(0, 31)) AS b),
+            agg AS (SELECT doc_id, b, MAX(n) AS n,
+                      SUM((hi >> b) & 1) AS chi, SUM((lo >> b) & 1) AS clo
+                    FROM tok CROSS JOIN bits GROUP BY doc_id, b),
+            halves AS (SELECT doc_id,
+                      CAST(SUM(CASE WHEN chi * 2 > n
+                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                           AS BIGINT) AS shhi,
+                      CAST(SUM(CASE WHEN clo * 2 > n
+                               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                           AS BIGINT) AS shlo
+                    FROM agg GROUP BY doc_id),
+            -- two's-complement recombination of the 32-bit halves
+            -- (matches Spark's shiftleft(shhi, 32) | shlo on LongType)
+            sim AS (SELECT doc_id,
+                       CASE WHEN shhi >= 2147483648
+                            THEN (shhi - 4294967296) * 4294967296 + shlo
+                            ELSE shhi * 4294967296 + shlo END AS simhash
+                    FROM halves),
+            grp AS (SELECT simhash, MIN(doc_id) AS rep FROM sim GROUP BY simhash),
+            stars AS (SELECT g.rep AS doc_a, s.doc_id AS doc_b,
+                             CAST(0 AS BIGINT) AS hamming
+                      FROM sim s JOIN grp g USING (simhash)
+                      WHERE s.doc_id <> g.rep),
+            reps AS (SELECT rep AS doc_id, simhash FROM grp),
+            crossp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              CAST(bit_count(xor(a.simhash, b.simhash))
+                                   AS BIGINT) AS hamming
+                       FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+                       WHERE bit_count(xor(a.simhash, b.simhash)) <= 8)
+            SELECT * FROM stars UNION ALL SELECT * FROM crossp
+        """,
+        "minhash_survivors": """
+            WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l
+                       FROM documents),
+            f AS (SELECT doc_id, text, l,
+                         (text IS NULL OR text = '' OR len(l) < 3) AS degen
+                  FROM t),
+            degen_surv AS (SELECT MIN(doc_id) AS doc_id FROM f
+                           WHERE degen GROUP BY text),
+            g AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                        generate_series(1, greatest(len(l) - 2, 1)),
+                        i -> array_to_string(list_slice(l, i, i + 2), ' ')))
+                        AS grams
+                  FROM f WHERE NOT degen),
+            dropped AS (SELECT DISTINCT b.doc_id
+                        FROM g a JOIN g b ON a.doc_id < b.doc_id
+                        WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+                              / len(list_distinct(list_concat(a.grams, b.grams)))
+                              >= 0.7)
+            SELECT doc_id FROM f WHERE NOT degen
+                AND doc_id NOT IN (SELECT doc_id FROM dropped)
+            UNION ALL SELECT doc_id FROM degen_surv
+        """,
         "near_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(

@@ -64,9 +64,14 @@ def _hash_shingles(tokens: list[str], k: int) -> np.ndarray:
 
 def make_minhash_udf(num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
     """pandas UDF: text → array<long> MinHash signature (vectorized over
-    the permutation axis)."""
+    the permutation axis).
+
+    The universal hash is (a·x + b) mod p with p = 2^61−1, a < 2^30 and
+    x truncated to 32 bits — so a·x + b < 2^63 and the modular arithmetic
+    is EXACT in uint64 (no silent wrap-around mod 2^64, which would
+    degrade MinHash uniformity)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(1, 1 << 30, size=num_perm, dtype=np.int64).astype(np.uint64)
     b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -74,9 +79,9 @@ def make_minhash_udf(num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
         def sig(t):
             if not t:
                 return [0] * num_perm
-            sh = _hash_shingles(t.split(), shingle_k)
+            sh = _hash_shingles(t.split(), shingle_k) & np.uint64(0xFFFFFFFF)
             # (a*x+b) mod p for all perms × shingles; min over shingles
-            vals = (a[:, None] * (sh[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
+            vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
             return vals.min(axis=1).astype(np.int64).tolist()
 
         return text.map(sig)
@@ -153,51 +158,121 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
 
 def minhash_dedup(docs: DataFrame, text_col: str = "text",
                   threshold: float = 0.8, num_perm: int = 64,
-                  shingle_k: int = 3) -> DataFrame:
+                  shingle_k: int = 3, rows_per_band: int = 4) -> DataFrame:
     """Full pipeline → surviving docs (doc_id). A doc is dropped when it
     verifies >= threshold against a doc with a smaller id (min-id survivor
-    rule, same as exact_dedup)."""
-    sigs = minhash_signatures(docs, text_col, num_perm, shingle_k)
-    rows_per_band = 4
+    rule, same as exact_dedup).
+
+    Degenerate docs (empty/NULL text, or fewer tokens than one shingle)
+    are routed through EXACT text dedup and excluded from the LSH join:
+    they all share near-constant signatures, so on a web crawl (millions
+    of empty pages) they would pile into one hot band bucket and make the
+    candidate self-join O(m²). For a sub-shingle text the verify step
+    reduces to exact text equality anyway, so the split changes no
+    survivor decisions — it only removes the quadratic corner.
+
+    ``rows_per_band`` trades candidate recall against bucket selectivity:
+    4 (default) for production scale; 2 gives P[miss] = (1−J²)^bands
+    ≤ 1.3e-10 at J = threshold = 0.7 — effectively exhaustive, used by the
+    driver-contract oracle comparison against exact Jaccard survivors."""
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    is_degen = (F.col(text_col).isNull() | (F.col(text_col) == "")
+                | (n_tok < shingle_k))
+    degen = docs.filter(is_degen)
+    normal = docs.filter(~is_degen)
+    degen_survivors = exact_dedup(degen, text_col).select("doc_id")
+
+    sigs = minhash_signatures(normal, text_col, num_perm, shingle_k)
     if num_perm % rows_per_band:
-        raise ValueError(f"num_perm({num_perm}) must be a multiple of 4")
+        raise ValueError(
+            f"num_perm({num_perm}) must be a multiple of rows_per_band"
+            f"({rows_per_band})")
     cands = minhash_lsh_pairs(sigs, bands=num_perm // rows_per_band,
                               rows_per_band=rows_per_band, num_perm=num_perm)
-    dups = jaccard_verify(cands, docs, text_col, threshold, shingle_k) \
+    dups = jaccard_verify(cands, normal, text_col, threshold, shingle_k) \
         .select(F.col("doc_b").alias("doc_id")).distinct()
-    return docs.select("doc_id").join(dups, "doc_id", "left_anti")
+    normal_survivors = normal.select("doc_id").join(dups, "doc_id", "left_anti")
+    return normal_survivors.unionByName(degen_survivors)
 
 
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """→ (doc_id, simhash:long): sign-sum of per-token 64-bit hashes."""
+    """→ (doc_id, simhash:long): per-bit majority over per-token hashes.
 
-    @F.pandas_udf(LongType())
-    def sh(text: pd.Series) -> pd.Series:
-        bits = np.arange(64, dtype=np.uint64)
+    Entirely JVM-side (no Python in the hot path): each token hashes to
+    64 bits via md5 (two 32-bit halves parsed with ``conv``), per-bit
+    counts come from one ``aggregate``/``zip_with`` pass over the token
+    array, and the two 32-bit majority halves recombine with a signed
+    shiftleft — the FULL 64-bit hash survives in a LongType via
+    two's-complement reinterpretation (no bit-63 masking).
 
-        def one(t):
-            toks = t.split() if t else []
-            if not toks:
-                return 0
-            hs = np.fromiter((_fnv1a(tok.encode()) for tok in toks),
-                             dtype=np.uint64, count=len(toks))
-            bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
-            v = np.where(bitmat.sum(axis=0) * 2 > len(toks), 1, 0).astype(np.uint64)
-            return int((v << bits).sum() & np.uint64(0x7FFFFFFFFFFFFFFF))
-
-        return text.map(one)
-
-    return docs.select("doc_id", sh(F.col(text_col)).alias("simhash"))
+    md5 is used (not FNV) so the whole construction is reproducible in
+    ANSI SQL — the driver-contract oracle recomputes these exact hashes
+    in DuckDB."""
+    half_hash = (
+        "transform(t, x -> cast(conv(substr(md5(x), {off}, 8), 16, 10)"
+        " as bigint))"
+    )
+    bit_counts = (
+        "aggregate({col}, array_repeat(cast(0 as bigint), 32),"
+        " (acc, h) -> zip_with(acc,"
+        "   transform(sequence(0, 31), b -> shiftright(h, b) & 1),"
+        "   (x, y) -> x + y))"
+    )
+    majority = (
+        "aggregate(sequence(0, 31), cast(0 as bigint),"
+        " (acc, b) -> acc | if(element_at({col}, b + 1) * 2 > n,"
+        "   shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
+    )
+    d = (
+        docs.select("doc_id",
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+                    .alias("t"))
+        .withColumn("n", F.size("t"))
+        .withColumn("hhi", F.expr(half_hash.format(off=1)))
+        .withColumn("hlo", F.expr(half_hash.format(off=9)))
+        .withColumn("chi", F.expr(bit_counts.format(col="hhi")))
+        .withColumn("clo", F.expr(bit_counts.format(col="hlo")))
+        .withColumn("shhi", F.expr(majority.format(col="chi")))
+        .withColumn("shlo", F.expr(majority.format(col="clo")))
+    )
+    return d.select(
+        "doc_id",
+        F.shiftleft("shhi", 32).bitwiseOR(F.col("shlo")).alias("simhash"),
+    )
 
 
 def simhash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """near-dup pairs via band blocking + exact popcount verify.
+    """near-dup pairs via identical-hash collapse + band blocking + exact
+    popcount verify → (doc_a, doc_b, hamming) with doc_a < doc_b.
 
-    Band count = max_hamming + 1 (Manku et al.'s construction): any pair
+    Identical-hash groups are hamming-0 cliques; emitting the clique is
+    O(m²) in group size (a web crawl's millions of empty/boilerplate
+    pages share ONE hash — the degenerate hot bucket). Instead each group
+    collapses to its min-id representative:
+
+    * (rep, member, 0) star pairs — linear in group size;
+    * rep-vs-rep pairs within ``max_hamming`` from the band join over
+      DISTINCT hash values only.
+
+    Connectivity is preserved exactly: for any a∈A, b∈B with
+    hamming(a,b) ≤ t, hamming(rep_A, rep_B) = hamming(a,b), so the
+    emitted edge set has the same transitive closure as the full pair
+    set — min-survivor dedup decisions are identical, output is linear.
+
+    Band count = max_hamming + 1 (Manku et al.'s construction): a pair
     within ``max_hamming`` differs in at most max_hamming bands, so by
     pigeonhole at least one band matches exactly — candidate recall is
     GUARANTEED, not heuristic, for any max_hamming <= 15 on a 64-bit
     hash. Candidates then verify with the true hamming distance."""
+    groups = hashes.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+    stars = (
+        hashes.join(groups, "simhash")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.lit(0).cast("long").alias("hamming"))
+    )
+
     n_bands = min(max_hamming + 1, 16)
     base, extra = divmod(64, n_bands)
     bands, shift = [], 0
@@ -208,7 +283,8 @@ def simhash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
             .bitwiseAND(F.lit((1 << width) - 1))
         )
         shift += width
-    banded = hashes.select(
+    reps = groups.select(F.col("rep").alias("doc_id"), "simhash")
+    banded = reps.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*bands)).alias("band", "band_val"),
     )
@@ -220,9 +296,14 @@ def simhash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
                 F.col("b.doc_id").alias("doc_b"), F.col("b.simhash").alias("sh_b"))
         .distinct()
     )
-    return cands.withColumn(
-        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+    rep_pairs = (
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return stars.unionByName(rep_pairs)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, block_col: str = "source",

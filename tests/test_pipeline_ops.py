@@ -69,9 +69,38 @@ def test_minhash_agrees_with_exact_jaccard(spark, docs):
 def test_simhash_near_dups(docs):
     hashes = dedup.simhash64(docs)
     pairs = dedup.simhash_pairs(hashes, max_hamming=3).collect()
-    found = {(p.doc_a, p.doc_b) for p in pairs}
-    exact_pairs = {(d, d + 100000) for d in range(10)}
-    assert exact_pairs <= found  # identical text → hamming 0
+    # collapsed representation: every planted clone links to a smaller-id
+    # doc at hamming 0 (its group's min-id representative — the original,
+    # unless an organic exact dup with a yet-smaller id exists)
+    zero_links = {p.doc_b: p.doc_a for p in pairs if p.hamming == 0}
+    for d in range(10):
+        assert zero_links.get(d + 100000) is not None
+        assert zero_links[d + 100000] <= d
+
+
+def test_simhash_empty_docs_linear_not_quadratic(spark):
+    """1k empty docs share ONE simhash: the collapsed pair representation
+    must emit m-1 star pairs (linear), not the m(m-1)/2 clique — the
+    degenerate hot-bucket hazard at web scale."""
+    n = 1000
+    empties = spark.createDataFrame([(i, "") for i in range(1, n + 1)],
+                                    "doc_id long, text string")
+    pairs = dedup.simhash_pairs(dedup.simhash64(empties), max_hamming=8)
+    rows = pairs.collect()
+    assert len(rows) == n - 1  # star, not clique (499500 pairs)
+    assert all(r.doc_a == 1 and r.hamming == 0 for r in rows)
+
+
+def test_minhash_empty_docs_routed_to_exact_dedup(spark):
+    """Degenerate (empty/short) texts bypass the LSH band join entirely:
+    minhash_dedup keeps one survivor per distinct degenerate text and
+    completes without a quadratic candidate explosion."""
+    n = 1000
+    rows = [(i, "") for i in range(1, n + 1)] + \
+           [(n + 1, "ab"), (n + 2, "ab"), (n + 3, "cd ef")]
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    surviving = {r.doc_id for r in dedup.minhash_dedup(docs_df).collect()}
+    assert surviving == {1, n + 1, n + 3}
 
 
 def test_ngram_jaccard_exact(spark, docs):

@@ -251,6 +251,34 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textquality.language_id(_docs(spark, sf_dir))
 
 
+def q_wand_bm25_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end durable-index serving path: build the segment store on
+    disk, run the Block-Max WAND kernel over the encoded blocks (varint
+    decode + block-max pruning + bounded heap), and gate the result
+    against the SAME BM25 SQL oracle as the relational path — the north
+    rule's 'top-k rank-identity on the reference query set' check, here
+    from the on-disk index rather than the in-memory one.
+
+    k is exhaustive so final selection happens on ROUNDED scores in the
+    DataFrame (Spark's HALF_UP round == DuckDB's; Python's round() is
+    banker's and would diverge)."""
+    import tempfile
+
+    from search_engine_spark.operators import wand as W
+    from search_engine_spark.sources import catalog
+
+    docs = _docs(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="wand_contract_") + "/idx"
+    catalog.build_durable_index(spark, docs, d, conf=SIMPLE, shards=2,
+                                buckets=16, block_span=64, positional=False)
+    idx = catalog.load_index(spark, d)
+    hits = W.search_wand(idx, " ".join(_BM25_QUERY_TERMS), k=1 << 30)
+    raw = spark.createDataFrame(
+        [(int(doc), float(s)) for doc, s in hits], "doc_id long, raw double")
+    return (raw.select("doc_id", F.round("raw", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (collapsed representation). The md5-based
     hash construction is reproduced bit-for-bit by the DuckDB oracle, so
@@ -300,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "minhash_survivors": q_minhash_survivors,
         "language_id": q_language_id,
+        "wand_bm25_identity": q_wand_bm25_identity,
     }
 
 
@@ -309,6 +338,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     bm25_terms = ", ".join(f"('{t}')" for t in _BM25_QUERY_TERMS)
+    sql = _oracle_sql_dict(bm25_terms)
+    # the WAND serving path must reproduce EXACTLY the relational BM25
+    # oracle — same query terms, same formula, same rounding/tie-break
+    sql["wand_bm25_identity"] = sql["bm25_topk"]
+    return sql
+
+
+def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
     return {
         "term_doc_tf": f"""
             SELECT term, doc_id, CAST(COUNT(*) AS INT) AS tf

@@ -42,7 +42,14 @@ def search(index: InvertedIndex, query: str, k: int = 100,
     """Unified query entry (SURVEY §2.7): classifies the query
     (free-text / phrase / boolean / proximity, plus optional date range
     and spellcheck kwargs) and dispatches through operators.executor —
-    the facade mirroring the reference's RetrievalExecution."""
+    the facade mirroring the reference's RetrievalExecution.
+
+    Cache lifecycle: a query's phrase/adaptive-candidate caches live on
+    the index handle until the NEXT search() (or executor.execute())
+    call releases them. Callers driving search_phrase /
+    search_freetext_tokens(adaptive=True) DIRECTLY on a long-lived index
+    should call ``index.release_caches()`` between queries themselves —
+    see InvertedIndex.release_caches."""
     from .operators import executor
 
     return executor.execute(index, query, k=k, model=model, **kwargs)

@@ -67,6 +67,58 @@ def fake_image_decoder(payload: bytes, kind: str) -> np.ndarray:
 fake_audio_decoder = fake_image_decoder
 
 
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """Minimal 24-bit uncompressed BMP encoder (pure numpy/stdlib — the
+    one raster format expressible without external image libraries).
+    Accepts (h, w) grayscale or (h, w, 3) RGB uint8 arrays."""
+    import struct
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    h, w, _ = a.shape
+    bgr = a[:, :, ::-1]                      # BMP stores BGR
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    rows = []
+    for y in range(h - 1, -1, -1):           # bottom-up
+        rows.append(bgr[y].tobytes() + b"\x00" * pad)
+    pixels = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels),
+                       2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    return header + info + pixels
+
+
+def bmp_decode(payload: bytes, kind: str = "image") -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP → (h, w, 3) RGB uint8 array.
+    The REAL (non-stub) decoder path for `resize_images`: on clusters
+    without Pillow, BMP round-trips stay fully testable."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP supported (got bpp={bpp}, "
+            f"compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        row = np.frombuffer(payload, dtype=np.uint8,
+                            count=row_bytes, offset=offset + i * stride)
+        y = h - 1 - i if bottom_up else i
+        out[y] = row.reshape(w, 3)[:, ::-1]  # BGR → RGB
+    return out
+
+
 def extract_features(media: DataFrame,
                      decoder: Callable = unimplemented_decoder) -> DataFrame:
     """media table → (media_id, kind, n_bytes, feature[8]) via mapInPandas

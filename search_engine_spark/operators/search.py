@@ -64,7 +64,15 @@ class InvertedIndex:
         """Unpersist the per-query caches (phrase occurrences, adaptive
         candidate counts) registered since the last release. Called by
         executor.execute at query start so a finished query's caches live
-        exactly until the next query begins."""
+        exactly until the next query begins.
+
+        PUBLIC API NOTE: callers using search_phrase or
+        search_freetext_tokens(adaptive=True) directly (not through
+        engine.search/executor.execute) must call this between queries on
+        a long-lived index handle, or persisted frames accumulate. It is
+        deliberately NOT called inside those functions: a mixed query
+        holds several phrase caches at once, and an eager release there
+        would unpersist frames the current merged plan still reads."""
         for df in getattr(self, "_query_caches", []):
             df.unpersist()
         self._query_caches = []

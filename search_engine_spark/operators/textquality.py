@@ -73,17 +73,31 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit rolling polynomial fingerprint of the token stream
-    (deterministic; content-defined — reordering tokens changes it)."""
+    """63-bit rolling polynomial fingerprint of the token stream
+    (deterministic; content-defined — reordering tokens changes it).
+
+    h = (Σ hash(tok_i) · P^(n−1−i)) mod 2^64, masked to 63 bits at the
+    end — a Horner evaluation whose power weights are a numpy cumprod
+    (uint64 wrap IS the mod), so the per-doc combine is fully vectorized;
+    only the per-token FNV hashing remains Python (as in the MinHash
+    shingler)."""
     from .dedup import _fnv1a
+
+    P = np.uint64(1099511628211)
 
     @F.pandas_udf(LongType())
     def fp(text: pd.Series) -> pd.Series:
         def one(t):
-            h = 0
-            for tok in (t.split() if t else []):
-                h = (h * 1099511628211 + _fnv1a(tok.encode())) & 0x7FFFFFFFFFFFFFFF
-            return h
+            toks = t.split() if t else []
+            if not toks:
+                return 0
+            hs = np.fromiter((_fnv1a(tok.encode()) for tok in toks),
+                             dtype=np.uint64, count=len(toks))
+            powers = np.ones(len(toks), dtype=np.uint64)
+            if len(toks) > 1:
+                powers[1:] = P
+                powers = np.cumprod(powers[::-1])[::-1]  # P^(n-1-i) mod 2^64
+            return int((hs * powers).sum() & np.uint64(0x7FFFFFFFFFFFFFFF))
 
         return text.map(one)
 

@@ -19,24 +19,71 @@ The reference uses pyspellchecker plus an NYSE symbol table
 from __future__ import annotations
 
 
-def _edits1(word: str, alphabet: str = "abcdefghijklmnopqrstuvwxyz") -> set[str]:
-    splits = [(word[:i], word[i:]) for i in range(len(word) + 1)]
-    deletes = {L + R[1:] for L, R in splits if R}
-    transposes = {L + R[1] + R[0] + R[2:] for L, R in splits if len(R) > 1}
-    replaces = {L + c + R[1:] for L, R in splits if R for c in alphabet}
-    inserts = {L + c + R for L, R in splits for c in alphabet}
-    return deletes | transposes | replaces | inserts
+def _deletes_upto(word: str, k: int) -> set[str]:
+    """All strings reachable from ``word`` by up to ``k`` single-character
+    deletions (including ``word`` itself)."""
+    frontier = {word}
+    seen = {word}
+    for _ in range(k):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                d = w[:i] + w[i + 1:]
+                if d not in seen:
+                    seen.add(d)
+                    nxt.add(d)
+        frontier = nxt
+        if not frontier:
+            break
+    return seen
+
+
+def _osa_distance(a: str, b: str, cap: int) -> int:
+    """Optimal-string-alignment distance (Levenshtein plus adjacent
+    transposition — the edit model of the old edits1/edits2 enumeration),
+    early-exiting with cap+1 once the row minimum exceeds ``cap``."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        if min(cur) > cap:
+            return cap + 1
+        prev2, prev = prev, cur
+    return prev[lb]
 
 
 class VocabularySpellchecker:
     """Edit-distance corrector over the index vocabulary.
 
-    ``vocab`` maps term → df; the most-frequent candidate wins
-    (ties: lexicographic — deterministic)."""
+    SymSpell-style delete-only index: at construction every vocab word is
+    indexed under all of its ≤max_distance-deletion forms; at query time
+    only the WORD's deletion forms are generated (≈40 lookups for an
+    8-char word) instead of the ~500k insert/replace candidates the
+    classic edits2 enumeration produces. Two words within OSA distance d
+    always share a deletion form at depth ≤ d, so recall is exact;
+    candidates then rank by true OSA distance (closer wins — distance-1
+    beats distance-2), then df (more frequent wins), then lexicographic —
+    identical semantics to the old enumeration, ~50× less per-word work.
+    Lookup cost is independent of vocabulary size.
+
+    ``vocab`` maps term → df."""
 
     def __init__(self, vocab: dict[str, int], max_distance: int = 2):
         self.vocab = vocab
         self.max_distance = max_distance
+        self._deletes: dict[str, list[str]] = {}
+        for w in vocab:
+            for d in _deletes_upto(w, max_distance):
+                self._deletes.setdefault(d, []).append(w)
 
     @classmethod
     def from_index(cls, index, max_terms: int = 500_000) -> "VocabularySpellchecker":
@@ -56,21 +103,18 @@ class VocabularySpellchecker:
 
         if stem(word) in self.vocab:
             return word
-        best, best_df = None, -1
-        cand1 = _edits1(word)
-        for c in cand1:
-            df = self.vocab.get(c, -1)
-            if df > best_df or (df == best_df and best and c < best):
-                if df >= 0:
-                    best, best_df = c, df
-        if best is None and self.max_distance >= 2:
-            for c1 in cand1:
-                for c in _edits1(c1):
-                    df = self.vocab.get(c, -1)
-                    if df > best_df or (df == best_df and best and c < best):
-                        if df >= 0:
-                            best, best_df = c, df
-        return best if best is not None else word
+        cands: set[str] = set()
+        for d in _deletes_upto(word, self.max_distance):
+            cands.update(self._deletes.get(d, ()))
+        best: tuple[int, int, str] | None = None
+        for c in cands:
+            dist = _osa_distance(word, c, self.max_distance)
+            if dist > self.max_distance:
+                continue
+            key = (dist, -self.vocab[c], c)
+            if best is None or key < best:
+                best = key
+        return best[2] if best is not None else word
 
 
 def correct_query(query: str, checker: VocabularySpellchecker,

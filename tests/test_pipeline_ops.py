@@ -298,6 +298,44 @@ def test_multimodal_resize(spark):
         assert len(bytes(r.payload)) == 16 * 16  # uint8 raster re-encode
 
 
+def test_bmp_codec_roundtrip():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)  # odd dims → row padding
+    assert np.array_equal(multimodal.bmp_decode(multimodal.bmp_encode(img)), img)
+    gray = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.bmp_decode(multimodal.bmp_encode(gray)),
+        np.repeat(gray[:, :, None], 3, axis=2))
+
+
+def test_multimodal_resize_real_bmp_raster(spark):
+    """End-to-end resize over an ACTUAL encoded raster (pure-numpy BMP
+    codec, no external image libs): decode → nearest-neighbor resample →
+    re-encode, through the Spark mapInPandas path."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    imgs = {i: rng.integers(0, 256, size=(24, 36, 3), dtype=np.uint8)
+            for i in range(4)}
+    pdf = pd.DataFrame([{
+        "media_id": i, "kind": "image", "mime": "image/bmp",
+        "payload": multimodal.bmp_encode(imgs[i]),
+        "width": 36, "height": 24, "duration_ms": 0,
+    } for i in imgs])
+    media = spark.createDataFrame(pdf, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(media, 12, 8,
+                                   decoder=multimodal.bmp_decode,
+                                   encoder=multimodal.bmp_encode).collect()
+    assert len(out) == 4
+    for r in out:
+        src = imgs[r.media_id]
+        got = multimodal.bmp_decode(bytes(r.payload))
+        ys = np.arange(8) * 24 // 8
+        xs = np.arange(12) * 36 // 12
+        assert np.array_equal(got, src[np.ix_(ys, xs)])
+        assert (r.width, r.height) == (12, 8)
+
+
 def test_multimodal_resize_stub_surface(spark):
     import pytest as _pt
 

@@ -41,6 +41,38 @@ def test_abbreviation_expansion():
     assert SP.expand_abbreviations("plain query", {}) == "plain query"
 
 
+def test_osa_distance():
+    assert SP._osa_distance("trade", "trade", 2) == 0
+    assert SP._osa_distance("marke", "market", 2) == 1   # insert
+    assert SP._osa_distance("mrkt", "market", 2) == 2    # two inserts
+    assert SP._osa_distance("amrket", "market", 2) == 1  # transposition
+    assert SP._osa_distance("zzzzzz", "market", 2) == 3  # capped at cap+1
+
+
+def test_symspell_latency_large_vocab():
+    """Delete-only index: per-word correction stays under 10 ms against a
+    100k-word vocabulary (lookup cost is independent of vocab size — the
+    classic edits2 enumeration is ~500k candidates per word)."""
+    import random
+    import string
+    import time
+
+    rng = random.Random(42)
+    vocab = {
+        "".join(rng.choices(string.ascii_lowercase, k=rng.randint(5, 9))):
+            rng.randint(1, 1000)
+        for _ in range(100_000)
+    }
+    checker = SP.VocabularySpellchecker(vocab)
+    words = ["".join(rng.choices(string.ascii_lowercase, k=7))
+             for _ in range(50)]
+    t0 = time.perf_counter()
+    for w in words:
+        checker.correct(w)
+    per_word = (time.perf_counter() - t0) / len(words)
+    assert per_word < 0.01, f"{per_word * 1e3:.2f} ms/word"
+
+
 def test_from_index(built_index):
     c = SP.VocabularySpellchecker.from_index(built_index)
     assert c.correct("merket") == "market"

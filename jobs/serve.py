@@ -1,0 +1,200 @@
+"""HTTP serving surface — the reference's Django endpoints as a stdlib
+JSON API over a loaded segment index.
+
+Endpoint parity (reference search/retrieval/urls.py:8-11, views.py):
+
+    GET /                                        → liveness/info
+    GET /results?query=...[&date_start=YYYY-MM-DD&date_end=...]
+                [&model=bm25|bm25-reference|vsm|lm-dirichlet|lm-pyp]
+                [&k=100][&wand=1]                → first-execution path
+                                                   (spellcheck ON,
+                                                   views.py:27-97)
+    GET /rerun_query/<query>/<date_start>/<date_end>
+                                                 → rerun path (spellcheck
+                                                   SKIPPED, views.py:99-138;
+                                                   "None" literals = no range)
+    GET /article/<doc_id>                        → hydration (views.py:140-146,
+                                                   404 when absent)
+
+Responses are JSON (an engine serves data, not Django templates): the
+same context keys the reference renders — results, number_of_results,
+retrieval_time, term_been_corrected, corrected_query, original_query.
+
+``wand=1`` routes free-text queries through the Block-Max WAND kernel +
+driver mini-index LRU (repeat-term queries answer in ~15 ms with zero
+Spark jobs — serving-grade latency); it is rejected for date-filtered
+requests for the same reason jobs/query_topk.py rejects the combination.
+
+A single lock serializes query execution: one Spark driver serves the
+plans, and the WAND kernel mutates the driver-side LRU.
+
+Usage:
+    spark-submit --py-files dist/engine.zip jobs/serve.py \
+        --index /data/index [--documents /data/documents_parquet] \
+        [--port 8080] [--no-spellcheck]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+from datetime import date
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_MODELS = ("bm25", "bm25-reference", "vsm", "lm-dirichlet", "lm-pyp")
+
+
+def _parse_date(s: str | None) -> date | None:
+    if not s or s == "None":
+        return None
+    return date.fromisoformat(s)
+
+
+def create_server(index, port: int = 0, spellchecker=None,
+                  symbols: frozenset[str] = frozenset()) -> ThreadingHTTPServer:
+    """Build (without starting) the HTTP server around a loaded index.
+    ``port=0`` binds an ephemeral port (see ``server.server_address``)."""
+    from search_engine_spark.operators import executor, wand
+
+    lock = threading.Lock()
+
+    def run_query(query: str, k: int, model: str, ds, de,
+                  first_execution: bool, use_wand: bool) -> dict:
+        t0 = time.perf_counter()
+        corrected = query
+        if first_execution and spellchecker is not None:
+            from search_engine_spark.plans.spellcheck import correct_query
+
+            corrected = correct_query(query, spellchecker, symbols)
+        with lock:
+            if use_wand:
+                if ds or de:
+                    raise ValueError(
+                        "wand=1 does not support date filtering; "
+                        "use the relational path")
+                hits = wand.search_wand(index, corrected, k=k)
+            else:
+                df = executor.execute(index, corrected, k=k, model=model,
+                                      date_start=ds, date_end=de)
+                hits = [(r.doc_id, r.score) for r in df.collect()]
+        return {
+            "results": [
+                {"rank": i, "doc_id": int(d), "score": float(s)}
+                for i, (d, s) in enumerate(hits, 1)
+            ],
+            "number_of_results": len(hits),
+            "retrieval_time": round(time.perf_counter() - t0, 4),
+            "term_been_corrected": corrected != query,
+            "corrected_query": corrected,
+            "original_query": query,
+        }
+
+    def get_article(doc_id: int) -> dict | None:
+        if index.documents is None:
+            return None
+        from pyspark.sql import functions as F
+
+        with lock:
+            rows = index.documents.filter(
+                F.col("doc_id") == doc_id).limit(1).collect()
+        if not rows:
+            return None
+        return {k: (v.isoformat() if hasattr(v, "isoformat") else v)
+                for k, v in rows[0].asDict().items()}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet server
+            pass
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            try:
+                u = urlparse(self.path)
+                parts = [p for p in u.path.split("/") if p]
+                if not parts:
+                    self._json(200, {"status": "ok",
+                                     "n_docs": index.stats["n_docs"],
+                                     "models": list(_MODELS)})
+                elif parts[0] == "results":
+                    q = parse_qs(u.query)
+                    query = q.get("query", [None])[0]
+                    if not query:
+                        # reference redirects to index on a missing query
+                        self._json(400, {"error": "query parameter required"})
+                        return
+                    model = q.get("model", ["bm25"])[0]
+                    if model not in _MODELS:
+                        self._json(400, {"error": f"unknown model {model}"})
+                        return
+                    self._json(200, run_query(
+                        query, int(q.get("k", ["100"])[0]), model,
+                        _parse_date(q.get("date_start", [None])[0]),
+                        _parse_date(q.get("date_end", [None])[0]),
+                        first_execution=True,
+                        use_wand=q.get("wand", ["0"])[0] == "1"))
+                elif parts[0] == "rerun_query" and len(parts) == 4:
+                    self._json(200, run_query(
+                        unquote(parts[1]), 100, "bm25",
+                        _parse_date(unquote(parts[2])),
+                        _parse_date(unquote(parts[3])),
+                        first_execution=False, use_wand=False))
+                elif parts[0] == "article" and len(parts) == 2:
+                    art = get_article(int(parts[1]))
+                    if art is None:
+                        self._json(404, {"error": "article not found"})
+                    else:
+                        self._json(200, {"article": art})
+                else:
+                    self._json(404, {"error": "unknown endpoint"})
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:  # surface failures as JSON, keep serving
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--documents")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--no-spellcheck", action="store_true")
+    args = ap.parse_args()
+
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources import catalog
+
+    spark = get_spark("serve")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.documents) if args.documents else None
+    idx = catalog.load_index(spark, args.index, documents=docs)
+
+    checker = None
+    if not args.no_spellcheck:
+        from search_engine_spark.plans.spellcheck import VocabularySpellchecker
+
+        checker = VocabularySpellchecker.from_index(idx)
+
+    srv = create_server(idx, args.port, spellchecker=checker)
+    print(f"serving on http://127.0.0.1:{srv.server_address[1]}  "
+          f"(index={args.index}, n_docs={idx.stats['n_docs']})", flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -89,8 +89,14 @@ class VocabularySpellchecker:
     def from_index(cls, index, max_terms: int = 500_000) -> "VocabularySpellchecker":
         """Build from an InvertedIndex's term_stats (driver-side broadcast
         dictionary — the reference loads its whole spell dictionary at
-        startup the same way)."""
-        rows = index.term_stats.limit(max_terms).collect()
+        startup the same way). When the vocabulary exceeds ``max_terms``
+        the HIGHEST-df terms are kept (a bare limit() would select a
+        nondeterministic, partition-order-dependent subset at scale)."""
+        from pyspark.sql import functions as F
+
+        rows = (index.term_stats
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(max_terms).collect())
         return cls({r.term: r.df for r in rows})
 
     def correct(self, word: str) -> str:

@@ -1,0 +1,88 @@
+"""HTTP serving surface (jobs/serve.py): endpoint parity with the
+reference's Django urls (results / rerun_query / article), JSON form,
+spellcheck-on-first-execution vs rerun, WAND fast path, error surfaces."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from search_engine_spark.sources import catalog
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory, spark, corpus_sdf):
+    from jobs.serve import create_server
+    from search_engine_spark.plans.spellcheck import VocabularySpellchecker
+
+    d = str(tmp_path_factory.mktemp("serveidx") / "index")
+    catalog.build_durable_index(spark, corpus_sdf, d, shards=2, buckets=16,
+                                block_span=64)
+    idx = catalog.load_index(spark, d, documents=corpus_sdf)
+    checker = VocabularySpellchecker.from_index(idx)
+    srv = create_server(idx, port=0, spellchecker=checker)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_root_liveness(server):
+    status, body = _get(server + "/")
+    assert status == 200 and body["n_docs"] > 0
+
+
+def test_results_first_execution_spellchecks(server):
+    status, body = _get(server + "/results?query=merket&k=5")
+    assert status == 200
+    assert body["term_been_corrected"] is True
+    assert body["corrected_query"] == "market"
+    assert body["original_query"] == "merket"
+    assert body["number_of_results"] > 0
+    assert body["results"][0]["rank"] == 1
+
+
+def test_rerun_skips_spellcheck(server):
+    # reference rerun path: first_execution=False → no correction
+    status, body = _get(server + "/rerun_query/merket/None/None")
+    assert status == 200
+    assert body["term_been_corrected"] is False
+    assert body["number_of_results"] == 0  # OOV stays OOV
+
+
+def test_wand_path_matches_relational(server):
+    _, rel = _get(server + "/results?query=market%20price&k=10")
+    _, wnd = _get(server + "/results?query=market%20price&k=10&wand=1")
+    assert [r["doc_id"] for r in wnd["results"]] == \
+        [r["doc_id"] for r in rel["results"]]
+    for a, b in zip(wnd["results"], rel["results"]):
+        assert a["score"] == pytest.approx(b["score"], abs=1e-9)
+
+
+def test_wand_rejects_dates(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server + "/results?query=market&wand=1"
+                      "&date_start=2022-01-01&date_end=2022-01-31")
+    assert e.value.code == 400
+
+
+def test_article_hydration_and_404(server):
+    status, body = _get(server + "/article/1")
+    assert status == 200 and body["article"]["doc_id"] == 1
+    assert "text" in body["article"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server + "/article/99999999")
+    assert e.value.code == 404
+
+
+def test_missing_query_param_is_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server + "/results")
+    assert e.value.code == 400

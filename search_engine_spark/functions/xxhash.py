@@ -1,0 +1,89 @@
+"""Pure-Python XXH64 — the public xxHash-64 algorithm (Yann Collet,
+BSD-2), the same hash Spark's ``xxhash64`` expression evaluates with
+its default seed 42.
+
+Purpose: the segment catalog buckets terms with
+``pmod(xxhash64(term), B)``; computing the same bucket DRIVER-side lets
+a serving-path term lookup prune partitions without launching a Spark
+job just to hash a handful of strings (previously one collect() round
+trip per cold query). Parity with the JVM implementation is asserted by
+a fuzz pytest (tests/test_analysis.py::test_xxh64_matches_spark).
+"""
+
+from __future__ import annotations
+
+_MASK = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _MASK
+    return (_rotl(acc, 31) * _P1) & _MASK
+
+
+def _merge_round(h: int, v: int) -> int:
+    h ^= _round(0, v)
+    return (h * _P1 + _P4) & _MASK
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """Unsigned 64-bit XXH64 of ``data``."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _MASK
+        v2 = (seed + _P2) & _MASK
+        v3 = seed & _MASK
+        v4 = (seed - _P1) & _MASK
+        while i <= n - 32:
+            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _MASK
+        h = _merge_round(h, v1)
+        h = _merge_round(h, v2)
+        h = _merge_round(h, v3)
+        h = _merge_round(h, v4)
+    else:
+        h = (seed + _P5) & _MASK
+    h = (h + n) & _MASK
+    while i <= n - 8:
+        h ^= _round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _MASK
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _MASK
+        h = (_rotl(h, 23) * _P2 + _P3) & _MASK
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _MASK
+        h = (_rotl(h, 11) * _P1) & _MASK
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _MASK
+    h ^= h >> 29
+    h = (h * _P3) & _MASK
+    h ^= h >> 32
+    return h
+
+
+def xxh64_signed(data: bytes, seed: int = 42) -> int:
+    """XXH64 as the SIGNED long Spark's ``xxhash64`` column returns."""
+    u = xxh64(data, seed)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def spark_bucket(term: str, buckets: int, seed: int = 42) -> int:
+    """``pmod(xxhash64(term), buckets)`` computed driver-side (Python's
+    ``%`` on a positive modulus IS pmod)."""
+    return xxh64_signed(term.encode("utf-8"), seed) % buckets

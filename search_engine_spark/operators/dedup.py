@@ -171,6 +171,17 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
     reduces to exact text equality anyway, so the split changes no
     survivor decisions — it only removes the quadratic corner.
 
+    Exact-duplicate texts are collapsed to their min-id representative
+    BEFORE the band join (same hazard shape: m copies of one boilerplate
+    page share every band → an O(m²) candidate clique; a crawl has
+    millions of copies of some pages). Non-representative copies are
+    dropped by construction (Jaccard 1.0 with a smaller id), and
+    rep-level comparisons decide rep survival identically to doc-level
+    ones — the rep IS its group's min id, so "∃ smaller-id doc with
+    J ≥ t" and "∃ smaller-id rep with J ≥ t" have the same truth value
+    for every rep. Output is unchanged; signatures also compute once per
+    DISTINCT text instead of once per copy.
+
     ``rows_per_band`` trades candidate recall against bucket selectivity:
     4 (default) for production scale; 2 gives P[miss] = (1−J²)^bands
     ≤ 1.3e-10 at J = threshold = 0.7 — effectively exhaustive, used by the
@@ -182,17 +193,24 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
     normal = docs.filter(~is_degen)
     degen_survivors = exact_dedup(degen, text_col).select("doc_id")
 
-    sigs = minhash_signatures(normal, text_col, num_perm, shingle_k)
+    # one representative (min doc_id) per distinct text enters the LSH
+    reps = (
+        normal.groupBy(F.md5(F.col(text_col)).alias("_th"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(normal, "doc_id")
+        .drop("_th")
+    )
+    sigs = minhash_signatures(reps, text_col, num_perm, shingle_k)
     if num_perm % rows_per_band:
         raise ValueError(
             f"num_perm({num_perm}) must be a multiple of rows_per_band"
             f"({rows_per_band})")
     cands = minhash_lsh_pairs(sigs, bands=num_perm // rows_per_band,
                               rows_per_band=rows_per_band, num_perm=num_perm)
-    dups = jaccard_verify(cands, normal, text_col, threshold, shingle_k) \
+    dups = jaccard_verify(cands, reps, text_col, threshold, shingle_k) \
         .select(F.col("doc_b").alias("doc_id")).distinct()
-    normal_survivors = normal.select("doc_id").join(dups, "doc_id", "left_anti")
-    return normal_survivors.unionByName(degen_survivors)
+    rep_survivors = reps.select("doc_id").join(dups, "doc_id", "left_anti")
+    return rep_survivors.unionByName(degen_survivors)
 
 
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:

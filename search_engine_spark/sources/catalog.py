@@ -245,13 +245,13 @@ class SegmentIndex(InvertedIndex):
         )
 
     def _buckets_for(self, terms: list[str]) -> list[int]:
-        # must equal pmod(xxhash64(term), buckets) — computed via Spark's
-        # own hash to avoid re-implementing xxhash64 in Python
-        spark = self.segments.sparkSession
-        rows = spark.createDataFrame([(t,) for t in terms], "term string") \
-            .select(F.pmod(F.xxhash64("term"), F.lit(self.meta["buckets"]))
-                    .cast("int").alias("b")).distinct().collect()
-        return [r.b for r in rows]
+        # must equal pmod(xxhash64(term), buckets): computed driver-side
+        # with the pure-Python XXH64 (fuzz-parity-gated against Spark's
+        # expression in tests) — a cold term lookup launches no extra
+        # Spark job just to hash a handful of strings
+        from ..functions.xxhash import spark_bucket
+
+        return sorted({spark_bucket(t, self.meta["buckets"]) for t in terms})
 
     def lookup(self, terms: list[str], positional: bool = False) -> DataFrame:
         if not terms:

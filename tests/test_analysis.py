@@ -82,3 +82,30 @@ def test_extract_text_byte_identity():
     html = ("<html><head><title>A &amp; B</title></head>"
             "<body>hello €uro &#8364;</body></html>").encode()
     assert extract_text(html) == "A & B hello €uro €"
+
+
+def test_xxh64_matches_spark(spark):
+    """Parity gate for the driver-side XXH64: the segment catalog prunes
+    bucket partitions with pmod(xxhash64(term), B) computed in Python —
+    any divergence from Spark's expression would silently read the wrong
+    buckets (empty lookups)."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.xxhash import spark_bucket, xxh64_signed
+
+    rng = random.Random(321)
+    words = ["", "a", "market", "x" * 7, "y" * 8, "z" * 9, "q" * 31,
+             "w" * 32, "e" * 33, "λambda-ünïcode"] + [
+        "".join(rng.choices(string.ascii_lowercase + "äöü",
+                            k=rng.randint(1, 64)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "t string").select(
+        "t", F.xxhash64("t").alias("h"),
+        F.pmod(F.xxhash64("t"), F.lit(64)).cast("int").alias("b"))
+    for r in df.collect():
+        assert xxh64_signed(r.t.encode()) == r.h
+        assert spark_bucket(r.t, 64) == r.b

@@ -91,6 +91,24 @@ def test_simhash_empty_docs_linear_not_quadratic(spark):
     assert all(r.doc_a == 1 and r.hamming == 0 for r in rows)
 
 
+def test_minhash_exact_dup_cluster_collapsed(spark):
+    """1k exact copies of one long text share every band: the rep
+    collapse must keep the LSH candidate join linear and the survivor set
+    identical to the brute-force rule (only the min id survives)."""
+    body = " ".join(f"tok{i % 37}w{i % 11}" for i in range(60))
+    other = " ".join(f"zz{i % 29}q{i % 13}" for i in range(60))
+    rows = [(i, body) for i in range(1, 1001)] + [(2000, other)]
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(
+        docs_df.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        .join(docs_df, ["doc_id", "text"]))
+    # candidate pairs among the 2 distinct-text reps only
+    n_cands = dedup.minhash_lsh_pairs(sigs, bands=16, rows_per_band=4).count()
+    assert n_cands <= 1
+    surviving = {r.doc_id for r in dedup.minhash_dedup(docs_df).collect()}
+    assert surviving == {1, 2000}
+
+
 def test_minhash_empty_docs_routed_to_exact_dedup(spark):
     """Degenerate (empty/short) texts bypass the LSH band join entirely:
     minhash_dedup keeps one survivor per distinct degenerate text and

@@ -267,12 +267,21 @@ def q_wand_bm25_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import wand as W
     from search_engine_spark.sources import catalog
 
+    import shutil
+
     docs = _docs(spark, sf_dir)
-    d = tempfile.mkdtemp(prefix="wand_contract_") + "/idx"
-    catalog.build_durable_index(spark, docs, d, conf=SIMPLE, shards=2,
-                                buckets=16, block_span=64, positional=False)
-    idx = catalog.load_index(spark, d)
-    hits = W.search_wand(idx, " ".join(_BM25_QUERY_TERMS), k=1 << 30)
+    tmp = tempfile.mkdtemp(prefix="wand_contract_")
+    try:
+        d = tmp + "/idx"
+        catalog.build_durable_index(spark, docs, d, conf=SIMPLE, shards=2,
+                                    buckets=16, block_span=64,
+                                    positional=False)
+        idx = catalog.load_index(spark, d)
+        # search_wand collects driver-side, so the on-disk index can be
+        # deleted before the (local-list-backed) DataFrame is consumed
+        hits = W.search_wand(idx, " ".join(_BM25_QUERY_TERMS), k=1 << 30)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     raw = spark.createDataFrame(
         [(int(doc), float(s)) for doc, s in hits], "doc_id long, raw double")
     return (raw.select("doc_id", F.round("raw", 4).alias("score"))

@@ -68,6 +68,12 @@ def create_server(index, port: int = 0, spellchecker=None,
     def run_query(query: str, k: int, model: str, ds, de,
                   first_execution: bool, use_wand: bool) -> dict:
         t0 = time.perf_counter()
+        if (ds is None) != (de is None):
+            # a half-open range would be silently dropped by the executor
+            # (it filters only when BOTH bounds are set) — reject instead
+            # of returning out-of-range results with a 200
+            raise ValueError(
+                "date_start and date_end must be provided together")
         corrected = query
         if first_execution and spellchecker is not None:
             from search_engine_spark.plans.spellcheck import correct_query
@@ -174,7 +180,22 @@ def main() -> None:
     ap.add_argument("--documents")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--no-spellcheck", action="store_true")
+    ap.add_argument("--symbols",
+                    help="comma-separated ticker symbols (or a path to a "
+                         "one-per-line file) that spellcheck must never "
+                         "rewrite — the reference's NYSE guard "
+                         "(helpers.py:243-252); callers supply the data")
     args = ap.parse_args()
+
+    symbols: frozenset[str] = frozenset()
+    if args.symbols:
+        if os.path.exists(args.symbols):
+            with open(args.symbols) as f:
+                symbols = frozenset(
+                    s.strip().lower() for s in f if s.strip())
+        else:
+            symbols = frozenset(
+                s.strip().lower() for s in args.symbols.split(",") if s.strip())
 
     from search_engine_spark.session import get_spark
     from search_engine_spark.sources import catalog
@@ -190,7 +211,7 @@ def main() -> None:
 
         checker = VocabularySpellchecker.from_index(idx)
 
-    srv = create_server(idx, args.port, spellchecker=checker)
+    srv = create_server(idx, args.port, spellchecker=checker, symbols=symbols)
     print(f"serving on http://127.0.0.1:{srv.server_address[1]}  "
           f"(index={args.index}, n_docs={idx.stats['n_docs']})", flush=True)
     srv.serve_forever()

@@ -218,7 +218,8 @@ def search_vsm(index: InvertedIndex, query: str, k: int = 20,
                              k=k, candidates=candidates)
 
 
-def search_vsm_tokens(index: InvertedIndex, toks: list[str], k: int = 20,
+def search_vsm_tokens(index: InvertedIndex, toks: list[str],
+                      k: int | None = 20,
                       candidates: DataFrame | None = None) -> DataFrame:
     """Full VSM cosine (reference vsm_model.py:56-103): doc weight
     (1+log10 tf)·log10((N−df)/df) clamped ≥0, query weight
@@ -258,7 +259,8 @@ def search_vsm_tokens(index: InvertedIndex, toks: list[str], k: int = 20,
         .agg(F.sum(F.col("w_d") * F.col("w_q")).alias("dot"))
     )
     if qnorm == 0.0:
-        return dot.select("doc_id", F.lit(0.0).alias("score")).orderBy("doc_id").limit(k)
+        zeros = dot.select("doc_id", F.lit(0.0).alias("score"))
+        return zeros if k is None else zeros.orderBy("doc_id").limit(k)
     # a doc whose every term weight clamps to 0 has dnorm=0 AND dot=0:
     # pin its cosine to 0 instead of 0/0 (ANSI mode would throw)
     scored = dot.join(vsm_doc_norms(index), "doc_id").select(
@@ -267,7 +269,7 @@ def search_vsm_tokens(index: InvertedIndex, toks: list[str], k: int = 20,
                F.col("dot") / (F.col("dnorm") * F.lit(qnorm)))
         .otherwise(F.lit(0.0)).alias("score"),
     )
-    return topk(scored, k)
+    return scored if k is None else topk(scored, k)
 
 
 def topk(scored: DataFrame, k: int) -> DataFrame:

@@ -96,7 +96,8 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
             powers = np.ones(len(toks), dtype=np.uint64)
             if len(toks) > 1:
                 powers[1:] = P
-                powers = np.cumprod(powers[::-1])[::-1]  # P^(n-1-i) mod 2^64
+                # cumprod → [1, P, P², …]; reverse → P^(n-1-i) mod 2^64
+                powers = np.cumprod(powers)[::-1]
             return int((hs * powers).sum() & np.uint64(0x7FFFFFFFFFFFFFFF))
 
         return text.map(one)

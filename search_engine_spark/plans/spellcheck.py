@@ -86,12 +86,18 @@ class VocabularySpellchecker:
                 self._deletes.setdefault(d, []).append(w)
 
     @classmethod
-    def from_index(cls, index, max_terms: int = 500_000) -> "VocabularySpellchecker":
+    def from_index(cls, index, max_terms: int = 100_000) -> "VocabularySpellchecker":
         """Build from an InvertedIndex's term_stats (driver-side broadcast
         dictionary — the reference loads its whole spell dictionary at
         startup the same way). When the vocabulary exceeds ``max_terms``
         the HIGHEST-df terms are kept (a bare limit() would select a
-        nondeterministic, partition-order-dependent subset at scale)."""
+        nondeterministic, partition-order-dependent subset at scale).
+
+        The default caps the delete-index build cost (~37 forms/word →
+        a few seconds and ~hundreds of MB at 100k; 500k would be a
+        multi-GB, minutes-long startup). Misspellings correct toward
+        frequent words anyway — frequency-pruned dictionaries are the
+        standard SymSpell deployment shape."""
         from pyspark.sql import functions as F
 
         rows = (index.term_stats

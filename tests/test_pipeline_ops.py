@@ -193,6 +193,19 @@ def test_fingerprint_deterministic_and_order_sensitive(spark):
     assert fps[1] == fps[2] != fps[3]
 
 
+def test_fingerprint_adjacent_swap_changes_hash(spark):
+    """Regression: the power-weight vectorization must give every
+    position a DISTINCT weight — swapping just the first two tokens (and
+    just the last two) must change the fingerprint."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b a c d"), (3, "a b d c")],
+        "doc_id long, text string")
+    fps = {r.doc_id: r.fingerprint for r in textquality.fingerprint(df).collect()}
+    assert fps[1] != fps[2]
+    assert fps[1] != fps[3]
+    assert fps[2] != fps[3]
+
+
 def test_language_id(spark):
     df = spark.createDataFrame(
         [

@@ -143,3 +143,14 @@ def test_no_double_stemming_through_executor(spark):
     # boolean rescoring path re-uses analyzed clause terms too
     bhits = executor.execute(idx, "provision AND data", k=10).collect()
     assert {r.doc_id for r in bhits} == {1, 3}
+
+
+def test_executor_all_models_including_vsm(built_index):
+    """Regression: the unified free-text path uses unranked (k=None)
+    inner frames; every model — vsm dispatches to a separate code path —
+    must survive that and return ranked results."""
+    for model in ("bm25", "bm25-reference", "vsm", "lm-dirichlet", "lm-pyp"):
+        hits = executor.execute(built_index, "market price", k=5,
+                                model=model).collect()
+        assert hits, model
+        assert len(hits) <= 5

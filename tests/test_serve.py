@@ -82,6 +82,19 @@ def test_article_hydration_and_404(server):
     assert e.value.code == 404
 
 
+def test_half_open_date_range_is_400(server):
+    # a one-sided range would be silently dropped by the executor; the
+    # server must reject it rather than return out-of-range results
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server + "/results?query=market&date_start=2022-01-01")
+    assert e.value.code == 400
+
+
+def test_vsm_model_served(server):
+    status, body = _get(server + "/results?query=market%20price&model=vsm&k=5")
+    assert status == 200 and body["number_of_results"] > 0
+
+
 def test_missing_query_param_is_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server + "/results")

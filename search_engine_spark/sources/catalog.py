@@ -282,22 +282,19 @@ class SegmentIndex(InvertedIndex):
             else:
                 missing.append(t)
         if missing:
-            dfs = {
-                r.term: r.df
-                for r in self.term_stats.filter(
-                    F.col("term").isin(missing)).collect()
-            }
-            fetched: dict[str, list] = {t: [] for t in dfs}
-            if dfs:
-                rows = self.segments.filter(
-                    F.col("bucket").isin(self._buckets_for(list(dfs)))
-                    & F.col("term").isin(list(dfs))
-                ).select("term", "block_id", "block_max_tf",
-                         "payload").collect()
-                for r in rows:
-                    fetched[r.term].append(r)
+            # ONE pruned scan serves everything: blocks are doc-disjoint,
+            # so df(term) = Σ n_docs over the term's blocks — no separate
+            # term_stats job (was a second collect per cold lookup)
+            rows = self.segments.filter(
+                F.col("bucket").isin(self._buckets_for(missing))
+                & F.col("term").isin(missing)
+            ).select("term", "block_id", "block_max_tf", "n_docs",
+                     "payload").collect()
+            fetched: dict[str, list] = {}
+            for r in rows:
+                fetched.setdefault(r.term, []).append(r)
             for t, blks in fetched.items():
-                self._mini[t] = (dfs[t], blks)
+                self._mini[t] = (sum(b.n_docs for b in blks), blks)
             for t in missing:  # negative-cache OOV terms too
                 if t not in self._mini:
                     self._mini[t] = (0, [])

@@ -69,18 +69,17 @@ def search_phrase(index: InvertedIndex, phrase_terms: list[str],
     if not hasattr(index, "_query_caches"):
         index._query_caches = []
     index._query_caches.append(occ)
-    df_count = occ.count()
-    if df_count == 0:
-        return occ.sparkSession.createDataFrame([], "doc_id long, score double")
     n, avgdl = index.stats["n_docs"], index.stats["avgdl"]
     base = occ if "dl" in occ.columns else occ.join(index.doc_stats, "doc_id")
+    # phrase df (= number of matching docs) rides in as a broadcast
+    # 1-row aggregate instead of an EAGER count(): a mixed query with P
+    # phrases launches zero blocking jobs here — everything resolves in
+    # the single final plan (the cached occ frame computes once, shared
+    # by the aggregate and the scoring scan)
+    dfc = F.broadcast(occ.agg(F.count("*").cast("long").alias("df")))
     scored = (
-        base.select(
-            "doc_id",
-            F.col("phrase_tf").alias("tf"),
-            "dl",
-            F.lit(df_count).alias("df"),
-        )
+        base.crossJoin(dfc)
+        .select("doc_id", F.col("phrase_tf").alias("tf"), "dl", "df")
         .withColumn("score", scoring.bm25_weight(n, avgdl))
         .select("doc_id", "score")
     )

@@ -91,6 +91,13 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
             scored = search_freetext_tokens(
                 index, terms, k=k, model=model, candidates=docs
             )
+            # cache before the emptiness probe: the probe executes the
+            # scoring pipeline, and the caller's collect would otherwise
+            # recompute it end-to-end (released by the NEXT execute())
+            scored = scored.cache()
+            if not hasattr(index, "_query_caches"):
+                index._query_caches = []
+            index._query_caches.append(scored)
             if scored.limit(1).count() > 0:
                 return scored
         return (

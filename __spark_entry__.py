@@ -262,12 +262,11 @@ def q_wand_bm25_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     k is exhaustive so final selection happens on ROUNDED scores in the
     DataFrame (Spark's HALF_UP round == DuckDB's; Python's round() is
     banker's and would diverge)."""
+    import shutil
     import tempfile
 
     from search_engine_spark.operators import wand as W
     from search_engine_spark.sources import catalog
-
-    import shutil
 
     docs = _docs(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="wand_contract_")

@@ -194,12 +194,8 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
     degen_survivors = exact_dedup(degen, text_col).select("doc_id")
 
     # one representative (min doc_id) per distinct text enters the LSH
-    reps = (
-        normal.groupBy(F.md5(F.col(text_col)).alias("_th"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .join(normal, "doc_id")
-        .drop("_th")
-    )
+    # (exact_dedup = the existing md5-groupBy min-survivor helper)
+    reps = exact_dedup(normal, text_col).select("doc_id").join(normal, "doc_id")
     sigs = minhash_signatures(reps, text_col, num_perm, shingle_k)
     if num_perm % rows_per_band:
         raise ValueError(

@@ -94,10 +94,7 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
             # cache before the emptiness probe: the probe executes the
             # scoring pipeline, and the caller's collect would otherwise
             # recompute it end-to-end (released by the NEXT execute())
-            scored = scored.cache()
-            if not hasattr(index, "_query_caches"):
-                index._query_caches = []
-            index._query_caches.append(scored)
+            scored = index.register_query_cache(scored)
             if scored.limit(1).count() > 0:
                 return scored
         return (

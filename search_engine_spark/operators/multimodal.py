@@ -99,7 +99,7 @@ def bmp_decode(payload: bytes, kind: str = "image") -> np.ndarray:
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", payload, 10)[0]
-    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    w, h = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
     if bpp != 24 or compression != 0:

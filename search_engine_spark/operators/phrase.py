@@ -65,10 +65,7 @@ def search_phrase(index: InvertedIndex, phrase_terms: list[str],
     # a full recompute of the positional join). Caches accumulate on the
     # index handle — a query with several phrases keeps them ALL alive
     # until the next executor.execute() releases them (release_caches).
-    occ = phrase_occurrences(index, phrase_terms).cache()
-    if not hasattr(index, "_query_caches"):
-        index._query_caches = []
-    index._query_caches.append(occ)
+    occ = index.register_query_cache(phrase_occurrences(index, phrase_terms))
     n, avgdl = index.stats["n_docs"], index.stats["avgdl"]
     base = occ if "dl" in occ.columns else occ.join(index.doc_stats, "doc_id")
     # phrase df (= number of matching docs) rides in as a broadcast

@@ -77,6 +77,17 @@ class InvertedIndex:
             df.unpersist()
         self._query_caches = []
 
+    def register_query_cache(self, df: DataFrame) -> DataFrame:
+        """cache() a frame and register it for release at the next
+        query's release_caches() — the shared idiom for per-query
+        intermediate frames (phrase occurrences, adaptive counts,
+        boolean rescoring)."""
+        df = df.cache()
+        if not hasattr(self, "_query_caches"):
+            self._query_caches = []
+        self._query_caches.append(df)
+        return df
+
 
 def _scored_frame(index: InvertedIndex, terms: list[str], model: str,
                   q_tf: dict[str, int] | None = None) -> DataFrame:
@@ -123,10 +134,7 @@ def adaptive_candidates(index: InvertedIndex, terms: list[str]) -> DataFrame | N
     # cache outlives the call (the returned frame reads it at collect
     # time); registered on the index handle, released by the NEXT
     # executor.execute() via release_caches
-    counts = counts.cache()
-    if not hasattr(index, "_query_caches"):
-        index._query_caches = []
-    index._query_caches.append(counts)
+    counts = index.register_query_cache(counts)
     full = counts.filter(F.col("m") == len(terms))
     if full.limit(ADAPTIVE_MIN_CANDIDATES).count() >= ADAPTIVE_MIN_CANDIDATES:
         return full.select("doc_id")

@@ -268,9 +268,10 @@ class SegmentIndex(InvertedIndex):
 
     def mini_index(self, terms: list[str]) -> dict[str, tuple[int, list]]:
         """Serving-path point lookup: {term: (df, [Row(term, block_id,
-        block_max_tf, payload)])} for in-vocabulary terms, through the
-        driver LRU. Misses cost ONE pruned segment scan + one term_stats
-        filter; hits cost zero Spark jobs."""
+        block_max_tf, n_docs, payload)])} for in-vocabulary terms,
+        through the driver LRU. Misses cost exactly ONE pruned segment
+        scan (df derives from the blocks' n_docs); hits cost zero Spark
+        jobs."""
         # Touch cache HITS before any insertion/eviction: otherwise a full
         # cache evicts the oldest entry — which may be one of THIS query's
         # terms — between the insert loop and the read loop below

@@ -144,6 +144,32 @@ def build_durable_index(
         _record(index_dir, "term_stats",
                 duration_sec=round(time.perf_counter() - t0, 3))
 
+    def _build_vsm_norms() -> None:
+        # per-doc VSM norms are a BUILD artifact (the reference
+        # precomputes them the same way, vsm_model.py:44-54): computing
+        # them lazily would re-aggregate the full postings table once per
+        # session on the first VSM query. Depends on stats + term_stats,
+        # so runs after the concurrent pool.
+        if _done(index_dir, "vsm_norms"):
+            return
+        t0 = time.perf_counter()
+        from ..operators import scoring
+
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            n = json.load(f)["n_docs"]
+        st = spark.read.parquet(stage_dir).select("term", "doc_id", "tf")
+        ts = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        (
+            st.join(ts.select("term", "df"), "term")
+            .withColumn("w", scoring.vsm_doc_weight(n))
+            .groupBy("doc_id")
+            .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, "vsm_norms"))
+        )
+        _record(index_dir, "vsm_norms",
+                duration_sec=round(time.perf_counter() - t0, 3))
+
     staged = spark.read.parquet(stage_dir)
     per_shard = math.ceil(buckets / shards)
 
@@ -196,6 +222,7 @@ def build_durable_index(
         for f in futures:
             f.result()
 
+    _build_vsm_norms()  # needs stats.json + term_stats from the pool
     _record(index_dir, "build_complete", shards=shards, buckets=buckets)
     return index_dir
 
@@ -243,6 +270,12 @@ class SegmentIndex(InvertedIndex):
             documents=documents,
             analyzer=conf,
         )
+        norms_dir = os.path.join(index_dir, "vsm_norms")
+        if os.path.exists(norms_dir):
+            # precomputed build artifact: the first VSM query reads this
+            # instead of re-aggregating the postings table (indexes built
+            # before the artifact existed fall back to lazy compute)
+            self._vsm_norms = spark.read.parquet(norms_dir)
 
     def _buckets_for(self, terms: list[str]) -> list[int]:
         # must equal pmod(xxhash64(term), buckets): computed driver-side

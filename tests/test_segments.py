@@ -113,3 +113,23 @@ def test_block_max_consistency(spark, index_dir):
         for d, tf in zip(docs, tfs):
             w = O.bm25_weight_std(int(tf), dl_map[int(d)], ts[blk.term], n_docs, avgdl)
             assert w <= ub + 1e-12
+
+
+def test_vsm_norms_build_artifact(spark, index_dir, corpus_sdf):
+    """VSM doc norms are precomputed at build time: the segment index
+    loads the sidecar (no full-postings re-aggregation per session) and
+    VSM results are identical to the in-memory index's lazy path."""
+    from search_engine_spark import engine
+    from search_engine_spark.functions.analyzer import AnalyzerConfig
+    from search_engine_spark.operators.search import search_vsm
+
+    assert os.path.exists(os.path.join(index_dir, "vsm_norms"))
+    seg_idx = catalog.load_index(spark, index_dir)
+    assert getattr(seg_idx, "_vsm_norms", None) is not None
+
+    mem_idx = engine.build_index(corpus_sdf, AnalyzerConfig.full())
+    got = [(r.doc_id, round(r.score, 9))
+           for r in search_vsm(seg_idx, "market price", k=25).collect()]
+    want = [(r.doc_id, round(r.score, 9))
+            for r in search_vsm(mem_idx, "market price", k=25).collect()]
+    assert got == want

@@ -33,6 +33,12 @@ def main() -> None:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--html", action="store_true",
                     help="input is the web shape: derive doc_id/text")
+    ap.add_argument("--write-documents",
+                    help="also write a days(warc_ts)-partitioned documents "
+                         "table here — the layout serving date filters "
+                         "prune (directory-level) instead of scanning; "
+                         "the index then builds FROM that table, so html "
+                         "extraction runs once")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -50,11 +56,19 @@ def main() -> None:
         # bounded occupancy (hash ids would put every posting in its own
         # block — see sources/corpus.with_dense_doc_ids)
         docs = corpus.ingest_filters(corpus.with_dense_doc_ids(docs))
-        docs = docs.select(
-            "doc_id", make_extract_text_udf()(F.col("html")).alias("text")
-        )
+        docs = docs.withColumn(
+            "text", make_extract_text_udf()(F.col("html"))).drop("html")
     elif args.text_col != "text":
         docs = docs.withColumnRenamed(args.text_col, "text")
+
+    if args.write_documents:
+        if "warc_ts" not in docs.columns:
+            ap.error("--write-documents needs a warc_ts column for the "
+                     "days() partition layout")
+        corpus.write_documents_partitioned(docs, args.write_documents)
+        # build from the written store: extraction ran once during the
+        # write; the index and the serving doc table share provenance
+        docs = corpus.read_documents_partitioned(spark, args.write_documents)
 
     conf = AnalyzerConfig.full() if args.analyzer == "full" else AnalyzerConfig.simple()
     catalog.build_durable_index(

@@ -31,6 +31,47 @@ def test_wand_rejects_date_flags():
     assert "--wand does not support" in p.stderr
 
 
+def test_build_with_partitioned_document_store(tmp_path, spark):
+    """--write-documents: the build job also lays down the days(warc_ts)
+    partitioned doc store, builds the index FROM it, and a date-filtered
+    query against that store returns only in-range docs."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.sources import corpus
+
+    src = str(tmp_path / "web_src")
+    corpus.synthesize_web_corpus(spark, 300).write.parquet(src)
+    idx, store = str(tmp_path / "idx"), str(tmp_path / "docs_by_date")
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4",
+           "SPARK_GRAFT_DRIVER_MEM": "4g"}
+    b = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "jobs", "build_index.py"),
+         "--input", src, "--output", idx, "--html",
+         "--write-documents", store,
+         "--buckets", "8", "--shards", "2", "--block-span", "4096"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert b.returncode == 0, b.stderr[-3000:]
+    assert any(d.startswith("warc_date=") for d in os.listdir(store))
+
+    q = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "jobs", "query_topk.py"),
+         "--index", idx, "--query", "market", "--k", "50",
+         "--documents", store,
+         "--date-start", "2022-01-03", "--date-end", "2022-01-06"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert q.returncode == 0, q.stderr[-3000:]
+    hits = [json.loads(line) for line in q.stdout.splitlines()
+            if line.startswith("{")]
+    docs = spark.read.parquet(store)
+    in_range = {r.doc_id for r in docs.filter(
+        F.col("warc_date").between("2022-01-03", "2022-01-06")).collect()}
+    assert hits and all(h["doc_id"] in in_range for h in hits)
+
+
 @pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
                     reason="spark-submit not installed")
 def test_jobs_ship_via_py_files(tmp_path):

@@ -146,7 +146,13 @@ def decode_segments(segments: DataFrame, positional: bool = False,
                 if has_dl:
                     d["dl"] = dls.astype("int32")
                 if positional:
-                    counts, flat = codec.decode_positions(row["pos_payload"])
+                    pp = row["pos_payload"]
+                    if pp is None or len(pp) == 0:
+                        raise ValueError(
+                            "segment block has no positional payload "
+                            "(encoded with positional=False) — phrase/"
+                            "proximity queries need a positional build")
+                    counts, flat = codec.decode_positions(pp)
                     splits = np.split(flat.astype("int32"), np.cumsum(counts)[:-1])
                     d["positions"] = [list(map(int, s)) for s in splits]
                 frames.append(pd.DataFrame(d))

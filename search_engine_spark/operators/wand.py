@@ -40,6 +40,41 @@ from ..functions.analyzer import analyze_query
 from . import segments as SEG
 
 
+def _capped_blocks(index, terms: list[str], cap: int):
+    """Impact-ordered capped fetch: (dfs, blocks) with ≤ cap blocks per
+    term shipped to the driver.
+
+    Phase 1 scans block METADATA only (column pruning keeps payload
+    bytes out of the scan): a per-term window ranks blocks by
+    block_max_tf — the BM25 upper bound is monotone in block_max_tf for
+    a fixed term, so top-N by max_tf IS top-N by ub — and a window sum
+    of n_docs yields the term's exact df (blocks are doc-disjoint).
+    Phase 2 fetches payloads for the winning (term, block_id) set via a
+    broadcast semi-join on the same pruned scan."""
+    from pyspark.sql.window import Window
+
+    pred = (F.col("bucket").isin(index._buckets_for(terms))
+            & F.col("term").isin(terms))
+    meta = index.segments.filter(pred).select(
+        "term", "block_id", "block_max_tf", "n_docs")
+    ranked = (
+        meta.withColumn("df", F.sum("n_docs").over(Window.partitionBy("term")))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("term")
+            .orderBy(F.desc("block_max_tf"), F.asc("block_id"))))
+        .filter(F.col("rn") <= cap)
+        .select("term", "block_id", "df")
+    )
+    rows = (
+        index.segments.filter(pred)
+        .join(F.broadcast(ranked), ["term", "block_id"])
+        .select("term", "block_id", "block_max_tf", "n_docs", "payload", "df")
+        .collect()
+    )
+    dfs = {r.term: int(r.df) for r in rows}
+    return dfs, rows
+
+
 def search_wand(index, query: str, k: int = 100,
                 k1: float = 1.2, b: float = 0.75,
                 max_blocks_per_term: int | None = None,
@@ -52,12 +87,24 @@ def search_wand(index, query: str, k: int = 100,
     ``max_blocks_per_term`` enables the impact-ordered fallback for
     stopword-scale terms at web scale: each term keeps only its
     ``max_blocks_per_term`` highest-upper-bound blocks (ub from
-    block_max_tf), bounding driver transfer for a 10^12-doc head term.
-    Results become approximate (documented safe-approximation: dropped
-    blocks can only LOWER a doc's score, never raise it); None = exact.
+    block_max_tf). The cap is pushed INTO the Spark plan — a metadata
+    scan (no payload bytes) ranks blocks per term and an exact df rides
+    along; only the winners' payloads are fetched — so driver transfer
+    is bounded even for a 10^12-doc head term. Results become
+    approximate (documented safe-approximation: dropped blocks can only
+    LOWER a doc's score, never raise it); None = exact.
+
+    Requires a SegmentIndex (the durable, block-encoded form): the
+    relational ``operators.search`` path is the equivalent for in-memory
+    indexes.
     """
+    if not hasattr(index, "mini_index"):
+        raise TypeError(
+            "search_wand needs a SegmentIndex (durable block-encoded "
+            "index); use operators.search.search_freetext for in-memory "
+            "indexes")
     toks = analyze_query(query, index.analyzer)
-    if not toks:
+    if not toks or k <= 0:
         return []
     q_tf: dict[str, int] = {}
     for t in toks:
@@ -66,7 +113,7 @@ def search_wand(index, query: str, k: int = 100,
 
     n = index.stats["n_docs"]
     avgdl = index.stats["avgdl"]
-    if hasattr(index, "mini_index"):
+    if max_blocks_per_term is None:
         # one pruned fetch for all terms, LRU-cached on the driver —
         # a repeat-term query launches ZERO Spark jobs (the reference's
         # per-query mini-index byte loads, index_loader.py:71-128)
@@ -74,34 +121,13 @@ def search_wand(index, query: str, k: int = 100,
         dfs = {t: df for t, (df, _) in mini.items()}
         blocks = [blk for _, blks in mini.values() for blk in blks]
     else:
-        dfs = {
-            r.term: r.df
-            for r in index.term_stats.filter(F.col("term").isin(terms)).collect()
-        }
-        blocks = (
-            index.segments.filter(
-                F.col("bucket").isin(index._buckets_for(terms))
-                & F.col("term").isin(terms)
-            )
-            .select("term", "block_id", "block_max_tf", "payload")
-            .collect()
-        ) if dfs else []
+        dfs, blocks = _capped_blocks(index, terms, max_blocks_per_term)
     if not dfs:
         return []
     idf = {
         t: float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
         for t, df in dfs.items()
     }
-
-    if max_blocks_per_term is not None:
-        per_term: dict[str, list] = defaultdict(list)
-        for blk in blocks:
-            per_term[blk.term].append(blk)
-        blocks = []
-        for t, blks in per_term.items():
-            blks.sort(key=lambda blk: SEG.bm25_upper_bound(
-                dfs[t], n, blk.block_max_tf, k1, b), reverse=True)
-            blocks.extend(blks[:max_blocks_per_term])
 
     by_range: dict[int, list] = defaultdict(list)
     for blk in blocks:

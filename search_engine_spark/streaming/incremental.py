@@ -51,10 +51,17 @@ def incremental_index_build(
     different directory depth than the durable build's bucket-only
     layout — mixing the two in one dir would make every parquet read
     fail with conflicting-directory-structure errors, so this refuses a
-    dir that a durable build already staged. One checkpoint owns a
-    streaming index dir for its lifetime: a fresh checkpoint restarts
-    batch ids at 0, and the idempotent batch-keyed overwrite would then
-    silently REPLACE the earlier ingest's partitions — refused too.
+    dir that a durable build already staged. One checkpoint PATH owns a
+    streaming index dir for its lifetime: a different checkpoint would
+    restart batch ids at 0 against a foreign dir and is refused.
+
+    Wiping the checkpoint at the SAME path is the standard full-replay
+    reset and is safe — availableNow reprocesses every source file, and
+    the batch-keyed overwrite rebuilds all partitions to the current
+    input (tested by the replay-idempotence test). The one unsafe
+    variant is wiping the checkpoint AFTER deleting source files:
+    Structured Streaming's replayable-source contract (retain the files
+    the checkpoint hasn't aged out) applies here exactly as upstream.
     """
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
     stage_dir = os.path.join(index_dir, "postings_stage")
@@ -85,23 +92,37 @@ def incremental_index_build(
     )
 
     def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
         post = P.build_postings(batch_df, conf, positional=True).withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
-        )
-        # batch_id-keyed dynamic partition overwrite makes the sink
-        # IDEMPOTENT under micro-batch replay: a crash after this write
-        # but before checkpoint commit re-runs the same batch_id, which
-        # REPLACES batch=<id> partitions instead of appending duplicate
-        # posting rows (plain append is only at-least-once)
-        post.withColumn("batch", F.lit(batch_id)) \
-            .write.mode("overwrite") \
-            .option("partitionOverwriteMode", "dynamic") \
-            .partitionBy("batch", "bucket").parquet(stage_dir)
-        P.doc_stats(batch_df, conf).withColumn("batch", F.lit(batch_id)) \
-            .write.mode("overwrite") \
-            .option("partitionOverwriteMode", "dynamic") \
-            .partitionBy("batch").parquet(ds_dir)
-        n = batch_df.count()
+        ).persist()
+        try:
+            # batch_id-keyed dynamic partition overwrite makes the sink
+            # IDEMPOTENT under micro-batch replay: a crash after this
+            # write but before checkpoint commit re-runs the same
+            # batch_id, which REPLACES batch=<id> partitions instead of
+            # appending duplicate posting rows (plain append is only
+            # at-least-once)
+            post.withColumn("batch", F.lit(batch_id)) \
+                .write.mode("overwrite") \
+                .option("partitionOverwriteMode", "dynamic") \
+                .partitionBy("batch", "bucket").parquet(stage_dir)
+            # doc_stats derives from the just-built postings (dl rides on
+            # every row) — the analyzer UDF, the most expensive stage,
+            # runs ONCE per micro-batch instead of twice (same derivation
+            # as the durable build); token-less docs re-enter with dl=0
+            ds = post.select("doc_id", "dl").distinct()
+            empties = batch_df.select("doc_id").join(
+                ds.select("doc_id"), "doc_id", "left_anti"
+            ).withColumn("dl", F.lit(0))
+            ds.unionByName(empties).withColumn("batch", F.lit(batch_id)) \
+                .write.mode("overwrite") \
+                .option("partitionOverwriteMode", "dynamic") \
+                .partitionBy("batch").parquet(ds_dir)
+            n = batch_df.count()
+        finally:
+            post.unpersist()
+            batch_df.unpersist()
         with open(os.path.join(index_dir, "manifest",
                                f"stream_batch_{batch_id}.json"), "w") as f:
             json.dump({"step": f"stream_batch_{batch_id}", "rows": n,
@@ -226,13 +247,22 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30,
             # after its session was emitted
             sealed = (end_us // 1_000_000 + gap_s + 1) * 1000 <= wm_ms
             if sealed:
+                # batch identity demands Spark's ROUND semantics:
+                # F.round on a double is HALF_UP over the shortest
+                # decimal repr (BigDecimal.valueOf). Python's round() is
+                # banker's and diverges on x.xxxx5 sums.
+                from decimal import ROUND_HALF_UP, Decimal
+
+                total = float(
+                    Decimal(repr(sum(vals[lo:hi])))
+                    .quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
                 sid += 1
                 out.append({
                     "user_id": uid, "session_id": sid,
                     "session_start": pd.to_datetime(ts_us[lo], unit="us"),
                     "session_end": pd.to_datetime(end_us, unit="us"),
                     "n_events": hi - lo,
-                    "total_value": round(sum(vals[lo:hi]), 4),
+                    "total_value": total,
                 })
             else:
                 keep_from = lo

@@ -133,3 +133,19 @@ def test_vsm_norms_build_artifact(spark, index_dir, corpus_sdf):
     want = [(r.doc_id, round(r.score, 9))
             for r in search_vsm(mem_idx, "market price", k=25).collect()]
     assert got == want
+
+
+def test_decode_positional_mismatch_raises_descriptive(spark, corpus_sdf):
+    """Requesting positions from a tf-only build must fail with an
+    actionable error, not an opaque executor IndexError."""
+    import pytest as _pt
+
+    from search_engine_spark.operators import postings as P
+    from search_engine_spark.functions.analyzer import AnalyzerConfig
+
+    post = P.build_postings(corpus_sdf.limit(20), AnalyzerConfig.simple(),
+                            positional=False)
+    seg = SEG.encode_segments(post, buckets=4, block_span=64,
+                              positional=False)
+    with _pt.raises(Exception, match="positional"):
+        SEG.decode_segments(seg, positional=True).collect()

@@ -175,3 +175,31 @@ def test_wand_vs_relational_5k(seg_index_5k, q):
     assert [d for d, _ in wd] == [d for d, _ in rel], q
     for (_, a), (_, b) in zip(wd, rel):
         assert a == pytest.approx(b, abs=1e-9), q
+
+
+def test_wand_k_zero_and_negative(seg_index):
+    assert wand.search_wand(seg_index, "market", k=0) == []
+    assert wand.search_wand(seg_index, "market", k=-3) == []
+
+
+def test_wand_requires_segment_index(spark, corpus_sdf):
+    from search_engine_spark import engine
+    from search_engine_spark.functions.analyzer import AnalyzerConfig
+
+    mem = engine.build_index(corpus_sdf, AnalyzerConfig.full(), cache=False)
+    with pytest.raises(TypeError, match="SegmentIndex"):
+        wand.search_wand(mem, "market", k=5)
+
+
+def test_capped_fetch_ships_at_most_cap_blocks(seg_index):
+    """The impact-ordered cap bounds what reaches the driver, not just
+    what gets decoded: _capped_blocks must return <= cap blocks per term
+    with the term's EXACT df riding along."""
+    dfs, blocks = wand._capped_blocks(seg_index, ["market", "price"], 2)
+    per_term = {}
+    for b in blocks:
+        per_term[b.term] = per_term.get(b.term, 0) + 1
+    assert per_term and all(v <= 2 for v in per_term.values())
+    exact = {r.term: r.df for r in seg_index.term_stats.filter(
+        seg_index.term_stats.term.isin(["market", "price"])).collect()}
+    assert dfs == {t: int(exact[t]) for t in dfs}

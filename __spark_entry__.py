@@ -504,7 +504,8 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
             WITH marked AS (
                 SELECT *,
                        CASE WHEN lag(ts) OVER w IS NULL
-                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800000000
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

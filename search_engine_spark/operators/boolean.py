@@ -48,13 +48,18 @@ def boolean_docs(index: InvertedIndex, plan: BooleanPlan,
     """Evaluate the boolean plan → doc_id DataFrame (uncut, unordered)."""
     clauses = [_clause_docs(index, c) for c in plan.clauses]
     operators = list(plan.operators)
-    if plan.paren_group is not None:
-        lo, hi = plan.paren_group
+    # fold each paren group first (left to right; indices shift as
+    # earlier groups collapse their clause ranges)
+    offset = 0
+    for lo, hi in plan.paren_groups:
+        lo -= offset
+        hi -= offset
         acc = clauses[lo]
         for i in range(lo, hi):
             acc = _apply(acc, operators[i], clauses[i + 1])
         clauses[lo : hi + 1] = [acc]
         del operators[lo:hi]
+        offset += hi - lo
     acc = clauses[0]
     if plan.leading_not:
         uni = universe if universe is not None else index.doc_stats.select("doc_id")

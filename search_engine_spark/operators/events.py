@@ -7,11 +7,13 @@ window-function + event-time coverage a production corpus pipeline needs
 for the DuckDB oracle:
 
 * tumbling_counts — fixed windows via date_trunc-aligned grouping
-* sliding_topk    — top event types per window by count (rank window fn)
+* sliding_topk    — top event types per TUMBLING window by count (rank
+                    window fn; the name is historical — windows do not
+                    overlap)
 * sessionize      — gap-based sessions: lag + cumulative-sum-of-breaks
                     (the batch formulation of session windows; the
                     streaming formulation lives in streaming/incremental)
-* user_stats      — per-user aggregates with percentile frames
+* user_stats      — per-user aggregates incl. exact value percentiles
 """
 
 from __future__ import annotations
@@ -55,13 +57,17 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     the window is per-user and AQE splits oversized partitions.
     """
     byu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # cast via TIMESTAMP first: parquet may carry TIMESTAMP_NTZ, which has
-    # no direct cast to long (session TZ is pinned UTC so this is exact)
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # exact MICROSECOND gap test (cast via TIMESTAMP first: parquet may
+    # carry TIMESTAMP_NTZ; session TZ is pinned UTC so this is exact).
+    # Flooring to whole seconds would merge a true gap of e.g. 1800.8 s,
+    # silently diverging from fractional event time and the DuckDB
+    # oracle's epoch_us; integer µs arithmetic has no float boundary.
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = epoch - F.lag(epoch).over(byu)
     marked = events.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1)
+        .otherwise(0),
     ).withColumn("session_id", F.sum("new_session").over(byu))
     return (
         marked.groupBy("user_id", "session_id")
@@ -75,10 +81,13 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 
 def user_stats(events: DataFrame) -> DataFrame:
-    """→ per-user aggregates (n, distinct types, mean value)."""
+    """→ per-user aggregates (n, distinct types, mean/max value, exact
+    p50/p95 value percentiles)."""
     return events.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
         F.round(F.avg("value"), 4).alias("mean_value"),
         F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50_value"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95_value"),
     )

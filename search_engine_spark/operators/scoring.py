@@ -53,13 +53,6 @@ def vsm_doc_weight(n_docs: int) -> Column:
     return F.greatest(w, F.lit(0.0)).alias("weight")
 
 
-def vsm_query_weight(n_docs: int, tf_q: int) -> float:
-    """(1 + log10 tf_q) · log10(N/df) — driver-side scalar per query term
-    (df substituted per term at plan time)."""
-    import math
-    return 1.0 + math.log10(tf_q)  # multiplied by log10(N/df) in the plan
-
-
 def lm_weight(total_cf: int, mu: float = 1089.0, tf_q: int = 1,
               pitman_yor: bool = False, g: float = 0.2) -> Column:
     """Language-model term weight (language_model.py:18-51).
@@ -80,8 +73,18 @@ def lm_weight(total_cf: int, mu: float = 1089.0, tf_q: int = 1,
     return (F.lit(float(tf_q)) * w).alias("weight")
 
 
-def lm_doc_prior(mu: float, query_len: int) -> Column:
-    """Doc-level additive term len(q)·ln(µ/(dl+µ)) (language_model.py:250-256)."""
-    return (
-        F.lit(float(query_len)) * F.log(F.lit(mu) / (F.col("dl") + F.lit(mu)))
-    ).alias("prior")
+def lm_doc_prior(mu: float, query_len: int, pitman_yor: bool = False,
+                 g: float = 0.2) -> Column:
+    """Doc-level additive prior (language_model.py:249-256).
+
+    Dirichlet: len(q)·ln(µ/(dl+µ)).
+    Pitman-Yor: len(q)·ln(1 − disc_dl/(dl+µ)), disc_dl = max(dl − g·dl^g, 0)
+    — the discounted-length prior the reference applies for PYP; using
+    the Dirichlet prior there is rank-changing (the delta grows with dl)."""
+    dl = F.col("dl").cast("double")
+    if pitman_yor:
+        disc = F.greatest(dl - F.lit(g) * F.pow(dl, F.lit(g)), F.lit(0.0))
+        p = F.log(F.lit(1.0) - disc / (dl + F.lit(mu)))
+    else:
+        p = F.log(F.lit(mu) / (dl + F.lit(mu)))
+    return (F.lit(float(query_len)) * p).alias("prior")

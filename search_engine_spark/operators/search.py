@@ -190,9 +190,11 @@ def search_freetext_tokens(index: InvertedIndex, toks: list[str],
         scored = scored.join(candidates, "doc_id", "left_semi")
     agg = scored.groupBy("doc_id").agg(F.sum("weight").alias("score"))
     if model.startswith("lm-"):
-        mu = 1303.0 if model == "lm-pyp" else 1089.0
+        pyp = model == "lm-pyp"
+        mu = 1303.0 if pyp else 1089.0
         prior = index.doc_stats.select(
-            "doc_id", scoring.lm_doc_prior(mu, len(toks)).alias("prior")
+            "doc_id",
+            scoring.lm_doc_prior(mu, len(toks), pitman_yor=pyp).alias("prior"),
         )
         agg = agg.join(prior, "doc_id").select(
             "doc_id", (F.col("score") + F.col("prior")).alias("score")

@@ -216,8 +216,13 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.9,
 
         return vecs.map(one)
 
+    # vectors cast to double like the exact baseline: float32 dot
+    # products can flip a pair across the round(...,6)>=threshold
+    # boundary relative to embedding_pairs_exact for reasons unrelated
+    # to bucketing, which would contaminate recall comparisons
     tagged = embeddings.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
         F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
     a = tagged.select(F.col("_id").alias("id_a"),

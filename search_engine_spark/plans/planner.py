@@ -2,9 +2,18 @@
 
 Reference order (retrieval_execution.py:63-94, SURVEY §2.5 Q1): proximity
 ``#k(t1,t2)`` first, then boolean (AND/OR/NOT present), then phrase
-(quotes present), else free text. Boolean queries support one level of
-parentheses (boolean_retrieval.py:39-114); clauses may be terms or quoted
+(quotes present), else free text. Boolean queries support one paren
+LEVEL but MULTIPLE groups (boolean_retrieval.py:63-90 iterates a list of
+parenthesised positions — "greggs AND (starbucks OR nandos) AND
+(fifa OR pes)" is its own example); clauses may be terms or quoted
 phrases.
+
+Documented deviation: operator words INSIDE quoted phrases stay literal
+phrase words here. The reference's token scan treats them as operators
+(preprocessing.py:93-94 checks each whitespace token against the found
+operator list even mid-phrase), which leaves a spurious operator that
+misaligns every later clause/paren position — replicating that would
+make multi-clause queries wrong whenever any phrase contains AND/OR/NOT.
 
 This module is pure driver-side planning — the "logical plan" the engine
 executes as DataFrame compositions.
@@ -42,7 +51,9 @@ class BooleanPlan:
     clauses: list[BooleanClause]
     operators: list[str]          # between clauses; may start with unary NOT
     leading_not: bool = False
-    paren_group: tuple[int, int] | None = None  # clause-index range evaluated first
+    # clause-index ranges evaluated first, left to right (the reference's
+    # positions_with_parentheses list — multiple groups, one level)
+    paren_groups: list[tuple[int, int]] = field(default_factory=list)
 
 
 @dataclass
@@ -77,13 +88,23 @@ def _parse_freetext(query: str, conf: AnalyzerConfig) -> FreeTextPlan:
 
 
 def _analyze_bool_term(raw: str, conf: AnalyzerConfig) -> list[str]:
-    """Boolean clause analysis: quoted → phrase analyzer; bare term → the
-    boolean cleaner ([^a-zA-Z]+ strip, quirk 10) then lower+stem (stopwords
-    are NOT removed from boolean operands in the reference flow)."""
+    """Boolean clause analysis — quirk 10: BOTH clause forms use the
+    boolean cleaner, never the free-text analyzer. Bare term → strip
+    [^a-zA-Z]+, lower, stem. Quoted phrase → the SAME per-word cleaning
+    (reference preprocessing.py:97-106 routes phrase words through
+    clean_term), so stopwords are NOT removed from boolean phrase
+    operands: '"state of the art"' keeps [state, of, the, art] — 'of'
+    is absent from the stopword-stripped index, so the phrase matches
+    nothing, exactly like the reference's mini-index miss."""
     raw = raw.strip()
     pm = _PHRASE_RE.match(raw)
     if pm:
-        return analyze(pm.group(1), conf)
+        words = [clean_boolean_term(w).lower() for w in pm.group(1).split()]
+        if conf.stem:
+            words = [stem(w) for w in words if w]
+        else:
+            words = [w for w in words if w]
+        return words
     t = clean_boolean_term(raw).lower()
     return [stem(t) if conf.stem else t] if t else []
 
@@ -91,27 +112,42 @@ def _analyze_bool_term(raw: str, conf: AnalyzerConfig) -> list[str]:
 def _parse_boolean(query: str, conf: AnalyzerConfig) -> BooleanPlan:
     leading_not = False
     q = query.strip()
+    # mask quoted phrases so operator words and parens INSIDE quotes stay
+    # literal (see module docstring: documented deviation from the
+    # reference's mid-phrase operator scan)
+    masked: list[str] = []
+
+    def _mask(m):
+        masked.append(m.group(1))
+        return f'"\x00{len(masked) - 1}"'
+
+    q = _PHRASE_RE.sub(_mask, q)
+
+    def _unmask(s: str) -> str:
+        return re.sub(r'"\x00(\d+)"',
+                      lambda m: '"' + masked[int(m.group(1))] + '"', s)
+
     if q.startswith("NOT "):
         leading_not = True
         q = q[4:]
-    # one paren level: note which clause span was grouped, then strip parens
-    paren = None
-    pm = re.search(r"\(([^()]*)\)", q)
-    if pm:
-        before = q[: pm.start()]
-        n_ops_before = len(_BOOL_OP_RE.findall(before))
+    # one paren LEVEL, multiple groups: record each group's operator-index
+    # range (== clause-index range after splitting), then strip parens
+    paren_groups: list[tuple[int, int]] = []
+    for pm in re.finditer(r"\(([^()]*)\)", q):
+        n_ops_before = len(_BOOL_OP_RE.findall(q[: pm.start()]))
         inner_ops = len(_BOOL_OP_RE.findall(pm.group(1)))
-        paren = (n_ops_before, n_ops_before + inner_ops)
-        q = q.replace("(", " ").replace(")", " ")
+        if inner_ops:
+            paren_groups.append((n_ops_before, n_ops_before + inner_ops))
+    q = q.replace("(", " ").replace(")", " ")
     parts = _BOOL_OP_RE.split(q)
     clauses, operators = [], []
     for i, part in enumerate(parts):
         if i % 2 == 0:
-            raw = part.strip()
+            raw = _unmask(part).strip()
             terms = _analyze_bool_term(raw, conf)
             clauses.append(
                 BooleanClause(terms, is_phrase=bool(_PHRASE_RE.match(raw)))
             )
         else:
             operators.append(part)
-    return BooleanPlan(clauses, operators, leading_not, paren)
+    return BooleanPlan(clauses, operators, leading_not, paren_groups)

@@ -147,7 +147,14 @@ def with_dense_doc_ids(docs: DataFrame, start: int = 1) -> DataFrame:
     from pyspark.sql.types import LongType, StructField
 
     spark = docs.sparkSession
-    with_pid = docs.withColumn("_pid", F.spark_partition_id())
+    # localCheckpoint BEFORE the two passes (count + numbering): (1) the
+    # full upstream lineage — typically the expensive corpus generation /
+    # extraction — executes once, not twice; (2) both passes read the
+    # SAME materialized layout, so per-partition counts can never drift
+    # from the rows the numbering pass sees (re-evaluated lineage makes
+    # no such guarantee for nondeterministic upstreams)
+    with_pid = docs.withColumn("_pid", F.spark_partition_id()) \
+        .localCheckpoint(eager=True)
     counts = dict(
         (r["_pid"], r["c"])
         for r in with_pid.groupBy("_pid").agg(F.count("*").alias("c")).collect()
@@ -180,11 +187,16 @@ def with_dense_doc_ids(docs: DataFrame, start: int = 1) -> DataFrame:
 
 def ingest_filters(docs: DataFrame) -> DataFrame:
     """Reference ingest validity filters (index_build.py:147,150-157):
-    drop title/url >= 1000 chars (we have no separate title column: the
-    whole text row stands in), malformed timestamps."""
-    return docs.filter(
-        (F.length("url") < 1000) & F.col("warc_ts").isNotNull() & F.col("text").isNotNull()
-    )
+    drop url >= 1000 chars, malformed timestamps, missing text; a
+    ``title`` column, when present, gets the reference's same <1000-char
+    sanity bound. The bound is NOT applied to ``text`` — body text
+    routinely exceeds 1000 chars and the reference only bounds its
+    (short) title field."""
+    cond = (F.length("url") < 1000) & F.col("warc_ts").isNotNull() \
+        & F.col("text").isNotNull()
+    if "title" in docs.columns:
+        cond = cond & (F.length("title") < 1000)
+    return docs.filter(cond)
 
 
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -225,10 +225,12 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30,
         eids = [eids[i] for i in order]
         vals = [vals[i] for i in order]
 
-        # split into sessions on the second-floor gap (events.py:60-61)
+        # split into sessions on the exact-microsecond gap — identical
+        # integer arithmetic to the batch unix_micros test (events.py)
+        gap_us = gap_s * 1_000_000
         bounds = [0]
         for i in range(1, len(ts_us)):
-            if ts_us[i] // 1_000_000 - ts_us[i - 1] // 1_000_000 > gap_s:
+            if ts_us[i] - ts_us[i - 1] > gap_us:
                 bounds.append(i)
         bounds.append(len(ts_us))
 
@@ -240,12 +242,10 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30,
             if lo == hi:
                 continue
             end_us = ts_us[hi - 1]
-            # batch gap test floors BOTH sides to seconds (events.py:60),
-            # so an event up to the end of second floor(end)+gap still
-            # merges — seal only once the watermark clears that whole
-            # second (+1), or an admissible boundary event would arrive
-            # after its session was emitted
-            sealed = (end_us // 1_000_000 + gap_s + 1) * 1000 <= wm_ms
+            # an event merges iff ts_us <= end_us + gap_us (the exact
+            # batch gap test), and the watermark admits ts >= wm — seal
+            # only once NO admissible event can merge
+            sealed = wm_ms * 1000 > end_us + gap_us
             if sealed:
                 # batch identity demands Spark's ROUND semantics:
                 # F.round on a double is HALF_UP over the shortest
@@ -282,9 +282,9 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30,
         state.update((sid, ts_us, eids, vals))
         if ts_us:
             # wake when the watermark clears the last open session's
-            # merge window (same +1s second-floor bound as the seal test)
+            # merge window (end + gap, rounded up to the next ms)
             state.setTimeoutTimestamp(
-                max((ts_us[-1] // 1_000_000 + gap_s + 1) * 1000, wm_ms + 1))
+                max((ts_us[-1] + gap_us) // 1000 + 1, wm_ms + 1))
         if out:
             yield pd.DataFrame(out)
 

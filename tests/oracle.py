@@ -137,7 +137,13 @@ def search_freetext_tokens(index, doc_sizes, toks: list[str], k: int = 100,
         mu = 1303.0 if model == "lm-pyp" else 1089.0
         qlen = len(toks)
         for doc_id in list(scores):
-            scores[doc_id] += qlen * math.log(mu / (doc_sizes[doc_id] + mu))
+            dl = doc_sizes[doc_id]
+            if model == "lm-pyp":
+                # PYP discounted-length prior (language_model.py:249-251)
+                disc_dl = max(dl - 0.2 * dl ** 0.2, 0.0)
+                scores[doc_id] += qlen * math.log(1.0 - disc_dl / (dl + mu))
+            else:
+                scores[doc_id] += qlen * math.log(mu / (dl + mu))
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]
 
@@ -289,8 +295,10 @@ def execute(index, doc_sizes, query: str, k: int = 100, model: str = "bm25",
             else:
                 clause_sets.append(set())
         operators = list(plan.operators)
-        if plan.paren_group is not None:
-            lo, hi = plan.paren_group
+        offset = 0
+        for lo, hi in plan.paren_groups:
+            lo -= offset
+            hi -= offset
             acc = clause_sets[lo]
             for i in range(lo, hi):
                 nxt = clause_sets[i + 1]
@@ -298,6 +306,7 @@ def execute(index, doc_sizes, query: str, k: int = 100, model: str = "bm25",
                 acc = acc & nxt if op == "AND" else acc | nxt if op == "OR" else acc - nxt
             clause_sets[lo: hi + 1] = [acc]
             del operators[lo:hi]
+            offset += hi - lo
         acc = clause_sets[0]
         if plan.leading_not:
             acc = set(doc_sizes) - acc

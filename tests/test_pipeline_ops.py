@@ -394,3 +394,24 @@ def test_simhash_band_guarantee_adversarial(spark):
     h2 = spark.createDataFrame([(1, base), (2, other ^ (1 << 60))],
                                "doc_id long, simhash long")
     assert dedup.simhash_pairs(h2, max_hamming=8).count() == 0
+
+
+def test_sessionize_fractional_gap_boundary(spark):
+    """Gap test is exact microseconds: 1800.8s splits, 1799.9s merges —
+    flooring to whole seconds would wrongly merge the first pair."""
+    import datetime as dt
+
+    base = dt.datetime(2022, 1, 1)
+    rows = [
+        (1, 1, "c", 1.0, base),
+        (1, 2, "c", 1.0, base + dt.timedelta(seconds=1800, milliseconds=800)),
+        (2, 3, "c", 1.0, base),
+        (2, 4, "c", 1.0, base + dt.timedelta(seconds=1799, milliseconds=900)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, "
+              "value double, ts timestamp")
+    out = {(r.user_id, r.session_id) for r in
+           events.sessionize(df, 30).collect()}
+    assert {(1, 1), (1, 2)} <= out          # 1800.8 > 1800 → split
+    assert {t for t in out if t[0] == 2} == {(2, 1)}  # 1799.9 → merged

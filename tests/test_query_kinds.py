@@ -54,12 +54,59 @@ BOOLEAN_QUERIES = [
     "NOT hello",
     "world AND (germany OR china)",
     'market AND "hello world"',
+    "market AND (price OR growth) AND (germany OR china)",  # two groups
 ]
 
 
 @pytest.mark.parametrize("q", BOOLEAN_QUERIES)
 def test_boolean(built_index, oracle_index, q):
     _assert_same(_run(built_index, q), _want(oracle_index, q))
+
+
+def test_boolean_multiple_paren_groups_ground_truth(built_index, oracle_index):
+    """The reference's own multi-group example shape
+    (boolean_retrieval.py:63): verified against set algebra computed
+    DIRECTLY from posting sets, independent of the shared planner."""
+    o_index, _ = oracle_index
+
+    def docs_of(term):
+        return set(o_index[term][1]) if term in o_index else set()
+
+    want = (docs_of("market")
+            & (docs_of("price") | docs_of("growth"))
+            & (docs_of("germani") | docs_of("china")))
+    got = {d for d, _ in _run(
+        built_index, "market AND (price OR growth) AND (germany OR china)",
+        k=100_000)}
+    assert want and got == want
+
+
+def test_boolean_operator_word_inside_phrase_stays_literal(built_index):
+    """Documented deviation: AND inside quotes is a phrase word, not an
+    operator. The phrase [germani, and, economi] contains the OOV
+    stopword 'and' (boolean phrase operands KEEP stopwords, and the
+    index strips them), so the phrase matches nothing and the result is
+    exactly the other clause's docs."""
+    p = planner.classify('"germany AND economy" OR market')
+    assert [c.is_phrase for c in p.clauses] == [True, False]
+    assert p.clauses[0].terms == ["germani", "and", "economi"]
+    got = {d for d, _ in _run(built_index, '"germany AND economy" OR market',
+                              k=100_000)}
+    want = {d for d, _ in _run(built_index, "market", k=100_000)}
+    assert got == want
+
+
+def test_boolean_phrase_keeps_stopwords(built_index, oracle_index):
+    """Quirk 10: boolean phrase operands go through the per-word boolean
+    cleaner — stopwords survive into the phrase term list ('hello' is a
+    Glasgow stopword), go OOV against the stopword-stripped index, and
+    the phrase matches nothing (the reference's mini-index miss)."""
+    p = planner.classify('market AND "hello world"')
+    assert p.clauses[1].terms == ["hello", "world"]
+    _assert_same(_run(built_index, 'market AND "hello world"'),
+                 _want(oracle_index, 'market AND "hello world"'))
+    assert _run(built_index, 'market AND "hello world"',
+                ) == []  # ranked rescue finds no docs in the empty set
 
 
 PROX_QUERIES = ["#3(germany, economy)", "#1(germany, economy)",
@@ -83,7 +130,7 @@ def test_boolean_classification():
     p = planner.classify("world AND (germany OR china)")
     assert isinstance(p, planner.BooleanPlan)
     assert p.operators == ["AND", "OR"]
-    assert p.paren_group == (1, 2)
+    assert p.paren_groups == [(1, 2)]
 
 
 def test_date_filter(built_index, oracle_index, corpus_pdf):

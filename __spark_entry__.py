@@ -481,8 +481,10 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams)) * 1.0
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
         """,
-        "token_count": """
-            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        "token_count": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) AS n_tokens,
                    CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_subwords
             FROM documents
         """,
@@ -656,23 +658,33 @@ def _language_id_sql() -> str:
 def _quality_score_sql() -> str:
     from search_engine_spark.functions.analyzer import load_stopwords
 
-    sw = sorted(load_stopwords())[:64]
+    sw = sorted(load_stopwords())  # FULL Glasgow list, same as the engine
     sw_list = ", ".join("'" + w.replace("'", "''") + "'" for w in sw)
-    return f"""
+    return rf"""
         WITH t AS (
-            SELECT doc_id, string_split(text, ' ') AS toks,
-                   len(string_split(text, ' ')) AS n_tokens,
-                   LENGTH(text) AS n_chars
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS toks
             FROM documents
+        ), c AS (
+            SELECT doc_id, toks, len(toks) AS n_tokens FROM t
         ), r AS (
             SELECT doc_id, n_tokens,
-                   ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens, 6)
+                   CASE WHEN n_tokens > 0
+                        THEN ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                                   / n_tokens, 6) ELSE 0.0 END
                        AS distinct_ratio,
-                   ROUND(CAST(len(list_intersect(toks, [{sw_list}])) AS DOUBLE)
-                         / len(list_distinct(toks)), 6) AS stopword_ratio,
-                   ROUND(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6)
+                   CASE WHEN n_tokens > 0
+                        THEN ROUND(CAST(len(list_intersect(toks, [{sw_list}]))
+                                        AS DOUBLE)
+                                   / len(list_distinct(toks)), 6)
+                        ELSE 0.0 END AS stopword_ratio,
+                   CASE WHEN n_tokens > 0
+                        THEN ROUND(CAST(list_sum(list_transform(toks,
+                                            x -> length(x))) AS DOUBLE)
+                                   / n_tokens, 6) ELSE 0.0 END
                        AS mean_token_len
-            FROM t
+            FROM c
         )
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, distinct_ratio,
                stopword_ratio, mean_token_len,

@@ -53,7 +53,14 @@ def vsm_doc_weight(n_docs: int) -> Column:
     return F.greatest(w, F.lit(0.0)).alias("weight")
 
 
-def lm_weight(total_cf: int, mu: float = 1089.0, tf_q: int = 1,
+# the reference's smoothing constants (language_model.py): keep the term
+# weight and the additive doc prior on the SAME value — they are applied
+# at two different plan sites
+LM_MU_DIRICHLET = 1089.0
+LM_MU_PYP = 1303.0
+
+
+def lm_weight(total_cf: int, mu: float = LM_MU_DIRICHLET, tf_q: int = 1,
               pitman_yor: bool = False, g: float = 0.2) -> Column:
     """Language-model term weight (language_model.py:18-51).
 

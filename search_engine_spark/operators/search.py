@@ -104,10 +104,10 @@ def _scored_frame(index: InvertedIndex, terms: list[str], model: str,
         w = scoring.bm25_reference_weight(n, avgdl)
     elif model == "lm-dirichlet":
         joined = joined.withColumn("cf", F.col("df"))  # quirk 5: cf is df
-        w = scoring.lm_weight(total, mu=1089.0)
+        w = scoring.lm_weight(total, mu=scoring.LM_MU_DIRICHLET)
     elif model == "lm-pyp":
         joined = joined.withColumn("cf", F.col("df"))
-        w = scoring.lm_weight(total, mu=1303.0, pitman_yor=True)
+        w = scoring.lm_weight(total, mu=scoring.LM_MU_PYP, pitman_yor=True)
     else:
         raise ValueError(f"unknown model {model!r}")
     if q_tf:
@@ -172,7 +172,8 @@ def search_freetext_tokens(index: InvertedIndex, toks: list[str],
     callers that merge several score frames and apply one final top-k
     (a ranked return here would be a full global sort holding every doc)."""
     if model == "vsm":
-        return search_vsm_tokens(index, toks, k=k, candidates=candidates)
+        return search_vsm_tokens(index, toks, k=k, candidates=candidates,
+                                 adaptive=adaptive)
     if not toks:
         return index.postings.sparkSession.createDataFrame([], "doc_id long, score double")
     q_tf: dict[str, int] = {}
@@ -180,8 +181,13 @@ def search_freetext_tokens(index: InvertedIndex, toks: list[str],
         q_tf[t] = q_tf.get(t, 0) + 1
     terms = list(q_tf)
     scored = _scored_frame(index, terms, model, q_tf)
-    if adaptive and candidates is None:
-        candidates = adaptive_candidates(index, terms)
+    if adaptive:
+        # computed IN ADDITION to any explicit candidates (a date range
+        # arrives as `candidates`; requesting adaptive must not be
+        # silently dropped — both restrictions apply as two semi-joins)
+        extra = adaptive_candidates(index, terms)
+        if extra is not None:
+            scored = scored.join(extra, "doc_id", "left_semi")
     if candidates is not None:
         # no broadcast hint: candidate frames are only LOWER-bounded (the
         # union tier or a wide date range can be millions of rows) and a
@@ -191,7 +197,7 @@ def search_freetext_tokens(index: InvertedIndex, toks: list[str],
     agg = scored.groupBy("doc_id").agg(F.sum("weight").alias("score"))
     if model.startswith("lm-"):
         pyp = model == "lm-pyp"
-        mu = 1303.0 if pyp else 1089.0
+        mu = scoring.LM_MU_PYP if pyp else scoring.LM_MU_DIRICHLET
         prior = index.doc_stats.select(
             "doc_id",
             scoring.lm_doc_prior(mu, len(toks), pitman_yor=pyp).alias("prior"),
@@ -230,7 +236,8 @@ def search_vsm(index: InvertedIndex, query: str, k: int = 20,
 
 def search_vsm_tokens(index: InvertedIndex, toks: list[str],
                       k: int | None = 20,
-                      candidates: DataFrame | None = None) -> DataFrame:
+                      candidates: DataFrame | None = None,
+                      adaptive: bool = False) -> DataFrame:
     """Full VSM cosine (reference vsm_model.py:56-103): doc weight
     (1+log10 tf)·log10((N−df)/df) clamped ≥0, query weight
     (1+log10 tf_q)·log10(N/df), cosine over the doc/query norms, top-20
@@ -257,12 +264,17 @@ def search_vsm_tokens(index: InvertedIndex, toks: list[str],
     }
     qnorm = math.sqrt(sum(v * v for v in w_q.values()))
     matched = index.lookup(terms).select("term", "doc_id", "tf")
+    if adaptive and candidates is None:
+        candidates = adaptive_candidates(index, terms)
     if candidates is not None:
         matched = matched.join(candidates, "doc_id", "left_semi")  # AQE sizes the join
-    tstats = F.broadcast(index.term_stats.filter(F.col("term").isin(terms)))
+    # dfs are ALREADY collected (for the query weights): feed them back
+    # as map literals instead of re-scanning term_stats a second time
+    df_map = F.create_map(*[F.lit(x) for t, d in dfs.items()
+                            for x in (t, int(d))])
     wq_map = F.create_map(*[F.lit(x) for kv in w_q.items() for x in kv])
     dot = (
-        matched.join(tstats, "term")
+        matched.withColumn("df", df_map[F.col("term")])
         .withColumn("w_d", scoring.vsm_doc_weight(n))
         .withColumn("w_q", wq_map[F.col("term")])
         .groupBy("doc_id")
@@ -291,13 +303,19 @@ def rerank(topk_df: DataFrame, documents: DataFrame, query_terms: list[str],
            as_of: date, k: int = 100, text_col: str = "text",
            ts_col: str | None = None) -> DataFrame:
     """Reference rerank (helpers.py:147-173): ×1.10 per query term found in
-    the title (we use the text head as the title surrogate when no title
-    column exists), recency weight linspace(1.40→0.8) over 100 days before
+    the title — a real ``title`` column when the table has one, else the
+    first 100 chars of text as the head surrogate (boosting on the FULL
+    body would be non-discriminating: every BM25 hit contains its matched
+    terms somewhere in the body, so all top-k docs would get the same
+    multiplier). Recency weight linspace(1.40→0.8) over 100 days before
     ``as_of`` (quirk 4: wall-clock pinned to a parameter). Broadcast join:
     only k rows on the left."""
     docs = documents
     boosted = F.broadcast(topk_df).join(docs, "doc_id")
-    title = F.lower(F.col(text_col))
+    if "title" in docs.columns:
+        title = F.lower(F.col("title"))
+    else:
+        title = F.lower(F.substring(F.col(text_col), 1, 100))
     boost = F.lit(1.0)
     for t in query_terms:
         boost = boost * F.when(title.contains(t.lower()), F.lit(1.10)).otherwise(F.lit(1.0))

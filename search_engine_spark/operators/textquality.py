@@ -25,14 +25,25 @@ _LANG_PROFILES: dict[str, set[str]] = {
 }
 
 
+def _tokens(text_col: str):
+    """Whitespace-robust token array: split on \\s+ runs, drop empties —
+    newlines/tabs/multi-space real-web text counts correctly and empty/
+    NULL text yields ZERO tokens (a bare split(' ') would glue
+    'one.\\nline' together and count '' as one token)."""
+    return F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+
+
 def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """whitespace token count + a BPE-ish subword estimate (≈chars/4,
     the standard heuristic) — (doc_id, n_tokens, n_subwords)."""
-    toks = F.split(F.col(text_col), " ")
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.ceil(F.length(text_col) / 4).cast(LongType()).alias("n_subwords"),
+        F.size(_tokens(text_col)).alias("n_tokens"),
+        F.ceil(F.length(F.coalesce(F.col(text_col), F.lit(""))) / 4)
+        .cast(LongType()).alias("n_subwords"),
     )
 
 
@@ -40,26 +51,34 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic curation features + a composite score:
     (doc_id, n_tokens, distinct_ratio, stopword_ratio, mean_token_len,
     quality). Formula mirrors common web-corpus filters (length band,
-    lexical diversity, function-word presence)."""
-    sw = sorted(load_stopwords())
-    toks = F.split(F.col(text_col), " ")
+    lexical diversity, function-word presence). Empty/NULL text scores
+    zero on every ratio (no null-skipping credit)."""
+    sw = sorted(load_stopwords())  # full Glasgow list on both sides
     d = docs.select(
-        "doc_id", toks.alias("t"),
-        F.size(toks).alias("n_tokens"),
-        F.length(text_col).alias("n_chars"),
+        "doc_id", _tokens(text_col).alias("t"),
+    ).withColumn(
+        "n_tokens", F.size("t"),
     ).withColumn(
         "distinct_ratio",
-        F.round(F.size(F.array_distinct("t")) / F.size("t"), 6),
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.size(F.array_distinct("t")) / F.col("n_tokens"), 6))
+        .otherwise(F.lit(0.0)),
     ).withColumn(
         "stopword_ratio",
-        F.round(
-            F.size(F.array_intersect("t", F.array(*[F.lit(w) for w in sw[:64]])))
-            / F.size(F.array_distinct("t")),
-            6,
-        ),
+        F.when(F.col("n_tokens") > 0,
+               F.round(
+                   F.size(F.array_intersect(
+                       "t", F.array(*[F.lit(w) for w in sw])))
+                   / F.size(F.array_distinct("t")), 6))
+        .otherwise(F.lit(0.0)),
     ).withColumn(
         "mean_token_len",
-        F.round((F.col("n_chars") - F.size("t") + 1) / F.size("t"), 6),
+        F.when(F.col("n_tokens") > 0,
+               F.round(
+                   F.aggregate("t", F.lit(0),
+                               lambda acc, x: acc + F.length(x))
+                   / F.col("n_tokens"), 6))
+        .otherwise(F.lit(0.0)),
     )
     quality = F.round(
         F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000), 0.4)
@@ -106,8 +125,9 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """n-gram/function-word language ID heuristic → (doc_id, pred_lang,
-    confidence). Broadcast profiles, one pandas UDF pass."""
+    """function-word language ID heuristic → (doc_id, pred_lang);
+    'und' when no profile matches. Broadcast profiles, one pandas UDF
+    pass."""
     profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
 
     @F.pandas_udf(StringType())

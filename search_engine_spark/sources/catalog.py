@@ -68,7 +68,32 @@ def build_durable_index(
     if not resume and os.path.exists(os.path.join(index_dir, "manifest")):
         import shutil
         shutil.rmtree(index_dir)
-    os.makedirs(index_dir, exist_ok=True)
+    os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
+
+    # Resume must re-run with the SAME build config: skipping completed
+    # steps while e.g. the analyzer or block_span changed would mix
+    # incompatible artifacts (stats.json would claim the new analyzer
+    # against old-analyzer tokens; mixed block spans break WAND's
+    # same-block-id-covers-same-doc-range invariant). The config commits
+    # to the manifest up front and every re-run validates against it.
+    config = {
+        "buckets": buckets, "block_span": block_span, "shards": shards,
+        "positional": positional,
+        "analyzer": {"lowercase": conf.lowercase,
+                     "remove_stopwords": conf.remove_stopwords,
+                     "stem": conf.stem},
+    }
+    cfg_path = os.path.join(index_dir, "manifest", "build_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            prev = json.load(f).get("config")
+        if prev != config:
+            raise ValueError(
+                f"resume of {index_dir} with a DIFFERENT build config "
+                f"(recorded {prev}, requested {config}) would mix "
+                "incompatible artifacts — pass resume=False to rebuild")
+    else:
+        _record(index_dir, "build_config", config=config)
 
     stage_dir = os.path.join(index_dir, "postings_stage")
     if not _done(index_dir, "postings_stage"):

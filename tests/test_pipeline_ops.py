@@ -415,3 +415,23 @@ def test_sessionize_fractional_gap_boundary(spark):
            events.sessionize(df, 30).collect()}
     assert {(1, 1), (1, 2)} <= out          # 1800.8 > 1800 → split
     assert {t for t in out if t[0] == 2} == {(2, 1)}  # 1799.9 → merged
+
+
+def test_token_count_whitespace_and_empty(spark):
+    """Real-web whitespace: newlines/tabs/multi-space split correctly;
+    empty and NULL text count ZERO tokens (not one empty string)."""
+    df = spark.createDataFrame(
+        [(1, "line one.\nline two"), (2, "a  b\tc"), (3, ""), (4, None),
+         (5, "plain words here")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_tokens for r in textquality.token_count(df).collect()}
+    assert got == {1: 4, 2: 3, 3: 0, 4: 0, 5: 3}
+    q = {r.doc_id: r for r in textquality.quality_score(df).collect()}
+    assert q[3].quality == 0.0 and q[4].quality == 0.0  # no null credit
+    assert q[2].mean_token_len == pytest.approx(1.0)
+    # full stopword list: 'the'/'of' etc. count as function words
+    df2 = spark.createDataFrame(
+        [(9, "this is the story of my life over these years")],
+        "doc_id long, text string")
+    r9 = textquality.quality_score(df2).collect()[0]
+    assert r9.stopword_ratio > 0

@@ -201,3 +201,26 @@ def test_executor_all_models_including_vsm(built_index):
                                 model=model).collect()
         assert hits, model
         assert len(hits) <= 5
+
+
+def test_adaptive_combines_with_date_filter(spark, corpus_sdf):
+    """adaptive=True with a date range applies BOTH restrictions (it was
+    silently dropped when explicit candidates were present)."""
+    import os
+
+    from search_engine_spark import engine
+    from search_engine_spark.sources import corpus as C
+
+    part_docs = corpus_sdf  # has warc_ts
+    idx = engine.build_index(part_docs, documents=part_docs)
+    from datetime import date
+
+    both = {d for d, _ in _run(
+        idx, "market price", adaptive=True,
+        date_start=date(2022, 1, 1), date_end=date(2022, 1, 10), k=10_000)}
+    date_only = {d for d, _ in _run(
+        idx, "market price",
+        date_start=date(2022, 1, 1), date_end=date(2022, 1, 10), k=10_000)}
+    adaptive_only = {d for d, _ in _run(
+        idx, "market price", adaptive=True, k=10_000)}
+    assert both == (date_only & adaptive_only)

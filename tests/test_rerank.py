@@ -25,7 +25,7 @@ def test_rerank_title_boost_and_recency(spark, built_index, corpus_sdf, oracle_i
     for d, s in got.items():
         want = base_scores[d]
         text, ts = texts[d]
-        low = text.lower()
+        low = text[:100].lower()  # title surrogate = text head
         for t in ("market", "price"):
             if t in low:
                 want *= 1.10
@@ -40,9 +40,15 @@ def test_rerank_without_recency(spark, built_index, corpus_sdf):
     out = S.rerank(base, corpus_sdf, ["germany"], date(2022, 4, 1), k=5)
     rows = out.collect()
     assert len(rows) == min(5, base.count())
-    # every hit contains the term → uniform 1.10 boost keeps order
-    base_ids = [r.doc_id for r in base.collect()]
-    assert [r.doc_id for r in rows] == base_ids
+    # head-surrogate title boost: ×1.10 only when the term appears in the
+    # first 100 chars — verify per doc against the base scores
+    base_scores = {r.doc_id: r.score for r in base.collect()}
+    heads = {r.doc_id: r.text[:100].lower() for r in corpus_sdf.collect()}
+    for r in rows:
+        want = base_scores[r.doc_id]
+        if "germany" in heads[r.doc_id]:
+            want *= 1.10
+        assert r.score == pytest.approx(want, abs=1e-9)
 
 
 def test_hydrate_returns_documents(spark, built_index, corpus_sdf):

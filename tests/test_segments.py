@@ -149,3 +149,25 @@ def test_decode_positional_mismatch_raises_descriptive(spark, corpus_sdf):
                               positional=False)
     with _pt.raises(Exception, match="positional"):
         SEG.decode_segments(seg, positional=True).collect()
+
+
+def test_resume_rejects_changed_build_config(spark, corpus_sdf, tmp_path):
+    """A resume with a different analyzer/block_span must refuse instead
+    of silently mixing incompatible artifacts into one index."""
+    import pytest as _pt
+
+    from search_engine_spark.functions.analyzer import AnalyzerConfig
+
+    d = str(tmp_path / "idx")
+    catalog.build_durable_index(spark, corpus_sdf.limit(30), d, shards=2,
+                                buckets=8, block_span=64)
+    with _pt.raises(ValueError, match="DIFFERENT build config"):
+        catalog.build_durable_index(spark, corpus_sdf.limit(30), d, shards=2,
+                                    buckets=8, block_span=128)
+    with _pt.raises(ValueError, match="DIFFERENT build config"):
+        catalog.build_durable_index(spark, corpus_sdf.limit(30), d, shards=2,
+                                    buckets=8, block_span=64,
+                                    conf=AnalyzerConfig.simple())
+    # same config: resume is a clean no-op
+    catalog.build_durable_index(spark, corpus_sdf.limit(30), d, shards=2,
+                                buckets=8, block_span=64)

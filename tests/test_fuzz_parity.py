@@ -24,7 +24,7 @@ def _gen_queries(seed: int = 424, n: int = 36) -> list[str]:
 
     out = []
     for i in range(n):
-        kind = i % 6
+        kind = i % 8
         if kind == 0:
             out.append(" ".join(pick(int(rng.integers(1, 5)))))
         elif kind == 1:
@@ -38,6 +38,17 @@ def _gen_queries(seed: int = 424, n: int = 36) -> list[str]:
         elif kind == 4:
             a, b, c = pick(3)
             out.append(f"{a} AND ({b} OR {c})")
+        elif kind == 5:
+            # multiple paren groups (the reference's own example shape)
+            a, b, c, d, e = pick(5)
+            op = ["AND", "OR"][int(rng.integers(0, 2))]
+            out.append(f"{a} {op} ({b} OR {c}) AND ({d} OR {e})")
+        elif kind == 6:
+            # boolean with a phrase clause (+ sometimes an operator word
+            # inside the quotes — must stay a literal phrase word)
+            a, b, c = pick(3)
+            inner = f"{b} AND {c}" if rng.integers(0, 2) else f"{b} {c}"
+            out.append(f'{a} OR "{inner}"')
         else:
             a, b = pick(2)
             out.append(f"#{int(rng.integers(1, 21))}({a},{b})")

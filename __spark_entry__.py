@@ -214,7 +214,7 @@ def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.user_stats(read_testdata(spark, sf_dir, "events")).select(
         "user_id", F.col("n_events").cast("long").alias("n_events"),
         F.col("n_types").cast("long").alias("n_types"),
-        "mean_value", "max_value",
+        "mean_value", "max_value", "p50_value", "p95_value",
     )
 
 
@@ -528,7 +528,9 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_events,
                    COUNT(DISTINCT event_type) AS n_types,
                    ROUND(AVG(value), 4) AS mean_value,
-                   ROUND(MAX(value), 4) AS max_value
+                   ROUND(MAX(value), 4) AS max_value,
+                   ROUND(quantile_cont(value, 0.5), 4) AS p50_value,
+                   ROUND(quantile_cont(value, 0.95), 4) AS p95_value
             FROM events GROUP BY user_id
         """,
         "window_topk": """

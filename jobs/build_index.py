@@ -65,7 +65,15 @@ def main() -> None:
         if "warc_ts" not in docs.columns:
             ap.error("--write-documents needs a warc_ts column for the "
                      "days() partition layout")
-        corpus.write_documents_partitioned(docs, args.write_documents)
+        # resume-safe: a COMPLETED store (parquet _SUCCESS marker) is
+        # reused, never rewritten — dense doc_ids depend on the input's
+        # partition layout, so a re-run could assign different ids and
+        # silently desynchronize the store from already-staged postings
+        # (and re-running extraction over the whole corpus is the most
+        # expensive stage anyway)
+        success = os.path.join(args.write_documents, "_SUCCESS")
+        if args.no_resume or not os.path.exists(success):
+            corpus.write_documents_partitioned(docs, args.write_documents)
         # build from the written store: extraction ran once during the
         # write; the index and the serving doc table share provenance
         docs = corpus.read_documents_partitioned(spark, args.write_documents)

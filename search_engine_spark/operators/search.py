@@ -208,22 +208,29 @@ def search_freetext_tokens(index: InvertedIndex, toks: list[str],
     return agg if k is None else topk(agg, k)
 
 
-def vsm_doc_norms(index: InvertedIndex) -> DataFrame:
+def vsm_norms_frame(postings: DataFrame, term_stats: DataFrame,
+                    n_docs: int) -> DataFrame:
     """(doc_id, dnorm): sqrt(Σ w_d²) over ALL of a doc's terms
-    (vsm_model.py:44-54). One postings⋈term_stats join + agg; cached on
-    the index handle after first use."""
+    (vsm_model.py:44-54). THE single norm definition — the lazy query
+    path and the durable build's precomputed artifact both call this, so
+    the two can never drift."""
+    return (
+        postings.select("term", "doc_id", "tf")
+        .join(term_stats.select("term", "df"), "term")
+        .withColumn("w", scoring.vsm_doc_weight(n_docs))
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm"))
+    )
+
+
+def vsm_doc_norms(index: InvertedIndex) -> DataFrame:
+    """Per-index norms: the precomputed build artifact when the index
+    carries one, else computed lazily once and cached on the handle."""
     cached = getattr(index, "_vsm_norms", None)
     if cached is not None:
         return cached
-    n = index.stats["n_docs"]
-    w = scoring.vsm_doc_weight(n)
-    norms = (
-        index.postings.select("term", "doc_id", "tf")
-        .join(index.term_stats.select("term", "df"), "term")
-        .withColumn("w", w)
-        .groupBy("doc_id")
-        .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm"))
-    ).cache()
+    norms = vsm_norms_frame(index.postings, index.term_stats,
+                            index.stats["n_docs"]).cache()
     index._vsm_norms = norms
     return norms
 
@@ -264,8 +271,12 @@ def search_vsm_tokens(index: InvertedIndex, toks: list[str],
     }
     qnorm = math.sqrt(sum(v * v for v in w_q.values()))
     matched = index.lookup(terms).select("term", "doc_id", "tf")
-    if adaptive and candidates is None:
-        candidates = adaptive_candidates(index, terms)
+    if adaptive:
+        # in ADDITION to explicit candidates (same both-restrictions
+        # contract as the BM25/LM path)
+        extra = adaptive_candidates(index, terms)
+        if extra is not None:
+            matched = matched.join(extra, "doc_id", "left_semi")
     if candidates is not None:
         matched = matched.join(candidates, "doc_id", "left_semi")  # AQE sizes the join
     # dfs are ALREADY collected (for the query weights): feed them back

@@ -178,20 +178,14 @@ def build_durable_index(
         if _done(index_dir, "vsm_norms"):
             return
         t0 = time.perf_counter()
-        from ..operators import scoring
+        from ..operators.search import vsm_norms_frame
 
         with open(os.path.join(index_dir, "stats.json")) as f:
             n = json.load(f)["n_docs"]
-        st = spark.read.parquet(stage_dir).select("term", "doc_id", "tf")
-        ts = spark.read.parquet(os.path.join(index_dir, "term_stats"))
-        (
-            st.join(ts.select("term", "df"), "term")
-            .withColumn("w", scoring.vsm_doc_weight(n))
-            .groupBy("doc_id")
-            .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(index_dir, "vsm_norms"))
-        )
+        vsm_norms_frame(
+            spark.read.parquet(stage_dir),
+            spark.read.parquet(os.path.join(index_dir, "term_stats")), n,
+        ).write.mode("overwrite").parquet(os.path.join(index_dir, "vsm_norms"))
         _record(index_dir, "vsm_norms",
                 duration_sec=round(time.perf_counter() - t0, 3))
 
@@ -295,12 +289,14 @@ class SegmentIndex(InvertedIndex):
             documents=documents,
             analyzer=conf,
         )
-        norms_dir = os.path.join(index_dir, "vsm_norms")
-        if os.path.exists(norms_dir):
-            # precomputed build artifact: the first VSM query reads this
-            # instead of re-aggregating the postings table (indexes built
-            # before the artifact existed fall back to lazy compute)
-            self._vsm_norms = spark.read.parquet(norms_dir)
+        # gate on the MANIFEST entry, not directory existence: a build
+        # killed mid-write leaves a partial/unreadable parquet dir whose
+        # silent load would drop docs from VSM rankings (or fail the
+        # whole index open). Indexes built before the artifact existed
+        # (or interrupted before its commit) fall back to lazy compute.
+        if _done(index_dir, "vsm_norms"):
+            self._vsm_norms = spark.read.parquet(
+                os.path.join(index_dir, "vsm_norms"))
 
     def _buckets_for(self, terms: list[str]) -> list[int]:
         # must equal pmod(xxhash64(term), buckets): computed driver-side

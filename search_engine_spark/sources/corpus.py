@@ -195,7 +195,9 @@ def ingest_filters(docs: DataFrame) -> DataFrame:
     cond = (F.length("url") < 1000) & F.col("warc_ts").isNotNull() \
         & F.col("text").isNotNull()
     if "title" in docs.columns:
-        cond = cond & (F.length("title") < 1000)
+        # NULL title (pages without <title>) is valid — only an
+        # oversized title fails the sanity bound
+        cond = cond & (F.col("title").isNull() | (F.length("title") < 1000))
     return docs.filter(cond)
 
 

@@ -203,24 +203,23 @@ def test_executor_all_models_including_vsm(built_index):
         assert len(hits) <= 5
 
 
-def test_adaptive_combines_with_date_filter(spark, corpus_sdf):
-    """adaptive=True with a date range applies BOTH restrictions (it was
-    silently dropped when explicit candidates were present)."""
-    import os
-
-    from search_engine_spark import engine
-    from search_engine_spark.sources import corpus as C
-
-    part_docs = corpus_sdf  # has warc_ts
-    idx = engine.build_index(part_docs, documents=part_docs)
+@pytest.mark.parametrize("model", ["bm25", "vsm"])
+def test_adaptive_combines_with_date_filter(spark, corpus_sdf, model):
+    """adaptive=True with a date range applies BOTH restrictions in every
+    model path (it was silently dropped when explicit candidates were
+    present, and the vsm dispatch dropped it separately)."""
     from datetime import date
 
+    from search_engine_spark import engine
+
+    idx = engine.build_index(corpus_sdf, documents=corpus_sdf)
+    kw = dict(model=model, k=10_000)
     both = {d for d, _ in _run(
         idx, "market price", adaptive=True,
-        date_start=date(2022, 1, 1), date_end=date(2022, 1, 10), k=10_000)}
+        date_start=date(2022, 1, 1), date_end=date(2022, 1, 10), **kw)}
     date_only = {d for d, _ in _run(
         idx, "market price",
-        date_start=date(2022, 1, 1), date_end=date(2022, 1, 10), k=10_000)}
+        date_start=date(2022, 1, 1), date_end=date(2022, 1, 10), **kw)}
     adaptive_only = {d for d, _ in _run(
-        idx, "market price", adaptive=True, k=10_000)}
+        idx, "market price", adaptive=True, **kw)}
     assert both == (date_only & adaptive_only)

@@ -148,6 +148,20 @@ def q_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_lm_mixed_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed free-text + phrase under the LM model, end-to-end through
+    executor.execute: the phrase frame carries the LM phrase weight
+    ln((phrase_tf/µ)·(L_c/phrase_df)+1) with NO doc prior
+    (language_model.py:53-63,259-270), the single-term frame the Dirichlet
+    weight + doc prior, union-summed with one final top-k."""
+    from search_engine_spark.operators import executor as EX
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=True, cache=False)
+    out = EX.execute(idx, 'spark "big data"', k=1 << 30, model="lm-dirichlet")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import dedup
 
@@ -301,7 +315,7 @@ def q_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH dedup survivors vs the EXACT shingle-Jaccard oracle.
 
     rows_per_band=2 (32 bands) makes candidate recall effectively
-    exhaustive — P[missing a J>=0.7 pair] <= (1-0.7^2)^32 ≈ 1.3e-10 — and
+    exhaustive — P[missing a J>=0.7 pair] <= (1-0.7^2)^32 ≈ 4.4e-10 — and
     the verify stage is already exact, so the survivor set equals the
     exact-Jaccard survivor set DuckDB computes by brute force."""
     from search_engine_spark.operators import dedup
@@ -331,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "user_stats": q_user_stats,
         "window_topk": q_window_topk,
+        "lm_mixed_phrase": q_lm_mixed_phrase,
         "quality_score": q_quality_score,
         "near_dup_pairs": q_near_dup_pairs,
         "simhash_near_dups": q_simhash_near_dups,
@@ -459,6 +474,37 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
             SELECT w.doc_id,
                    ROUND(SUM(w.wt) + 2 * LN(1089.0 / (dl.dl + 1089.0)), 4) AS score
             FROM w JOIN dl USING (doc_id) GROUP BY w.doc_id, dl.dl
+        """,
+        "lm_mixed_phrase": f"""
+            WITH tok AS ({_TOK}),
+            tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT SUM(dl) AS lc FROM dl),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            ft AS (
+                SELECT tf.doc_id,
+                       LN((tf.tf / 1089.0) * (s.lc * 1.0 / df.df) + 1.0)
+                       + LN(1089.0 / (dl.dl + 1089.0)) AS score
+                FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                CROSS JOIN stats s
+                WHERE tf.term = 'spark'
+            ),
+            t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            pos AS (SELECT doc_id, unnest(l) AS tok2,
+                           unnest(generate_series(1, len(l))) AS pos FROM t),
+            a AS (SELECT doc_id, pos FROM pos WHERE tok2 = 'big'),
+            b AS (SELECT doc_id, pos FROM pos WHERE tok2 = 'data'),
+            occ AS (SELECT a.doc_id, COUNT(*) AS ptf
+                    FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                    GROUP BY a.doc_id),
+            pdf AS (SELECT COUNT(*) AS pdf FROM occ),
+            ph AS (SELECT occ.doc_id,
+                          LN((occ.ptf / 1089.0) * (s.lc * 1.0 / p.pdf) + 1.0)
+                          AS score
+                   FROM occ CROSS JOIN pdf p CROSS JOIN stats s),
+            u AS (SELECT * FROM ft UNION ALL SELECT * FROM ph)
+            SELECT doc_id, ROUND(SUM(score), 4) AS score
+            FROM u GROUP BY doc_id
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id,

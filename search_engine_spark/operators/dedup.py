@@ -184,7 +184,7 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
 
     ``rows_per_band`` trades candidate recall against bucket selectivity:
     4 (default) for production scale; 2 gives P[miss] = (1−J²)^bands
-    ≤ 1.3e-10 at J = threshold = 0.7 — effectively exhaustive, used by the
+    ≤ 4.4e-10 at J = threshold = 0.7 — effectively exhaustive, used by the
     driver-contract oracle comparison against exact Jaccard survivors."""
     n_tok = F.size(F.split(F.col(text_col), " "))
     is_degen = (F.col(text_col).isNull() | (F.col(text_col) == "")

@@ -114,7 +114,9 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
         )
         frames.append(scored)
     for ph in plan.phrases:
-        ps = PH.search_phrase(index, ph, k=None)
+        # the phrase weight follows the active model (the reference's LM
+        # models phrase-score with the LM phrase formula — phrase.py)
+        ps = PH.search_phrase(index, ph, k=None, model=model)
         if cand is not None:
             ps = ps.join(cand, "doc_id", "left_semi")
         frames.append(ps)

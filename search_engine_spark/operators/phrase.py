@@ -56,10 +56,18 @@ def phrase_occurrences(index: InvertedIndex, phrase_terms: list[str]) -> DataFra
 
 
 def search_phrase(index: InvertedIndex, phrase_terms: list[str],
-                  k: int | None = 100) -> DataFrame:
-    """Phrase-only BM25-style ranking (phrase df = number of matching docs,
-    reference bm25_model.py:316-324) → (doc_id, score) top-k.
-    ``k=None`` returns the unranked score frame (for union-merge callers)."""
+                  k: int | None = 100, model: str = "bm25") -> DataFrame:
+    """Phrase-only ranking (phrase df = number of matching docs) →
+    (doc_id, score) top-k. ``k=None`` returns the unranked score frame
+    (for union-merge callers).
+
+    ``model`` selects the phrase weight the way the reference's active
+    model does: the LM models score phrases with the language-model
+    phrase formula (language_model.py:53-63, invoked from phrase_rank
+    at :110-145 — and the reference web app hardcodes model="lm",
+    views.py:59,67, so every reference phrase query takes that path);
+    every other model uses the BM25-style phrase weight
+    (bm25_model.py:316-324; SURVEY §2.8 pins vsm/bm25-reference to it)."""
     # the cache must OUTLIVE this call: the returned lazy frame reads it
     # when the caller collects (unpersisting in a finally here would force
     # a full recompute of the positional join). Caches accumulate on the
@@ -67,17 +75,27 @@ def search_phrase(index: InvertedIndex, phrase_terms: list[str],
     # until the next executor.execute() releases them (release_caches).
     occ = index.register_query_cache(phrase_occurrences(index, phrase_terms))
     n, avgdl = index.stats["n_docs"], index.stats["avgdl"]
-    base = occ if "dl" in occ.columns else occ.join(index.doc_stats, "doc_id")
+    lm = model in ("lm-dirichlet", "lm-pyp")
+    if lm:
+        mu = scoring.LM_MU_PYP if model == "lm-pyp" else scoring.LM_MU_DIRICHLET
+        weight = scoring.lm_phrase_weight(index.stats["total_len"], mu)
+        base = occ  # the LM phrase weight is doc-length-free: no dl join
+    else:
+        weight = scoring.bm25_weight(n, avgdl)
+        base = occ if "dl" in occ.columns else occ.join(index.doc_stats, "doc_id")
     # phrase df (= number of matching docs) rides in as a broadcast
     # 1-row aggregate instead of an EAGER count(): a mixed query with P
     # phrases launches zero blocking jobs here — everything resolves in
     # the single final plan (the cached occ frame computes once, shared
     # by the aggregate and the scoring scan)
     dfc = F.broadcast(occ.agg(F.count("*").cast("long").alias("df")))
+    cols = ["doc_id", F.col("phrase_tf").alias("tf"), "df"]
+    if not lm:
+        cols.append("dl")
     scored = (
         base.crossJoin(dfc)
-        .select("doc_id", F.col("phrase_tf").alias("tf"), "dl", "df")
-        .withColumn("score", scoring.bm25_weight(n, avgdl))
+        .select(*cols)
+        .withColumn("score", weight)
         .select("doc_id", "score")
     )
     return scored if k is None else topk(scored, k)

@@ -80,6 +80,29 @@ def lm_weight(total_cf: int, mu: float = LM_MU_DIRICHLET, tf_q: int = 1,
     return (F.lit(float(tf_q)) * w).alias("weight")
 
 
+def lm_phrase_weight(total_cf: int, mu: float) -> Column:
+    """LM phrase weight (language_model.py:53-63
+    compute_weight_phrase_document): ln((phrase_tf/µ)·(L_c/df) + 1), where
+    df is the phrase's document frequency (the reference passes its phrase
+    df as the "total collection frequency" — same cf==df quirk as terms)
+    and phrase_tf is the consecutive-occurrence count. Applied to a frame
+    with columns (tf, df). NO doc-length prior — the reference's
+    compute_document_scores_phrase (language_model.py:259-270) never adds
+    one — and no tf_q factor.
+
+    µ pin (SURVEY §2.8): the reference's phrase µ is whatever ``self.miu``
+    holds when phrase_rank runs — 1303 as constructed
+    (retrieval_execution.py:168) unless a Dirichlet single-term pass in the
+    SAME query already mutated it to 1089 (language_model.py:244), making
+    the value depend on mutation order and on whether the free-text part
+    matched any document. We pin µ to the model's own constant
+    (dirichlet→1089, pyp→1303) instead of reproducing that statefulness.
+    """
+    tf = F.col("tf").cast("double")
+    w = F.log((tf / F.lit(mu)) * (F.lit(float(total_cf)) / F.col("df")) + 1.0)
+    return w.alias("weight")
+
+
 def lm_doc_prior(mu: float, query_len: int, pitman_yor: bool = False,
                  g: float = 0.2) -> Column:
     """Doc-level additive prior (language_model.py:249-256).

@@ -213,17 +213,28 @@ def phrase_docs(index, phrase_terms: list[str]) -> dict[int, int]:
     return out
 
 
-def search_phrase(index, doc_sizes, phrase_terms: list[str], k: int = 100):
-    """Phrase-only ranking: BM25-like phrase weight over phrase tf/df
-    (bm25_model.py:44-55,316-324)."""
+def search_phrase(index, doc_sizes, phrase_terms: list[str], k: int = 100,
+                  model: str = "bm25"):
+    """Phrase-only ranking over phrase tf/df: the LM models use the
+    language-model phrase weight ln((tf/µ)·(L_c/df)+1), no doc prior
+    (language_model.py:53-63,259-270; µ pinned to the model constant —
+    see operators/scoring.lm_phrase_weight); all other models use the
+    BM25-like phrase weight (bm25_model.py:44-55,316-324)."""
     occ = phrase_docs(index, phrase_terms)
     if not occ:
         return []
-    n, _, avgdl = _stats(doc_sizes)
+    n, total, avgdl = _stats(doc_sizes)
     df = len(occ)
-    scores = {
-        d: bm25_weight_std(tf, doc_sizes[d], df, n, avgdl) for d, tf in occ.items()
-    }
+    if model in ("lm-dirichlet", "lm-pyp"):
+        mu = 1303.0 if model == "lm-pyp" else 1089.0
+        scores = {
+            d: math.log((tf / mu) * (total / df) + 1.0) for d, tf in occ.items()
+        }
+    else:
+        scores = {
+            d: bm25_weight_std(tf, doc_sizes[d], df, n, avgdl)
+            for d, tf in occ.items()
+        }
     return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
 
@@ -328,6 +339,7 @@ def execute(index, doc_sizes, query: str, k: int = 100, model: str = "bm25",
                                            k=len(doc_sizes), model=model):
             scores[d] = scores.get(d, 0.0) + s
     for ph in plan.phrases:
-        for d, s in search_phrase(index, doc_sizes, ph, k=len(doc_sizes)):
+        for d, s in search_phrase(index, doc_sizes, ph, k=len(doc_sizes),
+                                  model=model):
             scores[d] = scores.get(d, 0.0) + s
     return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]

@@ -42,9 +42,32 @@ def test_phrase_occurrence_counts(built_index, oracle_index):
     assert len(got) > 0  # planted phrase must exist
 
 
-def test_mixed_freetext_phrase(built_index, oracle_index):
+ALL_MODELS = ["bm25", "bm25-reference", "vsm", "lm-dirichlet", "lm-pyp"]
+
+
+@pytest.mark.parametrize("model", ALL_MODELS)
+def test_mixed_freetext_phrase(built_index, oracle_index, model):
+    """Mixed free-text + phrase under EVERY model: the phrase frame must
+    carry the model's own phrase weight (the reference web app hardcodes
+    model=lm, so LM-weighted phrases are its default path)."""
     q = 'market "germany economy"'
-    _assert_same(_run(built_index, q), _want(oracle_index, q))
+    _assert_same(_run(built_index, q, model=model),
+                 _want(oracle_index, q, model=model))
+
+
+@pytest.mark.parametrize("model", ["lm-dirichlet", "lm-pyp"])
+def test_phrase_only_lm_weight(built_index, oracle_index, model):
+    """Pure-phrase query under the LM models: weight is
+    ln((phrase_tf/µ)·(L_c/df)+1) with NO doc-length prior
+    (language_model.py:53-63,259-270)."""
+    q = '"germany economy"'
+    got = _run(built_index, q, model=model)
+    want = _want(oracle_index, q, model=model)
+    assert got  # planted phrase must exist
+    _assert_same(got, want)
+    # LM phrase weight is doc-length-free: same phrase_tf ⇒ same score
+    bm25 = dict(_run(built_index, q, model="bm25"))
+    assert dict(got) != bm25  # and it differs from the BM25 weighting
 
 
 BOOLEAN_QUERIES = [

@@ -595,7 +595,12 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
         "quality_score": _quality_score_sql(),
         "language_id": _language_id_sql(),
         "simhash_near_dups": """
-            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            -- COALESCE mirrors the engine (simhash64 maps NULL text to ""
+            -- → a constant hash, so NULL-text docs ENTER the pair set);
+            -- DuckDB's string_split(NULL) is NULL and would silently drop
+            -- them from the oracle side
+            WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS l
+                       FROM documents),
             h AS (SELECT doc_id, len(l) AS n,
                     list_transform(l, x ->
                         CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hhi,

@@ -133,7 +133,12 @@ def main() -> None:
         "q_boolean": lambda: executor.execute(idx, "market AND (germany OR china)").count(),
         "q_proximity": lambda: executor.execute(idx, "#5(market, price)").count(),
         "q_lm": lambda: executor.execute(idx, "market price", model="lm-pyp").count(),
+        # q_vsm pays the one-time doc-norms materialization (a full-postings
+        # aggregate, cached on the handle); q_vsm_warm is the steady-state
+        # serving latency — a single Spark job since the in-plan query
+        # weights rewrite
         "q_vsm": lambda: executor.execute(idx, "market price", model="vsm").count(),
+        "q_vsm_warm": lambda: executor.execute(idx, "market price", model="vsm").count(),
     }
     for name, fn in queries.items():
         timed(name, fn)

@@ -40,6 +40,12 @@ def main() -> None:
                          "the index then builds FROM that table, so html "
                          "extraction runs once")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--checkpoint-dir",
+                    help="reliable checkpoint dir (HDFS/object store) for "
+                         "the dense-id assignment: with it, executor loss "
+                         "mid-build recovers from replicated checkpoint "
+                         "blocks; without it localCheckpoint is used and "
+                         "an executor loss fails the job (retryable)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -55,7 +61,11 @@ def main() -> None:
         # dense ids: the segment layer's doc-partitioned blocks need
         # bounded occupancy (hash ids would put every posting in its own
         # block — see sources/corpus.with_dense_doc_ids)
-        docs = corpus.ingest_filters(corpus.with_dense_doc_ids(docs))
+        reliable = bool(args.checkpoint_dir)
+        if reliable:
+            spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
+        docs = corpus.ingest_filters(corpus.with_dense_doc_ids(
+            docs, reliable_checkpoint=reliable))
         docs = docs.withColumn(
             "text", make_extract_text_udf()(F.col("html"))).drop("html")
     elif args.text_col != "text":

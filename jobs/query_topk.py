@@ -35,6 +35,14 @@ def main() -> None:
     ap.add_argument("--spellcheck", action="store_true",
                     help="vocabulary spellcheck on free-text queries "
                          "(first-execution path)")
+    ap.add_argument("--symbols",
+                    help="ticker symbols spellcheck must never rewrite "
+                         "(CSV with a Symbol column / one-per-line file / "
+                         "inline comma list — helpers.py:243-252)")
+    ap.add_argument("--abbreviations-json",
+                    help="fin_abbv.json-shaped term→expansion dict; "
+                         "expansions append as quoted phrases before "
+                         "execution (helpers.py:297-303)")
     args = ap.parse_args()
     if args.wand and (args.date_start or args.date_end):
         # WAND scores over ALL blocks; silently post-filtering an
@@ -53,27 +61,31 @@ def main() -> None:
     docs = spark.read.parquet(args.documents) if args.documents else None
     idx = catalog.load_index(spark, args.index, documents=docs)
 
+    from search_engine_spark.plans import spellcheck as SP
+
     checker = None
     if args.spellcheck:
         # first-execution semantics (reference views.py:27-97); omit the
         # flag for the rerun path that skips correction (views.py:99-138)
-        from search_engine_spark.plans.spellcheck import VocabularySpellchecker
-
-        checker = VocabularySpellchecker.from_index(idx)
+        checker = SP.VocabularySpellchecker.from_index(idx)
+    symbols = SP.load_symbols(args.symbols) if args.symbols else frozenset()
+    abbreviations = (SP.load_abbreviations(args.abbreviations_json)
+                     if args.abbreviations_json else None)
 
     if args.wand:
         query = args.query
         if checker is not None:
-            from search_engine_spark.plans.spellcheck import correct_query
-
-            query = correct_query(query, checker)
+            query = SP.correct_query(query, checker, symbols)
+        if abbreviations:
+            query = SP.expand_abbreviations(query, abbreviations)
         hits = wand.search_wand(idx, query, k=args.k)
     else:
         df = executor.execute(
             idx, args.query, k=args.k, model=args.model,
             date_start=date.fromisoformat(args.date_start) if args.date_start else None,
             date_end=date.fromisoformat(args.date_end) if args.date_end else None,
-            spellchecker=checker,
+            spellchecker=checker, symbols=symbols,
+            abbreviations=abbreviations,
         )
         hits = [(r.doc_id, r.score) for r in df.collect()]
 

@@ -58,16 +58,30 @@ def _parse_date(s: str | None) -> date | None:
 
 
 def create_server(index, port: int = 0, spellchecker=None,
-                  symbols: frozenset[str] = frozenset()) -> ThreadingHTTPServer:
+                  symbols: frozenset[str] = frozenset(),
+                  abbreviations: dict[str, str] | None = None,
+                  ) -> ThreadingHTTPServer:
     """Build (without starting) the HTTP server around a loaded index.
-    ``port=0`` binds an ephemeral port (see ``server.server_address``)."""
+    ``port=0`` binds an ephemeral port (see ``server.server_address``).
+    ``abbreviations`` (term→expansion, e.g. from
+    spellcheck.load_abbreviations) appends '"{expansion}"' phrases on the
+    first-execution path AFTER spellcheck; the corrected-vs-original flag
+    tracks spellcheck only (the reference's has_term_been_corrected)."""
     from search_engine_spark.operators import executor, wand
 
     lock = threading.Lock()
 
+    MAX_K = 10_000
+
     def run_query(query: str, k: int, model: str, ds, de,
                   first_execution: bool, use_wand: bool) -> dict:
         t0 = time.perf_counter()
+        if not 1 <= k <= MAX_K:
+            # negative k raises deep inside Spark's limit() (a 500), and
+            # an unbounded k lets one request collect the whole index
+            # through the serving lock — reject as a 400 like the
+            # wand/date and half-open-range checks
+            raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
         if (ds is None) != (de is None):
             # a half-open range would be silently dropped by the executor
             # (it filters only when BOTH bounds are set) — reject instead
@@ -79,15 +93,21 @@ def create_server(index, port: int = 0, spellchecker=None,
             from search_engine_spark.plans.spellcheck import correct_query
 
             corrected = correct_query(query, spellchecker, symbols)
+        executed = corrected
+        if first_execution and abbreviations:
+            from search_engine_spark.plans.spellcheck import (
+                expand_abbreviations)
+
+            executed = expand_abbreviations(corrected, abbreviations)
         with lock:
             if use_wand:
                 if ds or de:
                     raise ValueError(
                         "wand=1 does not support date filtering; "
                         "use the relational path")
-                hits = wand.search_wand(index, corrected, k=k)
+                hits = wand.search_wand(index, executed, k=k)
             else:
-                df = executor.execute(index, corrected, k=k, model=model,
+                df = executor.execute(index, executed, k=k, model=model,
                                       date_start=ds, date_end=de)
                 hits = [(r.doc_id, r.score) for r in df.collect()]
         return {
@@ -99,6 +119,7 @@ def create_server(index, port: int = 0, spellchecker=None,
             "retrieval_time": round(time.perf_counter() - t0, 4),
             "term_been_corrected": corrected != query,
             "corrected_query": corrected,
+            "executed_query": executed,
             "original_query": query,
         }
 
@@ -181,21 +202,24 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--no-spellcheck", action="store_true")
     ap.add_argument("--symbols",
-                    help="comma-separated ticker symbols (or a path to a "
-                         "one-per-line file) that spellcheck must never "
-                         "rewrite — the reference's NYSE guard "
-                         "(helpers.py:243-252); callers supply the data")
+                    help="ticker symbols spellcheck must never rewrite — "
+                         "the reference's NYSE guard (helpers.py:243-252): "
+                         "a CSV with a Symbol column (the reference's "
+                         "listed-companies shape), a one-per-line file, or "
+                         "an inline comma-separated list")
+    ap.add_argument("--abbreviations-json",
+                    help="fin_abbv.json-shaped term→expansion dict "
+                         "(helpers.py:225,297-303); expansions append as "
+                         "quoted phrases on the first-execution path")
     args = ap.parse_args()
 
-    symbols: frozenset[str] = frozenset()
-    if args.symbols:
-        if os.path.exists(args.symbols):
-            with open(args.symbols) as f:
-                symbols = frozenset(
-                    s.strip().lower() for s in f if s.strip())
-        else:
-            symbols = frozenset(
-                s.strip().lower() for s in args.symbols.split(",") if s.strip())
+    from search_engine_spark.plans.spellcheck import (load_abbreviations,
+                                                      load_symbols)
+
+    symbols: frozenset[str] = (
+        load_symbols(args.symbols) if args.symbols else frozenset())
+    abbreviations = (load_abbreviations(args.abbreviations_json)
+                     if args.abbreviations_json else None)
 
     from search_engine_spark.session import get_spark
     from search_engine_spark.sources import catalog
@@ -211,7 +235,8 @@ def main() -> None:
 
         checker = VocabularySpellchecker.from_index(idx)
 
-    srv = create_server(idx, args.port, spellchecker=checker, symbols=symbols)
+    srv = create_server(idx, args.port, spellchecker=checker,
+                        symbols=symbols, abbreviations=abbreviations)
     print(f"serving on http://127.0.0.1:{srv.server_address[1]}  "
           f"(index={args.index}, n_docs={idx.stats['n_docs']})", flush=True)
     srv.serve_forever()

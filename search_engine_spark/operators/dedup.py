@@ -51,11 +51,28 @@ def _fnv1a(data: bytes) -> int:
     return h
 
 
-def _hash_shingles(tokens: list[str], k: int) -> np.ndarray:
+def _fnv1a_tokens(tokens: list[str], cache: dict[str, int]) -> np.ndarray:
+    """Per-token FNV-1a with a memo dict: token streams are Zipf-shaped,
+    so hashing each DISTINCT token once per Arrow batch removes most of
+    the pure-Python byte loops (shared by MinHash shingling and the
+    textquality fingerprint)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            h = _fnv1a(t.encode())
+            cache[t] = h
+        out[i] = h
+    return out
+
+
+def _hash_shingles(tokens: list[str], k: int,
+                   cache: dict[str, int] | None = None) -> np.ndarray:
+    if cache is None:
+        cache = {}
     if len(tokens) < k:
         return np.array([_fnv1a(" ".join(tokens).encode())], dtype=np.uint64)
-    hs = np.fromiter((_fnv1a(t.encode()) for t in tokens),
-                     dtype=np.uint64, count=len(tokens))
+    hs = _fnv1a_tokens(tokens, cache)
     out = np.zeros(len(tokens) - k + 1, dtype=np.uint64)
     for j in range(k):
         out ^= np.roll(hs, -j)[: len(out)] * np.uint64(1099511628211 ** (j + 1) % (1 << 64))
@@ -76,10 +93,12 @@ def make_minhash_udf(num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash(text: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}  # per-batch token-hash memo
+
         def sig(t):
             if not t:
                 return [0] * num_perm
-            sh = _hash_shingles(t.split(), shingle_k) & np.uint64(0xFFFFFFFF)
+            sh = _hash_shingles(t.split(), shingle_k, cache) & np.uint64(0xFFFFFFFF)
             # (a*x+b) mod p for all perms × shingles; min over shingles
             vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
             return vals.min(axis=1).astype(np.int64).tolist()
@@ -132,8 +151,16 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
                    threshold: float = 0.8, shingle_k: int = 3) -> DataFrame:
     """exact Jaccard over the SAME k-shingle units the MinHash signatures
     use (unigram sets would saturate on small vocabularies) → keep >=
-    threshold. JVM-side n-gram construction."""
-    toks = docs.select(
+    threshold. JVM-side n-gram construction, computed ONLY for docs that
+    appear in a candidate pair (a semi-join first): the LSH stage exists
+    precisely so that |members| ≪ |docs|, so shingling the full corpus
+    twice on the verify joins would waste the bulk of the work at scale."""
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    toks = docs.join(members, "doc_id", "left_semi").select(
         "doc_id", F.split(F.col(text_col), " ").alias("t")
     ).select(
         "doc_id",
@@ -201,8 +228,13 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
         raise ValueError(
             f"num_perm({num_perm}) must be a multiple of rows_per_band"
             f"({rows_per_band})")
+    # persisted: the verify stage consumes the candidate set TWICE (the
+    # member semi-join that restricts shingling, and the pair join) —
+    # without it the whole band-join DAG re-executes per consumer.
+    # Spark's ContextCleaner drops the block once the frame is GC'd.
     cands = minhash_lsh_pairs(sigs, bands=num_perm // rows_per_band,
-                              rows_per_band=rows_per_band, num_perm=num_perm)
+                              rows_per_band=rows_per_band,
+                              num_perm=num_perm).persist()
     dups = jaccard_verify(cands, reps, text_col, threshold, shingle_k) \
         .select(F.col("doc_b").alias("doc_id")).distinct()
     rep_survivors = reps.select("doc_id").join(dups, "doc_id", "left_anti")

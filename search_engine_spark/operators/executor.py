@@ -41,6 +41,7 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
             model: str = "bm25", date_start: date | None = None,
             date_end: date | None = None, adaptive: bool = False,
             spellchecker=None, symbols: frozenset[str] = frozenset(),
+            abbreviations: dict[str, str] | None = None,
             ) -> DataFrame:
     """→ (doc_id, score) for ranked kinds; (doc_id, score=0.0) for
     proximity/boolean kinds (reference returns those unranked).
@@ -49,15 +50,27 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
     the reference's first-execution spellcheck on FREE-TEXT queries only
     (retrieval_execution.py:77-79 applies it after classification; the
     rerun path passes None — views.py:99-138). OFF by default so
-    rank-identity tests compare unrewritten queries."""
+    rank-identity tests compare unrewritten queries.
+
+    ``abbreviations`` (term→expansion, plans.spellcheck.load_abbreviations)
+    appends '"{expansion}"' phrases for free-text queries AFTER spellcheck
+    (so a corrected token can still trigger its expansion) — the
+    reference's fin-abbrev feature (helpers.py:297-303; dead code there,
+    live opt-in here)."""
     index.release_caches()  # previous query's phrase/adaptive caches
     plan = planner.classify(query, index.analyzer)
-    if spellchecker is not None and isinstance(plan, planner.FreeTextPlan):
-        from ..plans.spellcheck import correct_query
+    if isinstance(plan, planner.FreeTextPlan):
+        rewritten = query
+        if spellchecker is not None:
+            from ..plans.spellcheck import correct_query
 
-        corrected = correct_query(query, spellchecker, symbols)
-        if corrected != query:
-            plan = planner.classify(corrected, index.analyzer)
+            rewritten = correct_query(query, spellchecker, symbols)
+        if abbreviations:
+            from ..plans.spellcheck import expand_abbreviations
+
+            rewritten = expand_abbreviations(rewritten, abbreviations)
+        if rewritten != query:
+            plan = planner.classify(rewritten, index.analyzer)
     spark = index.postings.sparkSession
 
     cand = None

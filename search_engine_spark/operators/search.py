@@ -250,9 +250,13 @@ def search_vsm_tokens(index: InvertedIndex, toks: list[str],
     (1+log10 tf_q)·log10(N/df), cosine over the doc/query norms, top-20
     default cut. df==N terms contribute 0 on both axes (log10(0)→null→
     greatest 0 in Spark; guarded in the oracle). Token-level for the same
-    no-re-analysis reason as search_freetext_tokens."""
-    import math
+    no-re-analysis reason as search_freetext_tokens.
 
+    The whole query is ONE Spark action: query weights and the query norm
+    are computed IN-PLAN from a |q|-row broadcast of term_stats (a 1-row
+    broadcast aggregate for qnorm) instead of a per-query driver collect —
+    at serving scale a blocking metadata job per query is pure scheduling
+    latency."""
     if not toks:
         return index.postings.sparkSession.createDataFrame([], "doc_id long, score double")
     q_tf: dict[str, int] = {}
@@ -260,16 +264,21 @@ def search_vsm_tokens(index: InvertedIndex, toks: list[str],
         q_tf[t] = q_tf.get(t, 0) + 1
     terms = list(q_tf)
     n = index.stats["n_docs"]
-    dfs = {
-        r.term: r.df
-        for r in index.term_stats.filter(F.col("term").isin(terms)).collect()
-    }
-    if not dfs:
-        return index.postings.sparkSession.createDataFrame([], "doc_id long, score double")
-    w_q = {
-        t: (1.0 + math.log10(q_tf[t])) * math.log10(n / dfs[t]) for t in dfs
-    }
-    qnorm = math.sqrt(sum(v * v for v in w_q.values()))
+    # (term, df, w_q) for the in-vocabulary query terms; w_q =
+    # (1+log10 tf_q)·log10(N/df). Query-tf literals ride in as a map.
+    qtf_map = F.create_map(*[F.lit(x) for t, c in q_tf.items()
+                             for x in (t, int(c))])
+    wq_f = F.broadcast(
+        index.term_stats.filter(F.col("term").isin(terms))
+        .select(
+            "term", "df",
+            ((1.0 + F.log10(qtf_map[F.col("term")].cast("double")))
+             * F.log10(F.lit(float(n)) / F.col("df"))).alias("w_q"),
+        )
+    )
+    qn = F.broadcast(
+        wq_f.agg(F.sqrt(F.sum(F.col("w_q") * F.col("w_q"))).alias("qnorm"))
+    )
     matched = index.lookup(terms).select("term", "doc_id", "tf")
     if adaptive:
         # in ADDITION to explicit candidates (same both-restrictions
@@ -279,27 +288,20 @@ def search_vsm_tokens(index: InvertedIndex, toks: list[str],
             matched = matched.join(extra, "doc_id", "left_semi")
     if candidates is not None:
         matched = matched.join(candidates, "doc_id", "left_semi")  # AQE sizes the join
-    # dfs are ALREADY collected (for the query weights): feed them back
-    # as map literals instead of re-scanning term_stats a second time
-    df_map = F.create_map(*[F.lit(x) for t, d in dfs.items()
-                            for x in (t, int(d))])
-    wq_map = F.create_map(*[F.lit(x) for kv in w_q.items() for x in kv])
     dot = (
-        matched.withColumn("df", df_map[F.col("term")])
+        matched.join(wq_f, "term")
         .withColumn("w_d", scoring.vsm_doc_weight(n))
-        .withColumn("w_q", wq_map[F.col("term")])
         .groupBy("doc_id")
         .agg(F.sum(F.col("w_d") * F.col("w_q")).alias("dot"))
     )
-    if qnorm == 0.0:
-        zeros = dot.select("doc_id", F.lit(0.0).alias("score"))
-        return zeros if k is None else zeros.orderBy("doc_id").limit(k)
-    # a doc whose every term weight clamps to 0 has dnorm=0 AND dot=0:
-    # pin its cosine to 0 instead of 0/0 (ANSI mode would throw)
-    scored = dot.join(vsm_doc_norms(index), "doc_id").select(
+    # a doc whose every term weight clamps to 0 has dnorm=0 AND dot=0, and
+    # an all-(df==N)-terms query has qnorm=0: pin both cosines to 0
+    # instead of 0/0 (ANSI mode would throw). All-zero scores under topk's
+    # (score desc, doc_id asc) reproduce the old qnorm==0 doc-id ordering.
+    scored = dot.join(vsm_doc_norms(index), "doc_id").crossJoin(qn).select(
         "doc_id",
-        F.when(F.col("dnorm") > 0,
-               F.col("dot") / (F.col("dnorm") * F.lit(qnorm)))
+        F.when((F.col("dnorm") > 0) & (F.col("qnorm") > 0),
+               F.col("dot") / (F.col("dnorm") * F.col("qnorm")))
         .otherwise(F.lit(0.0)).alias("score"),
     )
     return scored if k is None else topk(scored, k)

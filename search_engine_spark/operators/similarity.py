@@ -216,28 +216,45 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.9,
 
         return vecs.map(one)
 
+    # The band join ships IDS ONLY: the exploded frame is (id, table,
+    # bucket) — n_tables rows of a few bytes per doc — instead of
+    # carrying the vector through the explode (which would shuffle
+    # n_tables × dim doubles per doc, ~8× the necessary bytes at T=8).
+    # Candidate pairs are deduped ACROSS tables first, then vectors are
+    # re-joined once per pair side for the exact-cosine verify; scanning
+    # the embedding column a second time is far cheaper than multiplying
+    # it through the band shuffle.
+    ids = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+    )
+    a = ids.select(F.col("_id").alias("id_a"), "table", "bucket")
+    b = ids.select(F.col("_id").alias("id_b"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     # vectors cast to double like the exact baseline: float32 dot
     # products can flip a pair across the round(...,6)>=threshold
     # boundary relative to embedding_pairs_exact for reasons unrelated
     # to bucketing, which would contaminate recall comparisons
-    tagged = embeddings.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_vec"),
-        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+    vecs = embeddings.select(F.col(id_col).alias("_vid"),
+                             F.col(vec_col).cast("array<double>").alias("_v"))
+    paired = (
+        cand
+        .join(vecs.select(F.col("_vid").alias("id_a"),
+                          F.col("_v").alias("vec_a")), "id_a")
+        .join(vecs.select(F.col("_vid").alias("id_b"),
+                          F.col("_v").alias("vec_b")), "id_b")
     )
-    a = tagged.select(F.col("_id").alias("id_a"),
-                      F.col("_vec").alias("vec_a"), "table", "bucket")
-    b = tagged.select(F.col("_id").alias("id_b"),
-                      F.col("_vec").alias("vec_b"), "table", "bucket")
     dot = F.aggregate(F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (_norm(F.col("vec_a")) * _norm(F.col("vec_b")))
     return (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        paired.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -8,6 +8,8 @@ construction — the quality/token operators are DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -53,31 +55,50 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     quality). Formula mirrors common web-corpus filters (length band,
     lexical diversity, function-word presence). Empty/NULL text scores
     zero on every ratio (no null-skipping credit)."""
-    sw = sorted(load_stopwords())  # full Glasgow list on both sides
-    d = docs.select(
-        "doc_id", _tokens(text_col).alias("t"),
-    ).withColumn(
-        "n_tokens", F.size("t"),
+    sw = frozenset(load_stopwords())  # full Glasgow list on both sides
+    # one Arrow pass over the TEXT computes all four integer counts —
+    # tokenize + distinct + stopword-membership are per-token work, where
+    # a pandas UDF beats interpreted Catalyst array HOFs by >2× (the
+    # 571-literal array_intersect alone doubled this operator's latency).
+    # Only exact integers cross the UDF boundary; every ratio/round stays
+    # a Spark column expression so DuckDB-oracle parity is unchanged.
+    # Split pattern = the exact Java-regex \s class (ASCII) _tokens uses,
+    # NOT Python str.split() (which would also split Unicode whitespace).
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+
+    @F.pandas_udf(
+        "struct<n_tokens:int,n_distinct:int,n_sw:int,char_sum:long>")
+    def feats(text: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in text:
+            toks = [x for x in ws.split(t)] if t else []
+            toks = [x for x in toks if x]
+            uniq = set(toks)
+            rows.append((len(toks), len(uniq), len(sw & uniq),
+                         sum(len(x) for x in toks)))
+        return pd.DataFrame(rows, columns=["n_tokens", "n_distinct",
+                                           "n_sw", "char_sum"])
+
+    d = docs.select("doc_id", feats(F.col(text_col)).alias("f")).select(
+        "doc_id",
+        F.col("f.n_tokens").alias("n_tokens"),
+        F.col("f.n_distinct").alias("n_distinct"),
+        F.col("f.n_sw").alias("n_sw"),
+        F.col("f.char_sum").alias("char_sum"),
     ).withColumn(
         "distinct_ratio",
         F.when(F.col("n_tokens") > 0,
-               F.round(F.size(F.array_distinct("t")) / F.col("n_tokens"), 6))
+               F.round(F.col("n_distinct") / F.col("n_tokens"), 6))
         .otherwise(F.lit(0.0)),
     ).withColumn(
         "stopword_ratio",
         F.when(F.col("n_tokens") > 0,
-               F.round(
-                   F.size(F.array_intersect(
-                       "t", F.array(*[F.lit(w) for w in sw])))
-                   / F.size(F.array_distinct("t")), 6))
+               F.round(F.col("n_sw") / F.col("n_distinct"), 6))
         .otherwise(F.lit(0.0)),
     ).withColumn(
         "mean_token_len",
         F.when(F.col("n_tokens") > 0,
-               F.round(
-                   F.aggregate("t", F.lit(0),
-                               lambda acc, x: acc + F.length(x))
-                   / F.col("n_tokens"), 6))
+               F.round(F.col("char_sum") / F.col("n_tokens"), 6))
         .otherwise(F.lit(0.0)),
     )
     quality = F.round(
@@ -98,20 +119,21 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     h = (Σ hash(tok_i) · P^(n−1−i)) mod 2^64, masked to 63 bits at the
     end — a Horner evaluation whose power weights are a numpy cumprod
     (uint64 wrap IS the mod), so the per-doc combine is fully vectorized;
-    only the per-token FNV hashing remains Python (as in the MinHash
-    shingler)."""
-    from .dedup import _fnv1a
+    the per-token FNV hashing goes through the shared per-batch memo
+    (dedup._fnv1a_tokens: each DISTINCT token hashed once per batch)."""
+    from .dedup import _fnv1a_tokens
 
     P = np.uint64(1099511628211)
 
     @F.pandas_udf(LongType())
     def fp(text: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
         def one(t):
             toks = t.split() if t else []
             if not toks:
                 return 0
-            hs = np.fromiter((_fnv1a(tok.encode()) for tok in toks),
-                             dtype=np.uint64, count=len(toks))
+            hs = _fnv1a_tokens(toks, cache)
             powers = np.ones(len(toks), dtype=np.uint64)
             if len(toks) > 1:
                 powers[1:] = P

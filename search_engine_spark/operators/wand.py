@@ -22,9 +22,11 @@ relational path (asserted in tests/test_wand.py).
 
 Scale note: only the query terms' blocks travel to the driver — the same
 data volume the reference's byte-range loads move, but pruned further by
-the block-max skip. For stopword-scale terms at 10^12 docs one would cap
-fetched blocks by ub ordering (impact-ordered fallback); the relational
-path remains the always-correct fallback.
+the block-max skip, and BOUNDED by default: the impact-ordered cap
+(WAND_AUTO_CAP blocks/term, ub ordering) is the out-of-box behavior, so
+a stopword-scale term at 10^12 docs cannot ship GBs driver-side;
+``max_blocks_per_term=None`` opts into the exact uncapped fetch, and the
+relational path remains the always-correct distributed fallback.
 """
 
 from __future__ import annotations
@@ -75,24 +77,41 @@ def _capped_blocks(index, terms: list[str], cap: int):
     return dfs, rows
 
 
+# Default per-term driver-fetch bound (blocks). At the default build
+# span of 4096 docs/block this is ~1M docs of postings per term — far
+# beyond any non-head term, so typical queries stay EXACT; a
+# stopword-scale term at 10^12 docs is truncated to its 256
+# highest-upper-bound blocks instead of shipping GBs to the driver.
+WAND_AUTO_CAP = 256
+
+
 def search_wand(index, query: str, k: int = 100,
                 k1: float = 1.2, b: float = 0.75,
-                max_blocks_per_term: int | None = None,
+                max_blocks_per_term: int | None | str = "auto",
                 ) -> list[tuple[int, float]]:
     """BM25 top-k over a SegmentIndex via block-max WAND.
 
     Returns [(doc_id, score)] — a driver-side result (the serving path);
     use operators.search for the distributed DataFrame path.
 
-    ``max_blocks_per_term`` enables the impact-ordered fallback for
+    ``max_blocks_per_term`` bounds the impact-ordered fetch for
     stopword-scale terms at web scale: each term keeps only its
-    ``max_blocks_per_term`` highest-upper-bound blocks (ub from
-    block_max_tf). The cap is pushed INTO the Spark plan — a metadata
-    scan (no payload bytes) ranks blocks per term and an exact df rides
-    along; only the winners' payloads are fetched — so driver transfer
-    is bounded even for a 10^12-doc head term. Results become
+    highest-upper-bound blocks (ub from block_max_tf). The cap is pushed
+    INTO the Spark plan — a metadata scan (no payload bytes) ranks
+    blocks per term and an exact df rides along; only the winners'
+    payloads are fetched — so driver transfer is bounded even for a
+    10^12-doc head term. Blocks actually dropped make results
     approximate (documented safe-approximation: dropped blocks can only
-    LOWER a doc's score, never raise it); None = exact.
+    LOWER a doc's score, never raise it).
+
+    The DEFAULT is ``"auto"`` = WAND_AUTO_CAP (the uncapped fetch would
+    ship every block of every query term to the driver — a scale hazard
+    that used to be the default); terms under the cap are untouched, so
+    typical queries remain exact. ``None`` opts into the exact uncapped
+    fetch; an int sets an explicit cap. All paths go through the driver
+    mini-index LRU, so a repeat-term query launches ZERO Spark jobs
+    (the reference's per-query mini-index byte loads,
+    index_loader.py:71-128).
 
     Requires a SegmentIndex (the durable, block-encoded form): the
     relational ``operators.search`` path is the equivalent for in-memory
@@ -113,15 +132,11 @@ def search_wand(index, query: str, k: int = 100,
 
     n = index.stats["n_docs"]
     avgdl = index.stats["avgdl"]
-    if max_blocks_per_term is None:
-        # one pruned fetch for all terms, LRU-cached on the driver —
-        # a repeat-term query launches ZERO Spark jobs (the reference's
-        # per-query mini-index byte loads, index_loader.py:71-128)
-        mini = index.mini_index(terms)
-        dfs = {t: df for t, (df, _) in mini.items()}
-        blocks = [blk for _, blks in mini.values() for blk in blks]
-    else:
-        dfs, blocks = _capped_blocks(index, terms, max_blocks_per_term)
+    cap = (WAND_AUTO_CAP if max_blocks_per_term == "auto"
+           else max_blocks_per_term)
+    mini = index.mini_index(terms, cap=cap)
+    dfs = {t: df for t, (df, _) in mini.items()}
+    blocks = [blk for _, blks in mini.values() for blk in blks]
     if not dfs:
         return []
     idf = {

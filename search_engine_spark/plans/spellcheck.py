@@ -164,3 +164,39 @@ def expand_abbreviations(query: str, abbreviations: dict[str, str]) -> str:
         if exp:
             extra.append(f'"{exp}"')
     return query if not extra else query + " " + " ".join(extra)
+
+
+def load_symbols(source: str) -> frozenset[str]:
+    """Ticker symbols for the spellcheck guard, from the reference's NYSE
+    CSV shape (a ``Symbol`` column, lowercased — helpers.py:226,281-284),
+    a one-symbol-per-line file, or an inline comma-separated list. The
+    data itself is caller-supplied (the reference ships a curated CSV the
+    sandbox cannot); this closes the plumbing gap so real ticker data
+    drops straight in."""
+    import csv
+    import os
+
+    if os.path.exists(source):
+        with open(source, newline="") as f:
+            rows = [r for r in csv.reader(f) if r]
+        if not rows:
+            return frozenset()
+        header = [c.strip().lower() for c in rows[0]]
+        if "symbol" in header:
+            i = header.index("symbol")
+            vals = [r[i] for r in rows[1:] if len(r) > i]
+        else:  # plain one-per-line file
+            vals = [r[0] for r in rows]
+        return frozenset(v.strip().lower() for v in vals if v.strip())
+    return frozenset(s.strip().lower() for s in source.split(",") if s.strip())
+
+
+def load_abbreviations(path: str) -> dict[str, str]:
+    """The reference's fin_abbv.json shape (helpers.py:225,297-303):
+    UPPERCASE keys, possibly whitespace-padded — normalized to
+    stripped-lowercase to match expand_abbreviations lookups."""
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    return {str(k).strip().lower(): str(v) for k, v in raw.items()}

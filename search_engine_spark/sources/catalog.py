@@ -320,39 +320,64 @@ class SegmentIndex(InvertedIndex):
         )
         return SEG.decode_segments(blocks, positional=positional)
 
-    def mini_index(self, terms: list[str]) -> dict[str, tuple[int, list]]:
+    def mini_index(self, terms: list[str], cap: int | None = None,
+                   ) -> dict[str, tuple[int, list]]:
         """Serving-path point lookup: {term: (df, [Row(term, block_id,
         block_max_tf, n_docs, payload)])} for in-vocabulary terms,
         through the driver LRU. Misses cost exactly ONE pruned segment
         scan (df derives from the blocks' n_docs); hits cost zero Spark
-        jobs."""
+        jobs.
+
+        ``cap`` bounds what a miss SHIPS to the driver: the
+        impact-ordered fetch (operators.wand._capped_blocks) keeps each
+        term's top-``cap`` blocks by upper bound, with the EXACT df
+        riding along in the plan. Cache entries remember the cap they
+        were fetched under: an entry fetched full (cap_used=None) or
+        with a looser cap serves any tighter request by driver-side
+        truncation (sorted by (block_max_tf desc, block_id asc) — the
+        same ordering the plan uses); a tighter entry forces a refetch
+        for a looser request."""
+        def covers(cap_used, want):
+            return cap_used is None or (want is not None and cap_used >= want)
+
         # Touch cache HITS before any insertion/eviction: otherwise a full
         # cache evicts the oldest entry — which may be one of THIS query's
         # terms — between the insert loop and the read loop below
         # (KeyError on the serving path).
         missing = []
         for t in terms:
-            if t in self._mini:
+            ent = self._mini.get(t)
+            if ent is not None and covers(ent[2], cap):
                 self._mini.move_to_end(t)
             else:
                 missing.append(t)
         if missing:
-            # ONE pruned scan serves everything: blocks are doc-disjoint,
-            # so df(term) = Σ n_docs over the term's blocks — no separate
-            # term_stats job (was a second collect per cold lookup)
-            rows = self.segments.filter(
-                F.col("bucket").isin(self._buckets_for(missing))
-                & F.col("term").isin(missing)
-            ).select("term", "block_id", "block_max_tf", "n_docs",
-                     "payload").collect()
-            fetched: dict[str, list] = {}
-            for r in rows:
-                fetched.setdefault(r.term, []).append(r)
-            for t, blks in fetched.items():
-                self._mini[t] = (sum(b.n_docs for b in blks), blks)
-            for t in missing:  # negative-cache OOV terms too
+            if cap is None:
+                # ONE pruned scan serves everything: blocks are
+                # doc-disjoint, so df(term) = Σ n_docs over the term's
+                # blocks — no separate term_stats job
+                rows = self.segments.filter(
+                    F.col("bucket").isin(self._buckets_for(missing))
+                    & F.col("term").isin(missing)
+                ).select("term", "block_id", "block_max_tf", "n_docs",
+                         "payload").collect()
+                fetched: dict[str, list] = {}
+                for r in rows:
+                    fetched.setdefault(r.term, []).append(r)
+                for t, blks in fetched.items():
+                    self._mini[t] = (sum(b.n_docs for b in blks), blks, None)
+            else:
+                from ..operators.wand import _capped_blocks
+
+                dfs, rows = _capped_blocks(self, missing, cap)
+                fetched = {}
+                for r in rows:
+                    fetched.setdefault(r.term, []).append(r)
+                for t, blks in fetched.items():
+                    self._mini[t] = (dfs[t], blks, cap)
+            for t in missing:  # negative-cache OOV terms too (universal)
                 if t not in self._mini:
-                    self._mini[t] = (0, [])
+                    self._mini[t] = (0, [], None)
             term_set = set(terms)
             while len(self._mini) > self._mini_cap:
                 oldest = next(iter(self._mini))
@@ -361,8 +386,11 @@ class SegmentIndex(InvertedIndex):
                 self._mini.popitem(last=False)
         out = {}
         for t in terms:
-            df, blks = self._mini[t]
+            df, blks, _cap_used = self._mini[t]
             self._mini.move_to_end(t)  # LRU touch
+            if cap is not None and len(blks) > cap:
+                blks = sorted(
+                    blks, key=lambda b: (-b.block_max_tf, b.block_id))[:cap]
             if df > 0:
                 out[t] = (df, blks)
         return out

@@ -133,7 +133,8 @@ def with_hash_doc_ids(docs: DataFrame) -> DataFrame:
     return docs.withColumn("doc_id", F.xxhash64("url"))
 
 
-def with_dense_doc_ids(docs: DataFrame, start: int = 1) -> DataFrame:
+def with_dense_doc_ids(docs: DataFrame, start: int = 1,
+                       reliable_checkpoint: bool = False) -> DataFrame:
     """Dense doc ids without a global sort (the 10^12-scale id assigner).
 
     zipWithIndex scheme: count rows per partition (one lightweight job),
@@ -142,19 +143,31 @@ def with_dense_doc_ids(docs: DataFrame, start: int = 1) -> DataFrame:
     shuffle of the data itself. Dense ids keep the segment layer's
     doc-partitioned blocks (block_id = doc_id // span) at bounded
     occupancy, which hash ids would destroy (every posting its own block).
+
+    ``reliable_checkpoint=False`` (default) uses localCheckpoint: blocks
+    live on executors, unreplicated, with lineage TRUNCATED — losing an
+    executor (failure or dynamic-allocation decommission) mid-build makes
+    the job unrecoverable rather than recomputable. Fine in local mode
+    and on static clusters with retry-the-job semantics. For long cluster
+    builds pass ``reliable_checkpoint=True`` and set
+    ``spark.sparkContext.setCheckpointDir(<HDFS/object-store path>)``
+    first: blocks go to the checkpoint dir and executor loss recovers.
     """
     import pandas as pd
     from pyspark.sql.types import LongType, StructField
 
     spark = docs.sparkSession
-    # localCheckpoint BEFORE the two passes (count + numbering): (1) the
+    # checkpoint BEFORE the two passes (count + numbering): (1) the
     # full upstream lineage — typically the expensive corpus generation /
     # extraction — executes once, not twice; (2) both passes read the
     # SAME materialized layout, so per-partition counts can never drift
     # from the rows the numbering pass sees (re-evaluated lineage makes
     # no such guarantee for nondeterministic upstreams)
-    with_pid = docs.withColumn("_pid", F.spark_partition_id()) \
-        .localCheckpoint(eager=True)
+    with_pid = docs.withColumn("_pid", F.spark_partition_id())
+    if reliable_checkpoint:
+        with_pid = with_pid.checkpoint(eager=True)
+    else:
+        with_pid = with_pid.localCheckpoint(eager=True)
     counts = dict(
         (r["_pid"], r["c"])
         for r in with_pid.groupBy("_pid").agg(F.count("*").alias("c")).collect()

@@ -68,3 +68,18 @@ def test_extract_text_invariant(spark, corpus_sdf, corpus_pdf):
         .count()
     )
     assert bad == 0
+
+
+def test_dense_ids_reliable_checkpoint_identity(spark, tmp_path):
+    """reliable_checkpoint=True (cluster-recoverable blocks) assigns the
+    SAME ids as the default localCheckpoint path."""
+    from search_engine_spark.sources import corpus as C
+
+    web = C.synthesize_web_corpus(spark, 200)
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    a = {(r.url, r.doc_id) for r in C.with_dense_doc_ids(web)
+         .select("url", "doc_id").collect()}
+    b = {(r.url, r.doc_id) for r in
+         C.with_dense_doc_ids(web, reliable_checkpoint=True)
+         .select("url", "doc_id").collect()}
+    assert a == b and len(a) == 200

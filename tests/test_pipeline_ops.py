@@ -310,6 +310,24 @@ def test_embedding_near_dups_empty_on_distinct(spark, emb):
     assert similarity.embedding_near_dups(emb, threshold=0.9).count() == 0
 
 
+def test_embedding_near_dups_band_join_ships_ids_only(spark, emb):
+    """Scale guard: the exploded band frame is (id, table, bucket) only —
+    vectors re-join AFTER cross-table candidate dedup, so band-shuffle
+    bytes are independent of n_tables × dim (previously each doc's vector
+    was duplicated n_tables times through the band join)."""
+    df = similarity.embedding_near_dups(emb, threshold=0.9)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    txt = df._jdf.queryExecution().explainString(mode)
+    gen_blocks = [b for b in txt.split("\n\n")
+                  if b.lstrip().startswith("(")
+                  and ") Generate" in b.splitlines()[0]]
+    assert gen_blocks, "posexplode band generation missing from plan"
+    for b in gen_blocks:
+        assert "embedding" not in b, (
+            "band explode carries the vector column:\n" + b)
+
+
 def test_multimodal_resize(spark):
     import numpy as np
 

@@ -22,7 +22,12 @@ def server(tmp_path_factory, spark, corpus_sdf):
                                 block_span=64)
     idx = catalog.load_index(spark, d, documents=corpus_sdf)
     checker = VocabularySpellchecker.from_index(idx)
-    srv = create_server(idx, port=0, spellchecker=checker)
+    srv = create_server(
+        idx, port=0, spellchecker=checker,
+        # caller-supplied ticker guard + fin-abbrev expansions (the
+        # reference's NYSE CSV / fin_abbv.json inputs)
+        symbols=frozenset({"marke", "gdp"}),
+        abbreviations={"gdp": "germany economy"})
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{srv.server_address[1]}"
@@ -47,6 +52,34 @@ def test_results_first_execution_spellchecks(server):
     assert body["original_query"] == "merket"
     assert body["number_of_results"] > 0
     assert body["results"][0]["rank"] == 1
+
+
+def test_ticker_symbol_passes_uncorrected(server):
+    """'marke' is one OSA edit from 'market' — without the ticker guard
+    the spellchecker rewrites it; as a caller-supplied symbol it must
+    pass through /results untouched (helpers.py:243-252 semantics)."""
+    status, body = _get(server + "/results?query=marke&k=5")
+    assert status == 200
+    assert body["term_been_corrected"] is False
+    assert body["corrected_query"] == "marke"
+
+
+def test_abbreviation_expansion_through_results(server):
+    """fin-abbrev expansion on the first-execution path: the expansion
+    rides as a quoted phrase and actually retrieves (the planted
+    'germany economy' phrase docs)."""
+    status, body = _get(server + "/results?query=gdp&k=5")
+    assert status == 200
+    assert body["executed_query"] == 'gdp "germany economy"'
+    assert body["corrected_query"] == "gdp"  # guard kept the key intact
+    assert body["number_of_results"] > 0
+
+
+def test_k_validation_rejects_as_400(server):
+    for bad in (-1, 0, 10_001):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server + f"/results?query=market&k={bad}")
+        assert e.value.code == 400, bad
 
 
 def test_rerun_skips_spellcheck(server):

@@ -110,3 +110,47 @@ def test_phrase_tokens_never_corrected(built_index):
     without = EX.execute(built_index, q, k=10).collect()
     assert [(r.doc_id, r.score) for r in with_sc] == \
         [(r.doc_id, r.score) for r in without]
+
+
+def test_load_symbols_csv_and_inline(tmp_path):
+    """The three accepted shapes: reference NYSE CSV (Symbol column),
+    one-per-line file, inline comma list — all lowercased."""
+    from search_engine_spark.plans.spellcheck import load_symbols
+
+    csv_p = tmp_path / "nyse.csv"
+    csv_p.write_text("Symbol,Name\nAAPL,apple inc\nMSFT,microsoft\n")
+    assert load_symbols(str(csv_p)) == {"aapl", "msft"}
+    lines_p = tmp_path / "syms.txt"
+    lines_p.write_text("IBM\n tsla \n")
+    assert load_symbols(str(lines_p)) == {"ibm", "tsla"}
+    assert load_symbols("GOOG, amzn") == {"goog", "amzn"}
+
+
+def test_load_abbreviations_normalizes_keys(tmp_path):
+    """fin_abbv.json keys are UPPERCASE and may be padded
+    (helpers.py:297-303 matches via t.upper() on rstripped keys)."""
+    import json as _json
+
+    from search_engine_spark.plans.spellcheck import load_abbreviations
+
+    p = tmp_path / "fin_abbv.json"
+    p.write_text(_json.dumps({"GDP ": "gross domestic product",
+                              "ETF": "exchange traded fund"}))
+    abv = load_abbreviations(str(p))
+    assert abv == {"gdp": "gross domestic product",
+                   "etf": "exchange traded fund"}
+
+
+def test_executor_abbreviation_expansion(built_index):
+    """executor.execute(abbreviations=...) retrieves the expansion phrase
+    docs for an OOV abbreviation token (expansion applied after
+    spellcheck, free-text queries only)."""
+    from search_engine_spark.operators import executor
+    from search_engine_spark.operators import phrase as PH
+
+    abv = {"zzgdp": "germany economy"}
+    hits = executor.execute(built_index, "zzgdp", k=100,
+                            abbreviations=abv).collect()
+    want = {r.doc_id for r in PH.phrase_occurrences(
+        built_index, ["germani", "economi"]).collect()}
+    assert want and {r.doc_id for r in hits} == want

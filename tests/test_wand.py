@@ -68,7 +68,8 @@ def test_mini_index_cache_identity_and_warmth(seg_index):
 def test_mini_index_negative_cache(seg_index):
     seg_index._mini.clear()
     assert wand.search_wand(seg_index, "zzzqq", k=5) == []
-    assert seg_index._mini.get("zzzqq") == (0, [])
+    # negative entries are universal (cap_used=None): any later cap is served
+    assert seg_index._mini.get("zzzqq") == (0, [], None)
 
 
 def test_mini_index_lru_eviction(seg_index):
@@ -189,6 +190,40 @@ def test_wand_requires_segment_index(spark, corpus_sdf):
     mem = engine.build_index(corpus_sdf, AnalyzerConfig.full(), cache=False)
     with pytest.raises(TypeError, match="SegmentIndex"):
         wand.search_wand(mem, "market", k=5)
+
+
+def test_default_cap_bounds_head_term_fetch(seg_index, monkeypatch):
+    """The OUT-OF-BOX path must bound driver transfer: with the auto cap
+    tightened to 2, a head-term query under the DEFAULT arguments ships
+    at most 2 blocks per term to the driver (visible in the LRU entry),
+    and an explicit opt-in to None still fetches the full exact set."""
+    monkeypatch.setattr(wand, "WAND_AUTO_CAP", 2)
+    seg_index._mini.clear()
+    wand.search_wand(seg_index, "market price", k=5)  # defaults
+    for t in ("market", "price"):
+        df, blks, cap_used = seg_index._mini[t]
+        assert cap_used == 2 and len(blks) <= 2
+        # exact df still rides along despite the truncated fetch
+        exact_df = seg_index.term_stats.filter(
+            seg_index.term_stats.term == t).collect()[0].df
+        assert df == int(exact_df)
+    # explicit exact opt-in refetches full (cap_used=None, all blocks)
+    exact = wand.search_wand(seg_index, "market price", k=5,
+                             max_blocks_per_term=None)
+    assert seg_index._mini["market"][2] is None
+    assert exact
+    seg_index._mini.clear()
+
+
+def test_default_auto_cap_rank_identical_on_bench_queries(seg_index, oracle_index):
+    """With the real WAND_AUTO_CAP (256), no fixture term exceeds the cap,
+    so the default path is rank- and score-identical to the exact opt-in
+    across the bench query set."""
+    seg_index._mini.clear()
+    for q in QUERIES:
+        assert (wand.search_wand(seg_index, q, k=20)
+                == wand.search_wand(seg_index, q, k=20,
+                                    max_blocks_per_term=None)), q
 
 
 def test_capped_fetch_ships_at_most_cap_blocks(seg_index):

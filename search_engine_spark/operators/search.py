@@ -68,24 +68,36 @@ class InvertedIndex:
 
         PUBLIC API NOTE: callers using search_phrase or
         search_freetext_tokens(adaptive=True) directly (not through
-        engine.search/executor.execute) must call this between queries on
-        a long-lived index handle, or persisted frames accumulate. It is
-        deliberately NOT called inside those functions: a mixed query
-        holds several phrase caches at once, and an eager release there
-        would unpersist frames the current merged plan still reads."""
+        engine.search/executor.execute) get a BOUNDED cache list even
+        without calling this (register_query_cache evicts FIFO past
+        MAX_QUERY_CACHES), so hammering the public API in a loop cannot
+        grow persisted memory without bound; calling this between
+        queries is still the precise lifecycle. An eager release inside
+        those functions would be wrong: a mixed query holds several
+        phrase caches at once and the current merged plan still reads
+        them."""
         for df in getattr(self, "_query_caches", []):
             df.unpersist()
         self._query_caches = []
 
+    #: FIFO bound on per-query cached frames (phrase occurrences,
+    #: adaptive counts, boolean rescoring). Eviction only drops the
+    #: CACHE, never correctness — an evicted frame recomputes from
+    #: lineage if a live plan still reads it — so the bound trades a
+    #: recompute (pathological >16-phrase query) for bounded executor
+    #: memory under public-API loops that never release.
+    MAX_QUERY_CACHES = 16
+
     def register_query_cache(self, df: DataFrame) -> DataFrame:
         """cache() a frame and register it for release at the next
         query's release_caches() — the shared idiom for per-query
-        intermediate frames (phrase occurrences, adaptive counts,
-        boolean rescoring)."""
+        intermediate frames. FIFO-bounded by MAX_QUERY_CACHES."""
         df = df.cache()
         if not hasattr(self, "_query_caches"):
             self._query_caches = []
         self._query_caches.append(df)
+        while len(self._query_caches) > self.MAX_QUERY_CACHES:
+            self._query_caches.pop(0).unpersist()
         return df
 
 

@@ -11,10 +11,12 @@ without a full rebuild:
   batch-id-keyed dynamic partition overwrite, so a replayed batch
   replaces its own partitions instead of appending duplicates), one
   manifest lineage row per batch. The staged postings serve queries
-  directly; segment re-encode consumes them batch-partition by
-  batch-partition — the doc-partitioned block layout
-  (block_id = doc_id // span) means new high doc_ids only ADD blocks,
-  never rewrite old ones.
+  directly; ``sources.catalog.compact_streaming_index`` periodically
+  re-encodes the accumulated batches into the durable block-encoded
+  segment layout (WAND-servable) — a pure layout transform reusing the
+  ingest's term buckets, resumable via the same manifest steps. The
+  doc-partitioned block layout (block_id = doc_id // span) means new
+  high doc_ids only ADD blocks, never rewrite old ones.
 * ``watermarked_event_counts`` — event-time tumbling aggregation with a
   watermark for late data (the canonical readStream→window→writeStream
   shape, demonstrated on the events table).
@@ -84,7 +86,14 @@ def incremental_index_build(
                 "overwrite the earlier ingest's partitions")
     else:
         with open(meta_path, "w") as f:
-            json.dump({"checkpoint_dir": ckpt_abs, "ts": time.time()}, f)
+            # buckets + analyzer recorded for the compaction job
+            # (catalog.compact_streaming_index): re-encode must reuse the
+            # ingest's term-bucket hashing and declare the same analyzer
+            json.dump({"checkpoint_dir": ckpt_abs, "ts": time.time(),
+                       "buckets": buckets,
+                       "analyzer": {"lowercase": conf.lowercase,
+                                    "remove_stopwords": conf.remove_stopwords,
+                                    "stem": conf.stem}}, f)
 
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 8)

@@ -246,3 +246,31 @@ def test_adaptive_combines_with_date_filter(spark, corpus_sdf, model):
     adaptive_only = {d for d, _ in _run(
         idx, "market price", adaptive=True, **kw)}
     assert both == (date_only & adaptive_only)
+
+
+def test_public_api_loop_bounds_persisted_frames(spark, built_index):
+    """Hammering search_phrase directly (no executor, no release_caches)
+    must keep the persisted-DataFrame count bounded: register_query_cache
+    evicts FIFO past MAX_QUERY_CACHES. Eviction is cache-only — results
+    stay correct (recompute from lineage)."""
+    from search_engine_spark.operators import phrase as PH
+
+    built_index.release_caches()
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    first = None
+    for i in range(40):
+        got = sorted(
+            (r.doc_id, r.phrase_tf)
+            for r in PH.phrase_occurrences(built_index,
+                                           ["germani", "economi"]).collect())
+        if first is None:
+            first = got
+        assert got == first  # eviction never changes results
+        # separate cache registrations (phrase_occurrences itself doesn't
+        # register; search_phrase does)
+        PH.search_phrase(built_index, ["germani", "economi"], k=5).collect()
+    n = jsc.getPersistentRDDs().size()
+    assert len(built_index._query_caches) <= built_index.MAX_QUERY_CACHES
+    assert n - base <= built_index.MAX_QUERY_CACHES + 2
+    built_index.release_caches()

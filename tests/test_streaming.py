@@ -4,6 +4,8 @@ same documents; late-data watermark plan sanity."""
 import glob
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from search_engine_spark.operators import postings as P
@@ -290,3 +292,61 @@ def test_streaming_sessionize_randomized_identity(spark, tmp_path):
             (r.session_start, r.session_end, r.n_events, r.total_value)
             for r in EV.sessionize(ev, gap_minutes=30).collect()}
     assert got == want and len(got) > 10
+
+
+def test_compaction_produces_identical_durable_index(spark, corpus_sdf,
+                                                     tmp_path):
+    """streaming ingest → compact_streaming_index == a direct durable
+    build over the same docs: identical WAND top-k (scores included) and
+    a working positional (phrase) path — the streaming growth story ends
+    in a first-class segment index."""
+    from search_engine_spark.operators import phrase as PH
+    from search_engine_spark.operators import wand
+    from search_engine_spark.sources import catalog
+
+    src = str(tmp_path / "cmp_src")
+    corpus_sdf.select("doc_id", "text").repartition(4).write.parquet(src)
+    stream_dir = str(tmp_path / "cmp_stream")
+    schema = spark.read.parquet(src).schema
+    incremental.incremental_index_build(spark, src, stream_dir, schema,
+                                        buckets=16)
+    out = str(tmp_path / "cmp_durable")
+    catalog.compact_streaming_index(spark, stream_dir, out, shards=2,
+                                    block_span=64)
+    direct = str(tmp_path / "cmp_direct")
+    catalog.build_durable_index(spark, corpus_sdf.select("doc_id", "text"),
+                                direct, buckets=16, shards=2, block_span=64)
+    a = catalog.load_index(spark, out)
+    b = catalog.load_index(spark, direct)
+    for q in ("market price", "germany economy china", "market"):
+        assert wand.search_wand(a, q, k=20) == wand.search_wand(b, q, k=20), q
+    # positions survived the re-encode
+    got = {r.doc_id: r.phrase_tf for r in
+           PH.phrase_occurrences(a, ["germani", "economi"]).collect()}
+    want = {r.doc_id: r.phrase_tf for r in
+            PH.phrase_occurrences(b, ["germani", "economi"]).collect()}
+    assert got == want and got
+    # lineage records the compaction provenance
+    steps = {m["step"] for m in catalog.lineage_rows(out)}
+    assert "compacted_from" in steps and "build_complete" in steps
+
+
+def test_compaction_guards(spark, corpus_sdf, tmp_path):
+    from search_engine_spark.functions.analyzer import AnalyzerConfig
+    from search_engine_spark.sources import catalog
+
+    src = str(tmp_path / "g_src")
+    corpus_sdf.select("doc_id", "text").coalesce(1).write.parquet(src)
+    stream_dir = str(tmp_path / "g_stream")
+    schema = spark.read.parquet(src).schema
+    incremental.incremental_index_build(spark, src, stream_dir, schema,
+                                        buckets=8)
+    with pytest.raises(ValueError, match="NEW dir"):
+        catalog.compact_streaming_index(spark, stream_dir, stream_dir)
+    with pytest.raises(ValueError, match="analyzer"):
+        catalog.compact_streaming_index(
+            spark, stream_dir, str(tmp_path / "g_out"),
+            conf=AnalyzerConfig.simple())
+    with pytest.raises(ValueError, match="not a streaming index"):
+        catalog.compact_streaming_index(
+            spark, str(tmp_path / "nope"), str(tmp_path / "g_out2"))

@@ -449,14 +449,36 @@ class SegmentIndex(InvertedIndex):
                 for t, blks in fetched.items():
                     self._mini[t] = (sum(b.n_docs for b in blks), blks, None)
             else:
-                from ..operators.wand import _capped_blocks
+                # optimistic single scan with a hard driver-transfer
+                # budget: if EVERY missing term fits the cap, the limit
+                # can't trigger (total ≤ cap·|terms|) and this one scan
+                # IS the full fetch — cached as such (cap_used=None).
+                # The limit firing proves (pigeonhole) some term exceeds
+                # the cap; only then pay the two-phase ranked fetch.
+                # Either way the driver never receives more than
+                # cap·|terms| block payloads from the optimistic scan.
+                budget = cap * len(missing) + 1
+                rows = self.segments.filter(
+                    F.col("bucket").isin(self._buckets_for(missing))
+                    & F.col("term").isin(missing)
+                ).select("term", "block_id", "block_max_tf", "n_docs",
+                         "payload").limit(budget).collect()
+                if len(rows) < budget:
+                    fetched = {}
+                    for r in rows:
+                        fetched.setdefault(r.term, []).append(r)
+                    for t, blks in fetched.items():
+                        self._mini[t] = (sum(b.n_docs for b in blks),
+                                         blks, None)
+                else:
+                    from ..operators.wand import _capped_blocks
 
-                dfs, rows = _capped_blocks(self, missing, cap)
-                fetched = {}
-                for r in rows:
-                    fetched.setdefault(r.term, []).append(r)
-                for t, blks in fetched.items():
-                    self._mini[t] = (dfs[t], blks, cap)
+                    dfs, rows = _capped_blocks(self, missing, cap)
+                    fetched = {}
+                    for r in rows:
+                        fetched.setdefault(r.term, []).append(r)
+                    for t, blks in fetched.items():
+                        self._mini[t] = (dfs[t], blks, cap)
             for t in missing:  # negative-cache OOV terms too (universal)
                 if t not in self._mini:
                     self._mini[t] = (0, [], None)

@@ -64,3 +64,42 @@ def test_fuzz_query_parity(built_index, oracle_index, q):
     assert [d for d, _ in got] == [d for d, _ in want], q
     for (_, gs), (_, ws) in zip(got, want):
         assert gs == pytest.approx(ws, abs=1e-9), q
+
+
+_MODELS = ["bm25", "bm25-reference", "vsm", "lm-dirichlet", "lm-pyp"]
+
+
+def _gen_model_cases(seed: int = 515, n: int = 15):
+    """Random (query, model) pairs biased toward mixed free-text+phrase
+    shapes — the fuzz gate for per-model phrase weighting (the LM phrase
+    formula path most of all)."""
+    rng = np.random.default_rng(seed)
+    pool = _WORDS + _JUNK
+
+    def pick(k):
+        return [pool[int(i)] for i in rng.integers(0, len(pool), k)]
+
+    cases = []
+    for i in range(n):
+        model = _MODELS[int(rng.integers(0, len(_MODELS)))]
+        kind = i % 3
+        if kind == 0:  # mixed free-text + phrase
+            q = pick(1)[0] + ' "' + " ".join(pick(2)) + '"'
+        elif kind == 1:  # pure phrase
+            q = '"' + " ".join(pick(2)) + '"'
+        else:  # multi-term free text
+            q = " ".join(pick(int(rng.integers(2, 4))))
+        cases.append((q, model))
+    return cases
+
+
+@pytest.mark.parametrize("q,model", _gen_model_cases())
+def test_fuzz_model_phrase_parity(built_index, oracle_index, q, model):
+    o_index, doc_sizes = oracle_index
+    got = [(r.doc_id, r.score)
+           for r in executor.execute(built_index, q, k=50,
+                                     model=model).collect()]
+    want = oracle.execute(o_index, doc_sizes, q, k=50, model=model)
+    assert [d for d, _ in got] == [d for d, _ in want], (q, model)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9), (q, model)

@@ -162,6 +162,21 @@ def q_lm_mixed_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pipeline (operators/curation.py):
+    language filter → quality/length filter → exact dedup (min-id
+    survivors), the deterministic SQL-expressible subset — the composed
+    oracle re-derives every stage from the same per-op oracle SQL."""
+    from search_engine_spark.operators import curation
+
+    cur, _ = curation.curate(
+        _docs(spark, sf_dir), languages=("en",), min_quality=0.5,
+        min_tokens=20, max_tokens=1000, minhash_threshold=None,
+        collect_funnel=False,
+    )
+    return cur.select("doc_id")
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import dedup
 
@@ -346,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_stats": q_user_stats,
         "window_topk": q_window_topk,
         "lm_mixed_phrase": q_lm_mixed_phrase,
+        "curated_corpus": q_curated_corpus,
         "quality_score": q_quality_score,
         "near_dup_pairs": q_near_dup_pairs,
         "simhash_near_dups": q_simhash_near_dups,
@@ -593,6 +609,18 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
             ) WHERE rnk <= 3
         """,
         "quality_score": _quality_score_sql(),
+        "curated_corpus": f"""
+            WITH lang AS ({_language_id_sql()}),
+            q AS ({_quality_score_sql()}),
+            keep AS (
+                SELECT d.doc_id, d.text
+                FROM documents d
+                JOIN lang USING (doc_id) JOIN q USING (doc_id)
+                WHERE lang.pred_lang IN ('en') AND q.quality >= 0.5
+                  AND q.n_tokens BETWEEN 20 AND 1000
+            )
+            SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY md5(text)
+        """,
         "language_id": _language_id_sql(),
         "simhash_near_dups": """
             -- COALESCE mirrors the engine (simhash64 maps NULL text to ""

@@ -1,0 +1,71 @@
+"""Training-data curation job: raw documents → filtered, deduplicated
+training corpus with a per-stage lineage funnel.
+
+spark-submit --py-files dist/engine.zip jobs/curate_corpus.py \
+    --input /data/documents_parquet --output /data/curated \
+    [--languages en,fr] [--min-quality 0.5] \
+    [--min-tokens 20] [--max-tokens 100000] \
+    [--minhash-threshold 0.8] [--html]
+
+Pipeline (operators/curation.py): language filter → quality/length
+filter → exact dedup → MinHash near-dedup (opt-in). Writes the curated
+parquet plus ``funnel.json`` recording rows surviving each stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--languages", default="en",
+                    help="comma list of language codes to keep; empty "
+                         "string disables the language filter")
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--min-tokens", type=int, default=1)
+    ap.add_argument("--max-tokens", type=int, default=1 << 31)
+    ap.add_argument("--minhash-threshold", type=float, default=None,
+                    help="enable MinHash near-dedup at this Jaccard "
+                         "threshold (omit to skip)")
+    ap.add_argument("--html", action="store_true",
+                    help="input is the web shape (url, warc_ts, html): "
+                         "derive doc_id/text first")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.analyzer import make_extract_text_udf
+    from search_engine_spark.operators import curation
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources import corpus
+
+    spark = get_spark("curate_corpus")
+    docs = spark.read.parquet(args.input)
+    if args.html:
+        docs = corpus.ingest_filters(corpus.with_dense_doc_ids(docs))
+        docs = docs.withColumn(
+            "text", make_extract_text_udf()(F.col("html"))).drop("html")
+
+    langs = tuple(s for s in args.languages.split(",") if s) or None
+    curated, funnel = curation.curate(
+        docs, languages=langs, min_quality=args.min_quality,
+        min_tokens=args.min_tokens, max_tokens=args.max_tokens,
+        minhash_threshold=args.minhash_threshold,
+    )
+    curated.write.mode("overwrite").parquet(args.output)
+    with open(os.path.join(args.output, "funnel.json"), "w") as f:
+        json.dump(funnel, f, indent=2)
+    for row in funnel:
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

@@ -168,6 +168,36 @@ def main() -> int:
         ],
     )
 
+    # 7. VSM: the whole query is ONE Spark action — query weights and
+    # qnorm resolve in-plan (broadcast of term_stats + a 1-row broadcast
+    # aggregate), no per-query driver collect
+    p6 = plan_of(S.search_vsm(mem, "market price", k=10))
+    check(
+        "VSM single-action (in-plan query weights)", p6,
+        [
+            ("broadcast query-weight/qnorm frames", r"BroadcastExchange", True),
+            ("qnorm crossJoin is broadcast, not cartesian",
+             r"CartesianProduct", False),
+            ("single final top-k", r"TakeOrderedAndProject", True),
+        ],
+    )
+
+    # 8. embedding near-dup band join ships ids only: the posexplode
+    # output must not carry the vector column (shuffle bytes independent
+    # of n_tables × dim); vectors re-join after candidate dedup
+    from search_engine_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p7 = plan_of(SIM.embedding_near_dups(emb, threshold=0.9))
+    check(
+        "Embedding near-dup band join (ids only)", p7,
+        [
+            ("band posexplode present", r"\bGenerate\b", True),
+            ("vectors NOT carried through the explode",
+             r"\(\d+\) Generate\nInput \[\d+\]: \[[^\]]*embedding", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -1,0 +1,86 @@
+"""End-to-end training-data curation — the composition a 100 TB crawl
+runs to produce an LLM training corpus (task brief's pipeline family),
+built from this package's oracle-gated operators:
+
+    language filter → quality/length filter → exact dedup → MinHash
+    near-dedup
+
+with a per-stage row funnel for lineage. Stage order pins the cheap
+row-local filters BEFORE the shuffle-heavy dedup stages so dedup runs on
+the smallest surviving set; every stage is the bounded/banded form (no
+all-pairs joins, no unbounded driver transfer), so the composition
+inherits each operator's scale properties.
+
+``jobs/curate_corpus.py`` is the spark-submit CLI; the deterministic
+subset (filters + exact dedup) is driver-contract-gated end-to-end
+against a composed DuckDB oracle (``curated_corpus``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, textquality
+
+
+def curate(
+    docs: DataFrame,
+    languages: tuple[str, ...] | None = ("en",),
+    min_quality: float = 0.0,
+    min_tokens: int = 1,
+    max_tokens: int = 1 << 31,
+    minhash_threshold: float | None = None,
+    text_col: str = "text",
+    collect_funnel: bool = True,
+) -> tuple[DataFrame, list[dict]]:
+    """→ (curated docs frame, per-stage funnel rows).
+
+    ``languages=None`` skips language filtering; ``minhash_threshold=None``
+    skips the near-dedup stage (the remaining pipeline is fully
+    SQL-expressible — the contract oracle's variant).
+    ``collect_funnel=False`` keeps the whole pipeline lazy (one action at
+    the caller's sink) instead of persisting + counting per stage.
+    """
+    funnel: list[dict] = []
+    cur = docs
+    prev_persisted = None
+
+    def checkpoint(name: str) -> None:
+        nonlocal cur, prev_persisted
+        if not collect_funnel:
+            return
+        cur = cur.persist()
+        funnel.append({"stage": name, "rows": cur.count()})
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = cur
+
+    checkpoint("input")
+    if languages:
+        keep = (
+            textquality.language_id(cur, text_col)
+            .filter(F.col("pred_lang").isin(list(languages)))
+            .select("doc_id")
+        )
+        cur = cur.join(keep, "doc_id", "left_semi")
+        checkpoint("language")
+    keep = (
+        textquality.quality_score(cur, text_col)
+        .filter(
+            (F.col("quality") >= F.lit(float(min_quality)))
+            & F.col("n_tokens").between(min_tokens, max_tokens)
+        )
+        .select("doc_id")
+    )
+    cur = cur.join(keep, "doc_id", "left_semi")
+    checkpoint("quality")
+    survivors = dedup.exact_dedup(cur, text_col).select("doc_id")
+    cur = cur.join(survivors, "doc_id", "left_semi")
+    checkpoint("exact_dedup")
+    if minhash_threshold is not None:
+        surv = dedup.minhash_dedup(cur, text_col,
+                                   threshold=minhash_threshold)
+        cur = cur.join(surv, "doc_id", "left_semi")
+        checkpoint("near_dedup")
+    return cur, funnel

@@ -453,3 +453,55 @@ def test_token_count_whitespace_and_empty(spark):
         "doc_id long, text string")
     r9 = textquality.quality_score(df2).collect()[0]
     assert r9.stopword_ratio > 0
+
+
+def test_curation_pipeline_funnel_and_survivors(spark):
+    """Planted corpus: each stage removes exactly the planted junk, the
+    funnel records the shrinking row counts, and the survivors are the
+    min-id representatives of the good docs."""
+    from search_engine_spark.operators import curation
+
+    good = ("the market price growth report is strong and the outlook "
+            "for the economy is good with many new trade deals in play")
+    near = good.replace("strong", "solid")  # high-Jaccard near-dup
+    rows = [
+        (1, good),                     # keeper (en, long enough)
+        (2, good),                     # exact dup of 1 → dropped
+        (3, near),                     # near-dup of 1 → dropped @0.5
+        (4, "the short text is here"),  # en, but < min_tokens → dropped
+        (5, "der markt und die preise sind nicht gut und das ist "
+            "ein problem für die wirtschaft und die zukunft von allen "
+            "menschen in dem land und der welt heute"),  # de → dropped
+        (6, "an entirely different document about cooking pasta with "
+            "tomatoes garlic and olive oil for a family dinner tonight "
+            "which should definitely survive the whole pipeline"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cur, funnel = curation.curate(
+        docs, languages=("en",), min_quality=0.2, min_tokens=10,
+        max_tokens=1000, minhash_threshold=0.5)
+    got = sorted(r.doc_id for r in cur.collect())
+    assert got == [1, 6]
+    stages = {f["stage"]: f["rows"] for f in funnel}
+    assert stages["input"] == 6
+    assert stages["language"] == 5     # de doc gone
+    assert stages["quality"] == 4      # short doc gone
+    assert stages["exact_dedup"] == 3  # exact dup gone
+    assert stages["near_dedup"] == 2   # near dup gone
+
+
+def test_curation_lazy_variant_matches(spark):
+    """collect_funnel=False (the contract/one-action variant) returns the
+    same survivors as the funnel-counting variant."""
+    from search_engine_spark.operators import curation
+    from search_engine_spark.sources.corpus import read_documents
+
+    docs = read_documents(spark, "/root/testdata/sf0.001")
+    a, funnel = curation.curate(docs, min_quality=0.5, min_tokens=20,
+                                max_tokens=1000)
+    b, empty = curation.curate(docs, min_quality=0.5, min_tokens=20,
+                               max_tokens=1000, collect_funnel=False)
+    assert empty == []
+    assert ({r.doc_id for r in a.collect()}
+            == {r.doc_id for r in b.collect()})
+    assert funnel[0]["rows"] >= funnel[-1]["rows"]

@@ -9,7 +9,11 @@ spark-submit --py-files dist/engine.zip jobs/curate_corpus.py \
 
 Pipeline (operators/curation.py): language filter → quality/length
 filter → exact dedup → MinHash near-dedup (opt-in). Writes the curated
-parquet plus ``funnel.json`` recording rows surviving each stage.
+parquet plus ``_funnel.json`` recording rows surviving each stage (the
+underscore prefix makes Spark's file listing skip it, so the output dir
+stays directly readable as parquet; written through the Hadoop
+FileSystem API so hdfs://, s3a:// etc. outputs work the same as local
+paths).
 """
 
 from __future__ import annotations
@@ -54,17 +58,34 @@ def main() -> None:
         docs = docs.withColumn(
             "text", make_extract_text_udf()(F.col("html"))).drop("html")
 
-    langs = tuple(s for s in args.languages.split(",") if s) or None
+    # strip + lowercase so "en, FR" keeps French instead of silently
+    # filtering everything to a code language_id never emits
+    langs = tuple(
+        s.strip().lower() for s in args.languages.split(",") if s.strip()
+    ) or None
     curated, funnel = curation.curate(
         docs, languages=langs, min_quality=args.min_quality,
         min_tokens=args.min_tokens, max_tokens=args.max_tokens,
         minhash_threshold=args.minhash_threshold,
     )
     curated.write.mode("overwrite").parquet(args.output)
-    with open(os.path.join(args.output, "funnel.json"), "w") as f:
-        json.dump(funnel, f, indent=2)
+    write_funnel(spark, args.output, funnel)
     for row in funnel:
         print(json.dumps(row))
+
+
+def write_funnel(spark, output: str, funnel: list) -> None:
+    """Write ``_funnel.json`` next to the parquet files via the Hadoop
+    FileSystem API: works for any output URI the writer accepted, and
+    the '_' prefix keeps the sidecar out of parquet file listings."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(output, "_funnel.json")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(json.dumps(funnel, indent=2).encode())
+    finally:
+        out.close()
 
 
 if __name__ == "__main__":

@@ -77,7 +77,9 @@ def main() -> None:
         if checker is not None:
             query = SP.correct_query(query, checker, symbols)
         if abbreviations:
-            query = SP.expand_abbreviations(query, abbreviations)
+            # bare terms: search_wand rejects quoted queries
+            query = SP.expand_abbreviations(query, abbreviations,
+                                            quote=False)
         hits = wand.search_wand(idx, query, k=args.k)
     else:
         df = executor.execute(

@@ -98,7 +98,10 @@ def create_server(index, port: int = 0, spellchecker=None,
             from search_engine_spark.plans.spellcheck import (
                 expand_abbreviations)
 
-            executed = expand_abbreviations(corrected, abbreviations)
+            # wand's bag-of-words kernel rejects quoted queries, so
+            # expand to bare terms there instead of a phrase
+            executed = expand_abbreviations(corrected, abbreviations,
+                                            quote=not use_wand)
         with lock:
             if use_wand:
                 if ds or de:

@@ -23,6 +23,22 @@ from pyspark.sql import functions as F
 
 from . import dedup, textquality
 
+# Final persisted frames from prior curate() calls (intermediate stage
+# frames are released as the pipeline advances, but the LAST one backs
+# the returned DataFrame and must outlive the call). Released on the
+# next curate() entry or explicitly via release_caches(), so a
+# long-lived session sweeping parameters holds at most one corpus-sized
+# persisted frame, mirroring the per-query cache bound in
+# operators.search.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist frames retained by earlier curate() calls. Safe while
+    their DataFrames are still referenced — they lazily recompute."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def curate(
     docs: DataFrame,
@@ -41,7 +57,13 @@ def curate(
     SQL-expressible — the contract oracle's variant).
     ``collect_funnel=False`` keeps the whole pipeline lazy (one action at
     the caller's sink) instead of persisting + counting per stage.
+
+    With ``collect_funnel=True`` the returned frame is persisted; it is
+    released automatically when curate() is next called (or via
+    ``release_caches()``), so repeated calls don't accumulate
+    corpus-sized cached frames.
     """
+    release_caches()
     funnel: list[dict] = []
     cur = docs
     prev_persisted = None
@@ -83,4 +105,6 @@ def curate(
                                    threshold=minhash_threshold)
         cur = cur.join(surv, "doc_id", "left_semi")
         checkpoint("near_dedup")
+    if prev_persisted is not None:
+        _PERSISTED.append(prev_persisted)
     return cur, funnel

@@ -155,14 +155,20 @@ def correct_query(query: str, checker: VocabularySpellchecker,
     return " ".join(out)
 
 
-def expand_abbreviations(query: str, abbreviations: dict[str, str]) -> str:
+def expand_abbreviations(query: str, abbreviations: dict[str, str],
+                         quote: bool = True) -> str:
     """Append '"{expansion}"' for each known abbreviation in the query
-    (reference helpers.py:297-303; dead code there, live feature here)."""
+    (reference helpers.py:297-303; dead code there, live feature here).
+
+    ``quote=False`` appends the expansion as bare terms instead — for
+    the WAND serving path, whose bag-of-words BM25 kernel has no phrase
+    operator (search_wand rejects quoted queries rather than silently
+    degrading a phrase to independent terms)."""
     extra = []
     for tok in query.split(" "):
         exp = abbreviations.get(tok.lower())
         if exp:
-            extra.append(f'"{exp}"')
+            extra.append(f'"{exp}"' if quote else exp)
     return query if not extra else query + " " + " ".join(extra)
 
 

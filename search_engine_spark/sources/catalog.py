@@ -478,7 +478,14 @@ class SegmentIndex(InvertedIndex):
                     for r in rows:
                         fetched.setdefault(r.term, []).append(r)
                     for t, blks in fetched.items():
-                        self._mini[t] = (dfs[t], blks, cap)
+                        # a term that came back with FEWER than cap
+                        # blocks was fetched complete (the ranked fetch
+                        # truncates only AT the cap) — remember it as
+                        # uncapped so a later looser/exact request is a
+                        # cache hit instead of a refetch Spark job
+                        self._mini[t] = (
+                            dfs[t], blks,
+                            cap if len(blks) >= cap else None)
             for t in missing:  # negative-cache OOV terms too (universal)
                 if t not in self._mini:
                     self._mini[t] = (0, [], None)

@@ -76,14 +76,43 @@ def incremental_index_build(
             "a separate index dir")
     meta_path = os.path.join(index_dir, "manifest", "stream_meta.json")
     ckpt_abs = os.path.abspath(checkpoint_dir)
+    analyzer_meta = {"lowercase": conf.lowercase,
+                     "remove_stopwords": conf.remove_stopwords,
+                     "stem": conf.stem}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            owner = json.load(f).get("checkpoint_dir")
-        if owner != ckpt_abs:
+            meta = json.load(f)
+        if meta.get("checkpoint_dir") != ckpt_abs:
             raise ValueError(
-                f"{index_dir} is owned by checkpoint {owner}; a different "
-                f"checkpoint ({ckpt_abs}) would restart batch ids at 0 and "
+                f"{index_dir} is owned by checkpoint "
+                f"{meta.get('checkpoint_dir')}; a different checkpoint "
+                f"({ckpt_abs}) would restart batch ids at 0 and "
                 "overwrite the earlier ingest's partitions")
+        # A re-run must stage into the SAME bucket space and token space
+        # as the batches already on disk: a changed buckets count would
+        # put new postings where the recorded-buckets query hash never
+        # looks (silently missing results), and a changed analyzer mixes
+        # incompatible token streams.
+        if meta.get("buckets", buckets) != buckets:
+            raise ValueError(
+                f"{index_dir} was ingested with buckets="
+                f"{meta['buckets']}; re-running with buckets={buckets} "
+                "would stage postings in a bucket space queries never "
+                "scan — pass the original value")
+        if meta.get("analyzer", analyzer_meta) != analyzer_meta:
+            raise ValueError(
+                f"{index_dir} was ingested with analyzer "
+                f"{meta['analyzer']}; re-running with {analyzer_meta} "
+                "would mix incompatible token streams — pass the "
+                "original AnalyzerConfig")
+        if "buckets" not in meta or "analyzer" not in meta:
+            # pre-upgrade index (meta written before buckets/analyzer
+            # were recorded): refresh in place so
+            # compact_streaming_index's documented remediation
+            # ("re-run the ingest with the same checkpoint") works
+            meta.update({"buckets": buckets, "analyzer": analyzer_meta})
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
     else:
         with open(meta_path, "w") as f:
             # buckets + analyzer recorded for the compaction job
@@ -91,9 +120,7 @@ def incremental_index_build(
             # ingest's term-bucket hashing and declare the same analyzer
             json.dump({"checkpoint_dir": ckpt_abs, "ts": time.time(),
                        "buckets": buckets,
-                       "analyzer": {"lowercase": conf.lowercase,
-                                    "remove_stopwords": conf.remove_stopwords,
-                                    "stem": conf.stem}}, f)
+                       "analyzer": analyzer_meta}, f)
 
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 8)

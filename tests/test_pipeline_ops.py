@@ -490,6 +490,30 @@ def test_curation_pipeline_funnel_and_survivors(spark):
     assert stages["near_dedup"] == 2   # near dup gone
 
 
+def test_curation_repeat_calls_bound_persisted_frames(spark):
+    """A parameter sweep calling curate() in a loop must hold at most
+    ONE corpus-sized persisted frame: each call releases the previous
+    call's retained final stage. Results stay correct after release
+    (unpersisted frames recompute from lineage)."""
+    from search_engine_spark.operators import curation
+    from search_engine_spark.sources.corpus import read_documents
+
+    curation.release_caches()
+    docs = read_documents(spark, "/root/testdata/sf0.001")
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    frames = []
+    for q in (0.2, 0.4, 0.6, 0.8):
+        cur, _ = curation.curate(docs, min_quality=q, min_tokens=10,
+                                 max_tokens=1000)
+        frames.append(cur)
+    assert jsc.getPersistentRDDs().size() - base <= 1
+    # earlier (now-unpersisted) frames still answer correctly
+    assert frames[0].count() >= frames[-1].count()
+    curation.release_caches()
+    assert jsc.getPersistentRDDs().size() <= base
+
+
 def test_curation_lazy_variant_matches(spark):
     """collect_funnel=False (the contract/one-action variant) returns the
     same survivors as the funnel-counting variant."""

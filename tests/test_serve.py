@@ -75,6 +75,17 @@ def test_abbreviation_expansion_through_results(server):
     assert body["number_of_results"] > 0
 
 
+def test_abbreviation_expansion_wand_path_unquoted(server):
+    """On the WAND path the expansion must ride as bare terms —
+    search_wand rejects quoted queries rather than degrading the phrase
+    to independent terms, so a quoted expansion would 400 every
+    abbreviated query under wand=1."""
+    status, body = _get(server + "/results?query=gdp&k=5&wand=1")
+    assert status == 200
+    assert body["executed_query"] == "gdp germany economy"
+    assert body["number_of_results"] > 0
+
+
 def test_k_validation_rejects_as_400(server):
     for bad in (-1, 0, 10_001):
         with pytest.raises(urllib.error.HTTPError) as e:

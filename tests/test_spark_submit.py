@@ -72,6 +72,32 @@ def test_build_with_partitioned_document_store(tmp_path, spark):
     assert hits and all(h["doc_id"] in in_range for h in hits)
 
 
+def test_curate_corpus_job_output_is_plain_parquet(tmp_path, spark):
+    """The curation job's output dir must stay directly readable as
+    parquet (the funnel sidecar rides as '_funnel.json', which Spark's
+    file listing skips), and sloppy --languages input (' EN ,fr')
+    normalizes instead of filtering everything out."""
+    import sys
+
+    out = str(tmp_path / "curated")
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4",
+           "SPARK_GRAFT_DRIVER_MEM": "4g"}
+    p = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "jobs", "curate_corpus.py"),
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out, "--languages", " EN ,fr",
+         "--min-tokens", "5", "--max-tokens", "100000"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    curated = spark.read.parquet(out)  # sidecar must not break this
+    assert curated.count() > 0
+    with open(os.path.join(out, "_funnel.json")) as f:
+        funnel = json.load(f)
+    stages = [s["stage"] for s in funnel]
+    assert stages[0] == "input" and "exact_dedup" in stages
+
+
 @pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
                     reason="spark-submit not installed")
 def test_jobs_ship_via_py_files(tmp_path):

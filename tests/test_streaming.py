@@ -233,6 +233,44 @@ def test_incremental_replay_is_idempotent(spark, corpus_sdf, tmp_path):
     assert after == before  # replaced, not appended
 
 
+def test_incremental_rerun_config_guards(spark, corpus_sdf, tmp_path):
+    """A re-run must stage into the same bucket/token space as the
+    batches already on disk: changed buckets put postings where the
+    recorded-buckets query hash never looks, changed analyzer mixes
+    incompatible token streams — both refused. A pre-upgrade meta file
+    (no buckets/analyzer keys) is upgraded in place instead."""
+    import json
+
+    from search_engine_spark.functions.analyzer import AnalyzerConfig
+
+    src = str(tmp_path / "cfg_src")
+    corpus_sdf.select("doc_id", "text").coalesce(1).write.parquet(src)
+    index_dir = str(tmp_path / "cfg_idx")
+    schema = spark.read.parquet(src).schema
+    incremental.incremental_index_build(spark, src, index_dir, schema,
+                                        buckets=8)
+    with pytest.raises(ValueError, match="bucket space"):
+        incremental.incremental_index_build(spark, src, index_dir, schema,
+                                            buckets=16)
+    with pytest.raises(ValueError, match="token streams"):
+        incremental.incremental_index_build(
+            spark, src, index_dir, schema, buckets=8,
+            conf=AnalyzerConfig.simple())
+    # pre-upgrade meta: strip the keys, re-run with original config —
+    # accepted, and the keys are restored for the compaction job
+    meta_path = os.path.join(index_dir, "manifest", "stream_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    del meta["buckets"], meta["analyzer"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    incremental.incremental_index_build(spark, src, index_dir, schema,
+                                        buckets=8)
+    with open(meta_path) as f:
+        upgraded = json.load(f)
+    assert upgraded["buckets"] == 8 and "analyzer" in upgraded
+
+
 def test_streaming_sessionize_randomized_identity(spark, tmp_path):
     """Property check: random event times with random gaps, arriving in
     random order across micro-batches (bounded lateness), must produce

@@ -215,6 +215,34 @@ def test_default_cap_bounds_head_term_fetch(seg_index, monkeypatch):
     seg_index._mini.clear()
 
 
+def test_cap_cache_remembers_complete_fetch(seg_index):
+    """A term that comes back from the capped two-phase fetch with FEWER
+    than cap blocks was fetched COMPLETE (the ranked fetch truncates
+    only at the cap) — it must be cached as uncapped so a later exact
+    request is a zero-Spark-job hit instead of a refetch."""
+    from pyspark.sql import functions as F
+
+    counts = {r.term: r.cnt
+              for r in seg_index.segments.groupBy("term")
+              .agg(F.count("*").alias("cnt")).collect()}
+    head = max(counts, key=counts.get)
+    tail = min(counts, key=counts.get)
+    cap = counts[tail] + 1  # tail fits under the cap, head exceeds it
+    # optimistic budget = 2*cap+1 rows; head+tail >= budget makes the
+    # limit fire, proving the two-phase ranked fetch ran
+    assert counts[head] >= counts[tail] + 3
+    seg_index._mini.clear()
+    seg_index.mini_index([head, tail], cap=cap)
+    assert seg_index._mini[head][2] == cap
+    assert len(seg_index._mini[head][1]) == cap
+    tail_entry = seg_index._mini[tail]
+    assert tail_entry[2] is None  # complete fetch → uncapped entry
+    # exact request now covered by the cache: same tuple, no refetch
+    seg_index.mini_index([tail], cap=None)
+    assert seg_index._mini[tail] is tail_entry
+    seg_index._mini.clear()
+
+
 def test_default_auto_cap_rank_identical_on_bench_queries(seg_index, oracle_index):
     """With the real WAND_AUTO_CAP (256), no fixture term exceeds the cap,
     so the default path is rank- and score-identical to the exact opt-in

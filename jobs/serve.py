@@ -89,19 +89,31 @@ def create_server(index, port: int = 0, spellchecker=None,
             raise ValueError(
                 "date_start and date_end must be provided together")
         corrected = query
-        if first_execution and spellchecker is not None:
-            from search_engine_spark.plans.spellcheck import correct_query
-
-            corrected = correct_query(query, spellchecker, symbols)
         executed = corrected
-        if first_execution and abbreviations:
-            from search_engine_spark.plans.spellcheck import (
-                expand_abbreviations)
+        if first_execution and (spellchecker is not None or abbreviations):
+            from search_engine_spark.plans import planner
 
-            # wand's bag-of-words kernel rejects quoted queries, so
-            # expand to bare terms there instead of a phrase
-            executed = expand_abbreviations(corrected, abbreviations,
-                                            quote=not use_wand)
+            # Mirror executor.execute's guard: the reference applies
+            # spellcheck/expansion AFTER classification and to FREE-TEXT
+            # queries only (retrieval_execution.py:77-79) — correcting a
+            # boolean/proximity query would rewrite operator words into
+            # vocabulary terms and silently change the parse.
+            plan = planner.classify(query, index.analyzer)
+            if isinstance(plan, planner.FreeTextPlan):
+                if spellchecker is not None:
+                    from search_engine_spark.plans.spellcheck import (
+                        correct_query)
+
+                    corrected = correct_query(query, spellchecker, symbols)
+                executed = corrected
+                if abbreviations:
+                    from search_engine_spark.plans.spellcheck import (
+                        expand_abbreviations)
+
+                    # wand's bag-of-words kernel rejects quoted queries,
+                    # so expand to bare terms there instead of a phrase
+                    executed = expand_abbreviations(
+                        corrected, abbreviations, quote=not use_wand)
         with lock:
             if use_wand:
                 if ds or de:

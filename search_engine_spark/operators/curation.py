@@ -34,10 +34,12 @@ _PERSISTED: list[DataFrame] = []
 
 
 def release_caches() -> None:
-    """Unpersist frames retained by earlier curate() calls. Safe while
+    """Unpersist frames retained by earlier curate() calls (including
+    the candidate-pair cache inside the MinHash stage). Safe while
     their DataFrames are still referenced — they lazily recompute."""
     while _PERSISTED:
         _PERSISTED.pop().unpersist()
+    dedup.release_caches()
 
 
 def curate(
@@ -71,6 +73,13 @@ def curate(
     def checkpoint(name: str) -> None:
         nonlocal cur, prev_persisted
         if not collect_funnel:
+            return
+        if cur is docs:
+            # never persist (and later unpersist) the CALLER's frame:
+            # unpersisting it would silently destroy a cache the caller
+            # manages on that object. Costs one extra source scan at
+            # the next stage — the source read, not the pipeline.
+            funnel.append({"stage": name, "rows": cur.count()})
             return
         cur = cur.persist()
         funnel.append({"stage": name, "rows": cur.count()})

@@ -33,6 +33,22 @@ from pyspark.sql.types import ArrayType, LongType
 
 _MERSENNE = (1 << 61) - 1
 
+# Candidate-pair frames persisted by prior minhash_dedup calls. Spark's
+# ContextCleaner does NOT reclaim DataFrame caches on GC (CacheManager
+# keeps a strong reference to the InMemoryRelation), so these must be
+# released explicitly: on the next minhash_dedup entry, or via
+# release_caches(). Bounded at one corpus-scale cached frame per
+# session, mirroring operators.curation.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist candidate frames retained by earlier minhash_dedup
+    calls. Safe while their results are still referenced — downstream
+    frames lazily recompute."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """→ one row per distinct text: (doc_id=min survivor, text_hash, dup_count)."""
@@ -231,10 +247,14 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
     # persisted: the verify stage consumes the candidate set TWICE (the
     # member semi-join that restricts shingling, and the pair join) —
     # without it the whole band-join DAG re-executes per consumer.
-    # Spark's ContextCleaner drops the block once the frame is GC'd.
+    # Registered in _PERSISTED (released on the next call or via
+    # release_caches()): CacheManager would otherwise hold the cache
+    # for the session lifetime.
+    release_caches()
     cands = minhash_lsh_pairs(sigs, bands=num_perm // rows_per_band,
                               rows_per_band=rows_per_band,
                               num_perm=num_perm).persist()
+    _PERSISTED.append(cands)
     dups = jaccard_verify(cands, reps, text_col, threshold, shingle_k) \
         .select(F.col("doc_b").alias("doc_id")).distinct()
     rep_survivors = reps.select("doc_id").join(dups, "doc_id", "left_anti")

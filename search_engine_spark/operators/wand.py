@@ -115,13 +115,27 @@ def search_wand(index, query: str, k: int = 100,
 
     Requires a SegmentIndex (the durable, block-encoded form): the
     relational ``operators.search`` path is the equivalent for in-memory
-    indexes.
+    indexes. FREE-TEXT queries only: phrase/boolean/proximity shapes
+    raise ValueError (the analyzer would strip their operators and
+    silently degrade them to bag-of-words) — use executor.execute.
     """
     if not hasattr(index, "mini_index"):
         raise TypeError(
             "search_wand needs a SegmentIndex (durable block-encoded "
             "index); use operators.search.search_freetext for in-memory "
             "indexes")
+    from ..plans import planner
+
+    plan = planner.classify(query, index.analyzer)
+    if not isinstance(plan, planner.FreeTextPlan) or plan.phrases:
+        # The analyzer would strip the operators/quotes and silently
+        # degrade the query to bag-of-words scoring — refuse instead,
+        # mirroring the date-filter refusal (the relational executor
+        # has the real phrase/boolean/proximity semantics).
+        raise ValueError(
+            "search_wand is a bag-of-words BM25 kernel: phrase, boolean "
+            "and proximity queries have no WAND semantics here — use "
+            "operators.executor.execute (the relational path)")
     toks = analyze_query(query, index.analyzer)
     if not toks or k <= 0:
         return []

@@ -188,11 +188,18 @@ def load_symbols(source: str) -> frozenset[str]:
         if not rows:
             return frozenset()
         header = [c.strip().lower() for c in rows[0]]
-        if "symbol" in header:
-            i = header.index("symbol")
+        header_names = {"symbol", "symbols", "ticker", "tickers", "act symbol"}
+        if header_names & set(header):
+            i = header.index(next(h for h in header if h in header_names))
             vals = [r[i] for r in rows[1:] if len(r) > i]
-        else:  # plain one-per-line file
+        else:  # plain one-per-line / first-column file; a multi-column
+            # CSV whose header we didn't recognize would otherwise load
+            # its header cells as guard symbols, so drop a first row
+            # that can't be ticker data (tickers never contain spaces)
             vals = [r[0] for r in rows]
+            if vals and (" " in vals[0].strip() or
+                         vals[0].strip().lower() in {"name", "company"}):
+                vals = vals[1:]
         return frozenset(v.strip().lower() for v in vals if v.strip())
     return frozenset(s.strip().lower() for s in source.split(",") if s.strip())
 

@@ -419,6 +419,12 @@ class SegmentIndex(InvertedIndex):
         truncation (sorted by (block_max_tf desc, block_id asc) — the
         same ordering the plan uses); a tighter entry forces a refetch
         for a looser request."""
+        if cap is not None and cap < 1:
+            # cap=0 would fetch zero blocks and fall through to the
+            # OOV negative cache, poisoning the LRU: later EXACT
+            # requests for an in-vocabulary term would return empty
+            raise ValueError(f"cap must be >= 1 or None, got {cap}")
+
         def covers(cap_used, want):
             return cap_used is None or (want is not None and cap_used >= want)
 

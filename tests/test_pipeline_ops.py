@@ -504,14 +504,36 @@ def test_curation_repeat_calls_bound_persisted_frames(spark):
     base = jsc.getPersistentRDDs().size()
     frames = []
     for q in (0.2, 0.4, 0.6, 0.8):
+        # minhash on: its candidate-pair cache must also stay bounded
         cur, _ = curation.curate(docs, min_quality=q, min_tokens=10,
-                                 max_tokens=1000)
+                                 max_tokens=1000, minhash_threshold=0.7)
         frames.append(cur)
-    assert jsc.getPersistentRDDs().size() - base <= 1
+    # at most the LAST call's final stage + its minhash candidate cache
+    assert jsc.getPersistentRDDs().size() - base <= 2
     # earlier (now-unpersisted) frames still answer correctly
     assert frames[0].count() >= frames[-1].count()
     curation.release_caches()
     assert jsc.getPersistentRDDs().size() <= base
+
+
+def test_curation_never_unpersists_callers_frame(spark):
+    """curate() must not persist/unpersist the CALLER's input frame:
+    unpersisting it would silently destroy a cache the caller manages
+    on that object."""
+    from search_engine_spark.operators import curation
+    from search_engine_spark.sources.corpus import read_documents
+
+    docs = read_documents(spark, "/root/testdata/sf0.001").persist()
+    try:
+        docs.count()  # materialize the caller's cache
+        cur, funnel = curation.curate(docs, min_quality=0.2, min_tokens=5,
+                                      max_tokens=10_000)
+        assert funnel[0]["stage"] == "input"
+        assert cur.count() > 0
+        assert docs.storageLevel.useMemory  # caller's cache untouched
+    finally:
+        docs.unpersist()
+        curation.release_caches()
 
 
 def test_curation_lazy_variant_matches(spark):

@@ -86,6 +86,28 @@ def test_abbreviation_expansion_wand_path_unquoted(server):
     assert body["number_of_results"] > 0
 
 
+def test_boolean_query_not_spellchecked_or_expanded(server):
+    """Spellcheck + abbreviation expansion apply to FREE-TEXT queries
+    only (the reference corrects after classification,
+    retrieval_execution.py:77-79): a boolean query must pass through
+    verbatim — correcting 'AND' into a vocabulary term or appending a
+    quoted phrase operand would silently change the parse."""
+    status, body = _get(server + "/results?query=gdp%20AND%20growth&k=5")
+    assert status == 200
+    assert body["term_been_corrected"] is False
+    assert body["corrected_query"] == "gdp AND growth"
+    assert body["executed_query"] == "gdp AND growth"
+
+
+def test_wand_rejects_non_freetext_as_400(server):
+    """wand=1 has no phrase/boolean semantics; the kernel refuses
+    instead of silently degrading to bag-of-words."""
+    for q in ("%22germany%20economy%22", "gdp%20AND%20growth"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server + f"/results?query={q}&k=5&wand=1")
+        assert e.value.code == 400, q
+
+
 def test_k_validation_rejects_as_400(server):
     for bad in (-1, 0, 10_001):
         with pytest.raises(urllib.error.HTTPError) as e:

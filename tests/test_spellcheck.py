@@ -128,6 +128,15 @@ def test_load_symbols_csv_and_inline(tmp_path):
     lines_p.write_text("IBM\n tsla \n")
     assert load_symbols(str(lines_p)) == {"ibm", "tsla"}
     assert load_symbols("GOOG, amzn") == {"goog", "amzn"}
+    # Ticker-named header column (not just Symbol)
+    alt_p = tmp_path / "alt.csv"
+    alt_p.write_text("Ticker,Name\nAAPL,Apple Inc\nMSFT,Microsoft\n")
+    assert load_symbols(str(alt_p)) == {"aapl", "msft"}
+    # unrecognized multi-column header: the header cells must NOT load
+    # as guard symbols (a spaced first cell can't be ticker data)
+    odd_p = tmp_path / "odd.csv"
+    odd_p.write_text("Listed Code,Description\nIBM,computers\n")
+    assert load_symbols(str(odd_p)) == {"ibm"}
 
 
 def test_load_abbreviations_normalizes_keys(tmp_path):

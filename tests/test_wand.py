@@ -215,6 +215,20 @@ def test_default_cap_bounds_head_term_fetch(seg_index, monkeypatch):
     seg_index._mini.clear()
 
 
+def test_wand_refuses_non_freetext_and_bad_cap(seg_index):
+    """Phrase/boolean/proximity queries have no WAND semantics — the
+    analyzer would strip the operators and silently score bag-of-words;
+    refuse instead. cap<1 would negative-cache in-vocabulary terms as
+    OOV (poisoning later exact lookups) — also refused."""
+    for q in ('"market price"', "market AND price", "#3(market, price)"):
+        with pytest.raises(ValueError, match="bag-of-words"):
+            wand.search_wand(seg_index, q, k=5)
+    with pytest.raises(ValueError, match="cap"):
+        seg_index.mini_index(["market"], cap=0)
+    assert wand.search_wand(seg_index, "market", k=5,
+                            max_blocks_per_term=1)  # cap=1 is legal
+
+
 def test_cap_cache_remembers_complete_fetch(seg_index):
     """A term that comes back from the capped two-phase fetch with FEWER
     than cap blocks was fetched COMPLETE (the ranked fetch truncates

@@ -74,12 +74,22 @@ def main() -> None:
 
     if args.wand:
         query = args.query
-        if checker is not None:
-            query = SP.correct_query(query, checker, symbols)
-        if abbreviations:
-            # bare terms: search_wand rejects quoted queries
-            query = SP.expand_abbreviations(query, abbreviations,
-                                            quote=False)
+        if checker is not None or abbreviations:
+            # Classify BEFORE correcting (mirrors jobs/serve.py): a
+            # boolean/phrase/proximity query must reach search_wand's
+            # refusal VERBATIM — spellchecking first would rewrite
+            # operator words (AND/OR/NOT are not in the stemmed vocab)
+            # into vocabulary terms, turning the query into free text
+            # that WAND then silently scores as bag-of-words.
+            from search_engine_spark.plans import planner
+
+            if wand.wand_eligible(planner.classify(query, idx.analyzer)):
+                if checker is not None:
+                    query = SP.correct_query(query, checker, symbols)
+                if abbreviations:
+                    # bare terms: search_wand rejects quoted queries
+                    query = SP.expand_abbreviations(query, abbreviations,
+                                                    quote=False)
         hits = wand.search_wand(idx, query, k=args.k)
     else:
         df = executor.execute(

@@ -99,7 +99,13 @@ def create_server(index, port: int = 0, spellchecker=None,
             # boolean/proximity query would rewrite operator words into
             # vocabulary terms and silently change the parse.
             plan = planner.classify(query, index.analyzer)
-            if isinstance(plan, planner.FreeTextPlan):
+            # wand path: the stricter shared predicate (wand_eligible
+            # also excludes phrase-bearing free text, which search_wand
+            # 400s) — correcting a query the kernel will refuse anyway
+            # is wasted work and lets the two guards drift.
+            correctable = (wand.wand_eligible(plan) if use_wand
+                           else isinstance(plan, planner.FreeTextPlan))
+            if correctable:
                 if spellchecker is not None:
                     from search_engine_spark.plans.spellcheck import (
                         correct_query)

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import dedup, textquality
+from ._cache import PersistRegistry
 
 # Final persisted frames from prior curate() calls (intermediate stage
 # frames are released as the pipeline advances, but the LAST one backs
@@ -30,15 +31,13 @@ from . import dedup, textquality
 # long-lived session sweeping parameters holds at most one corpus-sized
 # persisted frame, mirroring the per-query cache bound in
 # operators.search.
-_PERSISTED: list[DataFrame] = []
+_PERSISTED = PersistRegistry()
 
 
 def release_caches() -> None:
     """Unpersist frames retained by earlier curate() calls (including
-    the candidate-pair cache inside the MinHash stage). Safe while
-    their DataFrames are still referenced — they lazily recompute."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+    the candidate-pair cache inside the MinHash stage)."""
+    _PERSISTED.drain()
     dedup.release_caches()
 
 
@@ -115,5 +114,5 @@ def curate(
         cur = cur.join(surv, "doc_id", "left_semi")
         checkpoint("near_dedup")
     if prev_persisted is not None:
-        _PERSISTED.append(prev_persisted)
+        _PERSISTED.add(prev_persisted)
     return cur, funnel

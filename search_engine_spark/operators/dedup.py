@@ -31,23 +31,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from ._cache import PersistRegistry
+
 _MERSENNE = (1 << 61) - 1
 
-# Candidate-pair frames persisted by prior minhash_dedup calls. Spark's
-# ContextCleaner does NOT reclaim DataFrame caches on GC (CacheManager
-# keeps a strong reference to the InMemoryRelation), so these must be
-# released explicitly: on the next minhash_dedup entry, or via
-# release_caches(). Bounded at one corpus-scale cached frame per
-# session, mirroring operators.curation.
-_PERSISTED: list[DataFrame] = []
+# Candidate-pair frames persisted by prior minhash_dedup calls; must be
+# released explicitly (see operators._cache). Bounded at one
+# corpus-scale cached frame per session, mirroring operators.curation.
+_PERSISTED = PersistRegistry()
 
 
 def release_caches() -> None:
     """Unpersist candidate frames retained by earlier minhash_dedup
     calls. Safe while their results are still referenced — downstream
     frames lazily recompute."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+    _PERSISTED.drain()
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -254,7 +252,7 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
     cands = minhash_lsh_pairs(sigs, bands=num_perm // rows_per_band,
                               rows_per_band=rows_per_band,
                               num_perm=num_perm).persist()
-    _PERSISTED.append(cands)
+    _PERSISTED.add(cands)
     dups = jaccard_verify(cands, reps, text_col, threshold, shingle_k) \
         .select(F.col("doc_b").alias("doc_id")).distinct()
     rep_survivors = reps.select("doc_id").join(dups, "doc_id", "left_anti")

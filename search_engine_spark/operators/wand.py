@@ -85,6 +85,18 @@ def _capped_blocks(index, terms: list[str], cap: int):
 WAND_AUTO_CAP = 256
 
 
+def wand_eligible(plan) -> bool:
+    """True iff a classified plan has WAND semantics: pure bag-of-words
+    free text, no phrases. THE single predicate behind search_wand's
+    own refusal and the serving entry points' pre-spellcheck guards
+    (jobs/serve.py, jobs/query_topk.py) — keeping them on one function
+    prevents the guards drifting apart (e.g. a caller spellchecking a
+    boolean query that search_wand then rejects)."""
+    from ..plans import planner
+
+    return isinstance(plan, planner.FreeTextPlan) and not plan.phrases
+
+
 def search_wand(index, query: str, k: int = 100,
                 k1: float = 1.2, b: float = 0.75,
                 max_blocks_per_term: int | None | str = "auto",
@@ -127,7 +139,7 @@ def search_wand(index, query: str, k: int = 100,
     from ..plans import planner
 
     plan = planner.classify(query, index.analyzer)
-    if not isinstance(plan, planner.FreeTextPlan) or plan.phrases:
+    if not wand_eligible(plan):
         # The analyzer would strip the operators/quotes and silently
         # degrade the query to bag-of-words scoring — refuse instead,
         # mirroring the date-filter refusal (the relational executor

@@ -194,12 +194,18 @@ def load_symbols(source: str) -> frozenset[str]:
             vals = [r[i] for r in rows[1:] if len(r) > i]
         else:  # plain one-per-line / first-column file; a multi-column
             # CSV whose header we didn't recognize would otherwise load
-            # its header cells as guard symbols, so drop a first row
-            # that can't be ticker data (tickers never contain spaces)
+            # its header cell as a guard symbol (the substring guard
+            # then exempts every token contained in it from spellcheck),
+            # so drop a first row that looks like a header: any cell
+            # with a space (tickers never contain spaces) or any cell
+            # that is a common header word
+            header_words = {"name", "company", "code", "description",
+                            "security", "exchange", "cusip", "id",
+                            "isin", "sector", "industry"}
+            first = [c.strip().lower() for c in rows[0]]
+            if any(" " in c for c in first) or header_words & set(first):
+                rows = rows[1:]
             vals = [r[0] for r in rows]
-            if vals and (" " in vals[0].strip() or
-                         vals[0].strip().lower() in {"name", "company"}):
-                vals = vals[1:]
         return frozenset(v.strip().lower() for v in vals if v.strip())
     return frozenset(s.strip().lower() for s in source.split(",") if s.strip())
 

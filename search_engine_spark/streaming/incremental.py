@@ -35,6 +35,37 @@ from ..functions.analyzer import AnalyzerConfig
 from ..operators import postings as P
 
 
+def _write_json_atomic(path: str, obj: dict) -> None:
+    """Write-temp-then-rename: a crash mid-write must never destroy a
+    previously valid stream_meta.json (it records checkpoint ownership;
+    truncate-in-place would lose it)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _max_staged_bucket(stage_dir: str):
+    """Highest bucket=<k> partition value present on disk, or None if
+    nothing is staged. Used to falsify a claimed bucket count for
+    pre-upgrade indexes."""
+    best = None
+    if not os.path.isdir(stage_dir):
+        return None
+    for batch in os.listdir(stage_dir):
+        bdir = os.path.join(stage_dir, batch)
+        if not (batch.startswith("batch=") and os.path.isdir(bdir)):
+            continue
+        for part in os.listdir(bdir):
+            if part.startswith("bucket="):
+                try:
+                    k = int(part.split("=", 1)[1])
+                except ValueError:
+                    continue
+                best = k if best is None else max(best, k)
+    return best
+
+
 def incremental_index_build(
     spark: SparkSession,
     input_dir: str,
@@ -44,6 +75,7 @@ def incremental_index_build(
     buckets: int = 64,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    trust_caller_config: bool = False,
 ):
     """Start (and with available_now=True, run to completion) a streaming
     ingest of parquet document files into the index staging tables.
@@ -106,21 +138,40 @@ def incremental_index_build(
                 "would mix incompatible token streams — pass the "
                 "original AnalyzerConfig")
         if "buckets" not in meta or "analyzer" not in meta:
-            # pre-upgrade index (meta written before buckets/analyzer
-            # were recorded): refresh in place so
-            # compact_streaming_index's documented remediation
-            # ("re-run the ingest with the same checkpoint") works
+            # Pre-upgrade index (meta written before buckets/analyzer
+            # were recorded). The meta CANNOT verify the caller's values
+            # against what the legacy ingest actually used, and stamping
+            # a wrong buckets/analyzer here would permanently legitimize
+            # a mismatched re-run (new batches staged in a bucket space
+            # queries never scan, compaction trusting the wrong count) —
+            # so the caller must explicitly accept that responsibility.
+            if not trust_caller_config:
+                raise ValueError(
+                    f"{index_dir} predates buckets/analyzer recording in "
+                    "stream_meta.json; confirm the ORIGINAL ingest's "
+                    "buckets and AnalyzerConfig, pass them, and set "
+                    "trust_caller_config=True to stamp them (a wrong "
+                    "value silently mixes incompatible bucket/token "
+                    "spaces)")
+            # Cheap disk falsification before stamping: staged partition
+            # dirs are bucket=<k> with k in [0, true_buckets); any k >=
+            # the claimed count proves the claim wrong.
+            seen = _max_staged_bucket(stage_dir)
+            if seen is not None and seen >= buckets:
+                raise ValueError(
+                    f"{index_dir} has staged partitions up to "
+                    f"bucket={seen}, impossible under the claimed "
+                    f"buckets={buckets} — the original ingest used a "
+                    "larger bucket count")
             meta.update({"buckets": buckets, "analyzer": analyzer_meta})
-            with open(meta_path, "w") as f:
-                json.dump(meta, f)
+            _write_json_atomic(meta_path, meta)
     else:
-        with open(meta_path, "w") as f:
-            # buckets + analyzer recorded for the compaction job
-            # (catalog.compact_streaming_index): re-encode must reuse the
-            # ingest's term-bucket hashing and declare the same analyzer
-            json.dump({"checkpoint_dir": ckpt_abs, "ts": time.time(),
-                       "buckets": buckets,
-                       "analyzer": analyzer_meta}, f)
+        # buckets + analyzer recorded for the compaction job
+        # (catalog.compact_streaming_index): re-encode must reuse the
+        # ingest's term-bucket hashing and declare the same analyzer
+        _write_json_atomic(meta_path, {
+            "checkpoint_dir": ckpt_abs, "ts": time.time(),
+            "buckets": buckets, "analyzer": analyzer_meta})
 
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 8)

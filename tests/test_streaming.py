@@ -238,7 +238,9 @@ def test_incremental_rerun_config_guards(spark, corpus_sdf, tmp_path):
     batches already on disk: changed buckets put postings where the
     recorded-buckets query hash never looks, changed analyzer mixes
     incompatible token streams — both refused. A pre-upgrade meta file
-    (no buckets/analyzer keys) is upgraded in place instead."""
+    (no buckets/analyzer keys) is upgraded only when the caller
+    explicitly vouches for the config (trust_caller_config=True), and a
+    claimed bucket count falsified by on-disk partitions is refused."""
     import json
 
     from search_engine_spark.functions.analyzer import AnalyzerConfig
@@ -256,16 +258,29 @@ def test_incremental_rerun_config_guards(spark, corpus_sdf, tmp_path):
         incremental.incremental_index_build(
             spark, src, index_dir, schema, buckets=8,
             conf=AnalyzerConfig.simple())
-    # pre-upgrade meta: strip the keys, re-run with original config —
-    # accepted, and the keys are restored for the compaction job
+    # pre-upgrade meta: strip the keys. A re-run must refuse unless the
+    # caller explicitly vouches for the config (the meta can no longer
+    # verify it) ...
     meta_path = os.path.join(index_dir, "manifest", "stream_meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
     del meta["buckets"], meta["analyzer"]
     with open(meta_path, "w") as f:
         json.dump(meta, f)
+    with pytest.raises(ValueError, match="trust_caller_config"):
+        incremental.incremental_index_build(spark, src, index_dir, schema,
+                                            buckets=8)
+    # ... and a vouched-for count disproved by staged bucket=<k> dirs on
+    # disk (k >= claimed count) is still refused
+    with pytest.raises(ValueError, match="impossible"):
+        incremental.incremental_index_build(spark, src, index_dir, schema,
+                                            buckets=2,
+                                            trust_caller_config=True)
+    # vouched-for AND disk-consistent: accepted, keys restored for the
+    # compaction job
     incremental.incremental_index_build(spark, src, index_dir, schema,
-                                        buckets=8)
+                                        buckets=8,
+                                        trust_caller_config=True)
     with open(meta_path) as f:
         upgraded = json.load(f)
     assert upgraded["buckets"] == 8 and "analyzer" in upgraded

@@ -339,6 +339,57 @@ def q_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                                rows_per_band=2)
 
 
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment — content-derived
+    md5 bucket, no shuffle, shard/growth-stable (operators/sampling.py)."""
+    from search_engine_spark.operators import sampling
+
+    return sampling.assign_splits(_docs(spark, sf_dir)) \
+        .select("doc_id", "split")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: global token offsets in doc_id
+    order + the budget-512 training sequences each doc spans. Exercises
+    the distributed prefix sum (operators/packing.py) against DuckDB's
+    single-threaded global window."""
+    from search_engine_spark.operators import packing, textquality
+
+    toks = textquality.token_count(_docs(spark, sf_dir)) \
+        .select("doc_id", "n_tokens")
+    return packing.pack_sequences(toks, budget=512, n_chunks=16)
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join: 5 nearest corpus embeddings for each of the
+    first 5 query vectors (broadcast + window rank)."""
+    from search_engine_spark.operators import similarity
+    from search_engine_spark.sources.corpus import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    out = similarity.knn_pairs(emb.filter(F.col("vec_id") < 5), emb, k=5)
+    return out.select("q_id", "c_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def q_ivf_topk_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end (k-means fit → cell assign → probe): with
+    nprobe = n_centroids the probe set covers every cell, so the result
+    must equal the straight SQL cosine top-k — gating the quantizer/
+    assign/probe plumbing the way wand_bm25_identity gates the WAND
+    kernel."""
+    from search_engine_spark.operators import similarity
+    from search_engine_spark.sources.corpus import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 1).collect()[0].embedding]
+    cent = similarity.ivf_fit(emb, n_centroids=8, iters=5)
+    assigned = similarity.ivf_assign(emb, cent)
+    out = similarity.ivf_topk(assigned, cent, q, k=10, nprobe=8)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_doc_tf": q_term_doc_tf,
@@ -368,6 +419,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_survivors": q_minhash_survivors,
         "language_id": q_language_id,
         "wand_bm25_identity": q_wand_bm25_identity,
+        "train_split": q_train_split,
+        "pack_sequences": q_pack_sequences,
+        "knn_join": q_knn_join,
+        "ivf_topk_identity": q_ivf_topk_identity,
     }
 
 
@@ -700,6 +755,69 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
             WHERE ROUND(list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        # mirrors sampling.hash_bucket: first 8 md5 hex digits of the
+        # key as an unsigned 32-bit int, mod 10000; cuts at 8000/9000
+        "train_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8)) AS BIGINT) % 10000 AS b
+                  FROM documents)
+        """,
+        # DuckDB runs the global ordered window single-threaded — the
+        # semantics the engine's chunked distributed prefix sum must match
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   end_tok - n_tokens AS begin_tok,
+                   CAST((end_tok - n_tokens) // 512 AS BIGINT) AS seq_first,
+                   CAST(CASE WHEN n_tokens > 0 THEN (end_tok - 1) // 512
+                             ELSE (end_tok - n_tokens) // 512
+                        END AS BIGINT) AS seq_last
+            FROM c
+        """,
+        "knn_join": """
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            s AS (SELECT q_id, c_id,
+                         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine
+                  FROM q CROSS JOIN c WHERE q_id <> c_id)
+            SELECT q_id, c_id, cosine, rank FROM (
+                SELECT *, ROW_NUMBER() OVER
+                    (PARTITION BY q_id
+                     ORDER BY cosine DESC, c_id ASC) AS rank
+                FROM s
+            ) WHERE rank <= 5
+        """,
+        # identical semantics to cosine_topk but against the vec_id=1
+        # query vector: the engine side routes through the full IVF path
+        # with nprobe = all cells, which must degenerate to brute force
+        "ivf_topk_identity": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 1)), 4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
     }
 

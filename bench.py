@@ -144,7 +144,8 @@ def main() -> None:
         timed(name, fn)
 
     # -- phase 4: training-data pipeline ops (first-class per task brief) ---
-    from search_engine_spark.operators import dedup, similarity, textquality
+    from search_engine_spark.operators import (dedup, packing, sampling,
+                                               similarity, textquality)
 
     docs = corpus.read_documents(spark, sf_dir)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -159,6 +160,11 @@ def main() -> None:
         "p_cosine_topk": lambda: similarity.cosine_topk(emb, qvec, 10).count(),
         "p_near_dups_lsh": lambda: similarity.embedding_near_dups(
             emb, threshold=0.9).count(),
+        "p_train_split": lambda: sampling.assign_splits(docs)
+        .groupBy("split").count().count(),
+        "p_pack_sequences": lambda: packing.pack_sequences(
+            textquality.token_count(docs).select("doc_id", "n_tokens"),
+            budget=512, n_chunks=16).count(),
     }
     for name, fn in pipeline_ops.items():
         timed(name, fn)

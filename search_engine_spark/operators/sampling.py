@@ -1,0 +1,103 @@
+"""Deterministic splitting & sampling for training-data pipelines.
+
+Not in the reference engine (no training-data tooling there); these are
+the corpus-preparation companions a 100 TB pipeline needs between
+curation (operators.curation) and packing (operators.packing):
+
+* assign_splits     — train/val/test assignment by a content-derived
+                      hash bucket of the key column. A pure narrow
+                      projection: NO shuffle, NO RNG, stable under
+                      repartitioning/resharding/incremental re-runs —
+                      a doc keeps its split forever, which is the
+                      property that keeps eval sets uncontaminated
+                      when the corpus is rebuilt.
+* stratified_sample — deterministic fraction-per-stratum sampling via
+                      the same bucket hash; fractions are NESTED
+                      (the 1% sample is a subset of the 10% sample),
+                      so sample-size sweeps reuse cached artifacts.
+
+The hash is md5(key || salt) truncated to its first 8 hex digits — a
+uniform 32-bit bucket that DuckDB reproduces exactly
+(``CAST(('0x' || substr(md5(...), 1, 8)) AS BIGINT)``), making every
+split/sample decision SQL-oracle-checkable. ``salt`` rotates the
+assignment without touching the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 10_000
+
+
+def hash_bucket(key_col: Column, salt: str = "",
+                n_buckets: int = N_BUCKETS) -> Column:
+    """Uniform deterministic bucket in [0, n_buckets): first 8 hex digits
+    of md5(key || salt) as an unsigned 32-bit int, mod n_buckets. Fits a
+    LongType with no sign issues (max 0xFFFFFFFF)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key_col.cast("string"), F.lit(salt))),
+                    1, 8),
+        16, 10,
+    ).cast("long")
+    return h % n_buckets
+
+
+def assign_splits(docs: DataFrame,
+                  weights: dict[str, float] | None = None,
+                  key_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Add a ``split`` column assigning each row to exactly one named
+    split with the given weights (normalized; default 80/10/10
+    train/val/test).
+
+    Bucket thresholds are integer cut points on the shared 10k-bucket
+    hash, so splits are disjoint, exhaustive, and independent of row
+    order, partitioning, and corpus growth (a new doc never moves an
+    old doc's split)."""
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative and non-empty: {weights}")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+
+    bucket = hash_bucket(F.col(key_col), salt)
+    names = list(weights)
+    cuts = []
+    acc = 0.0
+    for name in names:
+        acc += weights[name] / total
+        cuts.append(round(acc * N_BUCKETS))
+    cuts[-1] = N_BUCKETS  # close the range against float rounding
+    expr = None
+    for name, cut in zip(names, cuts):
+        cond = bucket < cut
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.withColumn("split", expr)
+
+
+def stratified_sample(docs: DataFrame, fraction: float,
+                      by: str | None = None,
+                      fractions: dict | None = None,
+                      key_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic ~``fraction`` sample (bucket < fraction·10k). With
+    ``by``/``fractions``, each stratum (value of column ``by``) gets its
+    own fraction (missing strata fall back to ``fraction``).
+
+    Nested by construction: the f=0.01 sample ⊆ the f=0.1 sample for the
+    same salt, so downsampling experiments are monotone."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    bucket = hash_bucket(F.col(key_col), salt)
+    if by is None:
+        return docs.filter(bucket < round(fraction * N_BUCKETS))
+    fractions = fractions or {}
+    if any(not 0.0 <= f <= 1.0 for f in fractions.values()):
+        raise ValueError(f"per-stratum fractions must be in [0, 1]: {fractions}")
+    cut = F.lit(round(fraction * N_BUCKETS))
+    for val, frac in fractions.items():
+        cut = F.when(F.col(by) == val,
+                     F.lit(round(frac * N_BUCKETS))).otherwise(cut)
+    return docs.filter(bucket < cut)

@@ -390,6 +390,34 @@ def q_ivf_topk_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/IPv4/phones) — the scrubbed text column is
+    value-hashed against DuckDB applying the same RE2-safe patterns, so
+    any regex-semantics divergence between engines breaks the gate."""
+    from search_engine_spark.operators import textquality
+
+    return textquality.pii_scrub(_docs(spark, sf_dir))
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-line ratio, top-bigram
+    fraction) over the documents table."""
+    from search_engine_spark.operators import textquality
+
+    return textquality.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture downsample: src0/src1/src2 at
+    50/30/20 — row-level survivor set vs the oracle recomputing the
+    same N = min(count/weight) cuts."""
+    from search_engine_spark.operators import sampling
+
+    out = sampling.rebalance_mixture(
+        _docs(spark, sf_dir), {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    return out.select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_doc_tf": q_term_doc_tf,
@@ -423,6 +451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "knn_join": q_knn_join,
         "ivf_topk_identity": q_ivf_topk_identity,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "mixture_rebalance": q_mixture_rebalance,
     }
 
 
@@ -819,7 +850,74 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
+        "pii_scrub": _pii_scrub_sql(),
+        "repetition_stats": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split(COALESCE(text, ''), chr(10)),
+                                   x -> x <> '') AS lines,
+                       list_filter(regexp_split_to_array(COALESCE(text, ''),
+                                                         '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                FROM base
+            ),
+            agg AS (
+                SELECT doc_id, MAX(c) AS top, CAST(SUM(c) AS BIGINT) AS tot
+                FROM (SELECT doc_id, bg, COUNT(*) AS c
+                      FROM bg GROUP BY doc_id, bg)
+                GROUP BY doc_id
+            )
+            SELECT b.doc_id, CAST(len(lines) AS INT) AS n_lines,
+                   CASE WHEN len(lines) > 0
+                        THEN ROUND(1.0 - len(list_distinct(lines)) * 1.0
+                                   / len(lines), 6)
+                        ELSE 0.0 END AS dup_line_ratio,
+                   COALESCE(ROUND(top * 1.0 / tot, 6), 0.0)
+                       AS top_bigram_frac
+            FROM base b LEFT JOIN agg USING (doc_id)
+        """,
+        # mirrors sampling.rebalance_mixture: N = min(count/weight),
+        # per-domain cut = floor(weight*N/count*10000) on the md5 bucket
+        # (same double-op order as the Python side — bit-identical)
+        "mixture_rebalance": """
+            WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3),
+                                          ('src2', 0.2)),
+            cnt AS (SELECT source, COUNT(*) AS c FROM documents
+                    GROUP BY source),
+            j AS (SELECT w.source, w.wt, cnt.c FROM w JOIN cnt USING (source)),
+            n AS (SELECT MIN(c / wt) AS nn FROM j),
+            cuts AS (SELECT source,
+                            FLOOR(wt * (SELECT nn FROM n) / c * 10000) AS cut
+                     FROM j)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN cuts USING (source)
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10000 < cut
+        """,
     }
+
+
+def _pii_scrub_sql() -> str:
+    """Generated from textquality.PII_PATTERNS — one source of truth for
+    both sides; counts taken on the text as each pattern sees it
+    (post-prior-replacements), exactly like the engine."""
+    from search_engine_spark.operators.textquality import PII_PATTERNS
+
+    cur = "COALESCE(text, '')"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all({cur}, '{pat}')) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return (f"SELECT doc_id, {cur} AS text, {', '.join(counts)} "
+            "FROM documents")
 
 
 def _language_id_sql() -> str:

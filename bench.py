@@ -162,6 +162,10 @@ def main() -> None:
             emb, threshold=0.9).count(),
         "p_train_split": lambda: sampling.assign_splits(docs)
         .groupBy("split").count().count(),
+        "p_pii_scrub": lambda: textquality.pii_scrub(docs)
+        .agg(F.sum("n_email")).count(),
+        "p_repetition_stats": lambda: textquality.repetition_stats(docs)
+        .count(),
         "p_pack_sequences": lambda: packing.pack_sequences(
             textquality.token_count(docs).select("doc_id", "n_tokens"),
             budget=512, n_chunks=16).count(),

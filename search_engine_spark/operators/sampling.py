@@ -101,3 +101,42 @@ def stratified_sample(docs: DataFrame, fraction: float,
         cut = F.when(F.col(by) == val,
                      F.lit(round(frac * N_BUCKETS))).otherwise(cut)
     return docs.filter(bucket < cut)
+
+
+def rebalance_mixture(docs: DataFrame, target: dict[str, float],
+                      by: str = "source", key_col: str = "doc_id",
+                      salt: str = "") -> DataFrame:
+    """Deterministically downsample to a target domain mixture (e.g.
+    30% code / 70% web): keep the LARGEST corpus whose ``by``-column
+    proportions match ``target`` exactly, dropping rows from
+    over-represented domains via the shared hash bucket.
+
+    N = min over domains of count(s)/weight(s) is the largest feasible
+    total; domain s keeps floor(weight(s)·N/count(s)·10k) buckets. Two
+    jobs: one tiny count aggregation (|domains| rows to the driver),
+    then one shuffle-free filtered scan. Domains absent from ``target``
+    are dropped; a targeted domain with zero rows raises (the mixture
+    is infeasible)."""
+    import math
+
+    if not target or any(w < 0 for w in target.values()):
+        raise ValueError(f"target weights must be non-negative: {target}")
+    total_w = float(sum(target.values()))
+    if total_w <= 0:
+        raise ValueError("target weights must sum to a positive value")
+    weights = {s: w / total_w for s, w in target.items() if w > 0}
+    counts = {r[by]: r["c"] for r in
+              docs.filter(F.col(by).isin(list(weights)))
+              .groupBy(by).agg(F.count("*").alias("c")).collect()}
+    missing = sorted(set(weights) - set(counts))
+    if missing:
+        raise ValueError(
+            f"target domains have no rows (mixture infeasible): {missing}")
+    n = min(counts[s] / w for s, w in weights.items())
+    bucket = hash_bucket(F.col(key_col), salt)
+    cut = None
+    for s, w in weights.items():
+        c = F.lit(math.floor(w * n / counts[s] * N_BUCKETS))
+        cut = F.when(F.col(by) == s, c) if cut is None \
+            else cut.when(F.col(by) == s, c)
+    return docs.filter(bucket < cut)

@@ -166,3 +166,76 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         return text.map(one)
 
     return docs.select("doc_id", lang(F.col(text_col)).alias("pred_lang"))
+
+
+# PII patterns shared by the engine and the DuckDB oracle. RE2-safe
+# (no lookaround/backrefs) so Java regex (Spark) and RE2 (DuckDB)
+# match identically; applied IN ORDER on the progressively scrubbed
+# text (emails first — an address can contain IP/phone-shaped spans).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d-]{5,13}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-shaped digit runs →
+    (doc_id, text scrubbed, n_email, n_ip, n_phone).
+
+    Narrow projection, zero shuffle, all JVM-side regex — the shape a
+    100 TB scrub pass needs (reads text, writes text, nothing else
+    moves). Counts are taken on the text as it stands before each
+    pattern's own replacement, mirroring the oracle exactly."""
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    cols = []
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select("doc_id", cur.alias(text_col), *cols)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition signals →
+    (doc_id, n_lines, dup_line_ratio, top_bigram_frac).
+
+    * dup_line_ratio — fraction of non-empty lines that are repeats of
+      an earlier line (1 − distinct/total); computed array-side per row,
+      no shuffle.
+    * top_bigram_frac — occurrences of the most frequent word bigram
+      over total bigrams; explode → count keyed on (doc_id, bigram) —
+      small derived keys, the scalable form of a per-doc mode.
+    Boilerplate-heavy pages score high on both; the standard prune
+    thresholds are dup_line_ratio > 0.3, top_bigram_frac > 0.2."""
+    lines = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n"),
+        lambda x: x != "",
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_distinct_lines"),
+        F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                 lambda x: x != "").alias("_toks"),
+    )
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.expr("transform(sequence(1, size(_toks) - 1), "
+               "i -> concat_ws(' ', _toks[i - 1], _toks[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = base.select("doc_id", F.explode(bigrams).alias("bg")) \
+        .groupBy("doc_id", "bg").count() \
+        .groupBy("doc_id").agg(F.max("count").alias("_top"),
+                               F.sum("count").alias("_total"))
+    return (
+        base.join(bg, "doc_id", "left")
+        .select(
+            "doc_id", "n_lines",
+            F.when(F.col("n_lines") > 0,
+                   F.round(F.lit(1.0) - F.col("n_distinct_lines")
+                           / F.col("n_lines"), 6))
+            .otherwise(F.lit(0.0)).alias("dup_line_ratio"),
+            F.coalesce(F.round(F.col("_top") / F.col("_total"), 6),
+                       F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )

@@ -140,3 +140,114 @@ def test_pack_sequences_no_global_window(spark, tok_pdf):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_chunk" in line  # partition spec present
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing / repetition stats — behavior + DuckDB parity on planted
+# text (the driver corpus carries no PII and no newlines, so the strong
+# check lives here; the contract entries gate regex parity on real text)
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_and_duckdb_parity(spark):
+    import duckdb
+
+    from search_engine_spark.operators import textquality
+
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.com or bob@x.io today"),
+        (2, "server 10.0.0.255 talks to 192.168.1.1 on port 80"),
+        (3, "call 555-123-4567 or +14155552671 now"),
+        (4, "mixed a@b.co near 1.2.3.4 and 555-000-1111"),
+        (5, ""),
+        (6, None),
+        (7, "no pii here at all"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in textquality.pii_scrub(sdf).collect()}
+    assert got[1]["text"] == "mail me at <EMAIL> or <EMAIL> today"
+    assert got[1]["n_email"] == 2 and got[1]["n_ip"] == 0
+    assert got[2]["text"] == "server <IP> talks to <IP> on port 80"
+    assert got[3]["text"] == "call <PHONE> or <PHONE> now"
+    assert got[4]["n_email"] == got[4]["n_ip"] == got[4]["n_phone"] == 1
+    assert got[6]["text"] == "" and got[7]["text"] == "no pii here at all"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join("(%d, %s)" % (i, "NULL" if s is None
+                                          else "'" + s.replace("'", "''") + "'")
+                            for i, s in rows)
+                + ") v(doc_id, text)")
+    cur, counts = "COALESCE(text, '')", []
+    for name, pat, repl in textquality.PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all({cur}, '{pat}')) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    want = {r[0]: r for r in con.execute(
+        f"SELECT doc_id, {cur} AS text, {', '.join(counts)} FROM t"
+    ).fetchall()}
+    for i in got:
+        g = got[i]
+        assert (g["text"], g["n_email"], g["n_ip"], g["n_phone"]) == \
+            want[i][1:], f"doc {i}: engine/oracle diverge"
+
+
+def test_repetition_stats(spark):
+    from search_engine_spark.operators import textquality
+
+    rows = [
+        (1, "same line\nsame line\nsame line\nother"),   # 2/4 lines dup
+        (2, "buy now buy now buy now buy now"),           # hot bigram
+        (3, "all words here are fully distinct tokens"),
+        (4, "one"),                                        # no bigrams
+        (5, ""),
+        (6, None),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in textquality.repetition_stats(sdf).collect()}
+    assert got[1]["n_lines"] == 4
+    assert got[1]["dup_line_ratio"] == pytest.approx(0.5)
+    # "buy now" appears 4x of 7 bigrams
+    assert got[2]["top_bigram_frac"] == pytest.approx(round(4 / 7, 6))
+    assert got[3]["top_bigram_frac"] == pytest.approx(round(1 / 6, 6))
+    for i in (4, 5, 6):
+        assert got[i]["top_bigram_frac"] == 0.0
+        assert got[i]["dup_line_ratio"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture rebalancing
+# ---------------------------------------------------------------------------
+
+def test_rebalance_mixture(spark):
+    import pandas as pd
+
+    from search_engine_spark.operators import sampling as SA
+
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(3000, dtype="int64"),
+        "source": (["web"] * 2000 + ["code"] * 800 + ["books"] * 200),
+    })
+    sdf = spark.createDataFrame(pdf)
+    # books is the binding domain: N = 200/0.1 = 2000
+    out = SA.rebalance_mixture(sdf, {"web": 0.5, "code": 0.4, "books": 0.1},
+                               by="source").toPandas()
+    counts = out["source"].value_counts()
+    # expected keeps: web 1000, code 800, books 200 (within hash jitter)
+    assert abs(counts["web"] - 1000) < 80
+    assert counts["code"] > 700 and counts["books"] > 180
+    # binding domain keeps ~everything (cut = 10000 exactly -> all)
+    assert counts["books"] == 200 and counts["code"] == 800
+    # deterministic
+    again = SA.rebalance_mixture(
+        sdf.repartition(7), {"web": 0.5, "code": 0.4, "books": 0.1},
+        by="source").toPandas()
+    assert set(out["doc_id"]) == set(again["doc_id"])
+    # non-target domains dropped
+    out2 = SA.rebalance_mixture(sdf, {"web": 1.0}, by="source").toPandas()
+    assert (out2["source"] == "web").all() and len(out2) == 2000
+    with pytest.raises(ValueError, match="infeasible"):
+        SA.rebalance_mixture(sdf, {"web": 0.5, "missing": 0.5}, by="source")
+    with pytest.raises(ValueError):
+        SA.rebalance_mixture(sdf, {})

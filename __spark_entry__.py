@@ -396,7 +396,8 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     any regex-semantics divergence between engines breaks the gate."""
     from search_engine_spark.operators import textquality
 
-    return textquality.pii_scrub(_docs(spark, sf_dir))
+    return textquality.pii_scrub(_docs(spark, sf_dir)) \
+        .select("doc_id", "text", "n_email", "n_ip", "n_phone")
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5,10 +5,14 @@ spark-submit --py-files dist/engine.zip jobs/curate_corpus.py \
     --input /data/documents_parquet --output /data/curated \
     [--languages en,fr] [--min-quality 0.5] \
     [--min-tokens 20] [--max-tokens 100000] \
-    [--minhash-threshold 0.8] [--html]
+    [--minhash-threshold 0.8] [--html] [--pii-scrub] \
+    [--max-dup-line-ratio 0.3] [--max-top-bigram-frac 0.2] \
+    [--mixture src0:0.5,src1:0.5] [--splits train:0.9,val:0.1]
 
-Pipeline (operators/curation.py): language filter → quality/length
-filter → exact dedup → MinHash near-dedup (opt-in). Writes the curated
+Pipeline (operators/curation.py): optional PII scrub → language filter
+→ quality/length filter → optional repetition filter → exact dedup →
+MinHash near-dedup (opt-in) → optional mixture rebalance → optional
+deterministic split assignment. Writes the curated
 parquet plus ``_funnel.json`` recording rows surviving each stage (the
 underscore prefix makes Spark's file listing skip it, so the output dir
 stays directly readable as parquet; written through the Hadoop
@@ -42,6 +46,24 @@ def main() -> None:
     ap.add_argument("--html", action="store_true",
                     help="input is the web shape (url, warc_ts, html): "
                          "derive doc_id/text first")
+    ap.add_argument("--pii-scrub", action="store_true",
+                    help="redact emails/IPv4/phones in text before "
+                         "filtering (textquality.pii_scrub)")
+    ap.add_argument("--max-dup-line-ratio", type=float, default=None,
+                    help="drop docs whose duplicate-line ratio exceeds "
+                         "this (Gopher-style repetition filter)")
+    ap.add_argument("--max-top-bigram-frac", type=float, default=None,
+                    help="drop docs whose most frequent bigram exceeds "
+                         "this fraction of all bigrams")
+    ap.add_argument("--splits", default=None,
+                    help="add a deterministic split column, e.g. "
+                         "'train:0.9,val:0.05,test:0.05'")
+    ap.add_argument("--mixture", default=None,
+                    help="rebalance the curated output to a target "
+                         "domain mixture, e.g. 'src0:0.5,src1:0.5'")
+    ap.add_argument("--mixture-by", default="source",
+                    help="column holding the mixture domain (default "
+                         "'source')")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -63,15 +85,46 @@ def main() -> None:
     langs = tuple(
         s.strip().lower() for s in args.languages.split(",") if s.strip()
     ) or None
+    if args.pii_scrub:
+        from search_engine_spark.operators import textquality
+
+        docs = textquality.pii_scrub(docs) \
+            .drop("n_email", "n_ip", "n_phone")
     curated, funnel = curation.curate(
         docs, languages=langs, min_quality=args.min_quality,
         min_tokens=args.min_tokens, max_tokens=args.max_tokens,
         minhash_threshold=args.minhash_threshold,
+        max_dup_line_ratio=args.max_dup_line_ratio,
+        max_top_bigram_frac=args.max_top_bigram_frac,
     )
+    if args.mixture:
+        from search_engine_spark.operators import sampling
+
+        target = _parse_weights(args.mixture)
+        curated = sampling.rebalance_mixture(curated, target,
+                                             by=args.mixture_by)
+        funnel.append({"stage": "mixture", "rows": curated.count()})
+    if args.splits:
+        from search_engine_spark.operators import sampling
+
+        curated = sampling.assign_splits(curated,
+                                         weights=_parse_weights(args.splits))
     curated.write.mode("overwrite").parquet(args.output)
     write_funnel(spark, args.output, funnel)
     for row in funnel:
         print(json.dumps(row))
+
+
+def _parse_weights(spec: str) -> dict[str, float]:
+    """'train:0.9,val:0.1' → {'train': 0.9, 'val': 0.1} (strict: a
+    malformed pair raises instead of silently skewing the weights)."""
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        name, _, val = part.strip().partition(":")
+        if not name or not val:
+            raise SystemExit(f"malformed weight spec {part!r} in {spec!r}")
+        out[name] = float(val)
+    return out
 
 
 def write_funnel(spark, output: str, funnel: list) -> None:

@@ -198,6 +198,43 @@ def main() -> int:
         ],
     )
 
+    # 9. sequence packing: the global running sum must execute as
+    # per-chunk windows + a broadcast offset join — never a single-task
+    # global ordered window (the naive Window.orderBy form)
+    from search_engine_spark.operators import packing as PK
+    from search_engine_spark.operators import textquality as TQ
+
+    toks = TQ.token_count(docs).select("doc_id", "n_tokens")
+    p8 = plan_of(PK.pack_sequences(toks, budget=512, n_chunks=8))
+    check(
+        "Sequence packing: distributed prefix sum", p8,
+        [
+            ("running-sum window partitioned by chunk",
+             r"windowspecdefinition\(_chunk", True),
+            ("no partition-less global window",
+             r"windowspecdefinition\((?!_chunk)", False),
+            ("prefix offsets joined via broadcast",
+             r"BroadcastHashJoin", True),
+            ("no sort-merge join for the tiny offset table",
+             r"SortMergeJoin", False),
+        ],
+    )
+
+    # 10. split assignment + PII scrub: pure narrow projections — a
+    # 100 TB pass must read and write without ANY exchange
+    from search_engine_spark.operators import sampling as SA
+
+    p9 = plan_of(SA.assign_splits(docs))
+    p10 = plan_of(TQ.pii_scrub(docs))
+    check(
+        "Split assignment (shuffle-free)", p9,
+        [("no Exchange anywhere in the plan", r"\bExchange\b", False)],
+    )
+    check(
+        "PII scrub (shuffle-free)", p10,
+        [("no Exchange anywhere in the plan", r"\bExchange\b", False)],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

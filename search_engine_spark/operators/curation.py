@@ -48,6 +48,8 @@ def curate(
     min_tokens: int = 1,
     max_tokens: int = 1 << 31,
     minhash_threshold: float | None = None,
+    max_dup_line_ratio: float | None = None,
+    max_top_bigram_frac: float | None = None,
     text_col: str = "text",
     collect_funnel: bool = True,
 ) -> tuple[DataFrame, list[dict]]:
@@ -56,6 +58,10 @@ def curate(
     ``languages=None`` skips language filtering; ``minhash_threshold=None``
     skips the near-dedup stage (the remaining pipeline is fully
     SQL-expressible — the contract oracle's variant).
+    ``max_dup_line_ratio``/``max_top_bigram_frac`` enable the Gopher-style
+    repetition filter (textquality.repetition_stats) between the quality
+    filter and dedup — boilerplate pruning belongs before the
+    shuffle-heavy stages too.
     ``collect_funnel=False`` keeps the whole pipeline lazy (one action at
     the caller's sink) instead of persisting + counting per stage.
 
@@ -105,6 +111,18 @@ def curate(
     )
     cur = cur.join(keep, "doc_id", "left_semi")
     checkpoint("quality")
+    if max_dup_line_ratio is not None or max_top_bigram_frac is not None:
+        rep = textquality.repetition_stats(cur, text_col)
+        cond = F.lit(True)
+        if max_dup_line_ratio is not None:
+            cond = cond & (F.col("dup_line_ratio")
+                           <= F.lit(float(max_dup_line_ratio)))
+        if max_top_bigram_frac is not None:
+            cond = cond & (F.col("top_bigram_frac")
+                           <= F.lit(float(max_top_bigram_frac)))
+        cur = cur.join(rep.filter(cond).select("doc_id"),
+                       "doc_id", "left_semi")
+        checkpoint("repetition")
     survivors = dedup.exact_dedup(cur, text_col).select("doc_id")
     cur = cur.join(survivors, "doc_id", "left_semi")
     checkpoint("exact_dedup")

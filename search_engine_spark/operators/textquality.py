@@ -180,8 +180,10 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Redact emails / IPv4 addresses / phone-shaped digit runs →
-    (doc_id, text scrubbed, n_email, n_ip, n_phone).
+    """Redact emails / IPv4 addresses / phone-shaped digit runs: the
+    text column is replaced with the scrubbed form, every other input
+    column passes through, and per-pattern n_email/n_ip/n_phone counts
+    are appended.
 
     Narrow projection, zero shuffle, all JVM-side regex — the shape a
     100 TB scrub pass needs (reads text, writes text, nothing else
@@ -192,7 +194,8 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for name, pat, repl in PII_PATTERNS:
         cols.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pat, repl)
-    return docs.select("doc_id", cur.alias(text_col), *cols)
+    keep = [F.col(c) for c in docs.columns if c != text_col]
+    return docs.select(*keep, cur.alias(text_col), *cols)
 
 
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -251,3 +251,20 @@ def test_rebalance_mixture(spark):
         SA.rebalance_mixture(sdf, {"web": 0.5, "missing": 0.5}, by="source")
     with pytest.raises(ValueError):
         SA.rebalance_mixture(sdf, {})
+
+
+def test_curate_repetition_stage_drops_boilerplate(spark):
+    """curate() with repetition thresholds prunes a planted boilerplate
+    doc while clean docs survive, and the funnel records the stage."""
+    from search_engine_spark.operators import curation
+
+    rows = [(1, "buy now " * 50), (2, "genuinely varied prose with many "
+                                      "distinct interesting words here"),
+            (3, "another reasonable document full of different tokens")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    cur, funnel = curation.curate(
+        sdf, languages=None, max_top_bigram_frac=0.2)
+    ids = {r["doc_id"] for r in cur.collect()}
+    assert ids == {2, 3}
+    assert "repetition" in [s["stage"] for s in funnel]
+    curation.release_caches()

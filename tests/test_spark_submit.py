@@ -98,6 +98,36 @@ def test_curate_corpus_job_output_is_plain_parquet(tmp_path, spark):
     assert stages[0] == "input" and "exact_dedup" in stages
 
 
+def test_curate_corpus_job_prep_flags(tmp_path, spark):
+    """The training-data prep flags compose: --pii-scrub rewrites text
+    in place, the repetition filter and mixture stages appear in the
+    funnel, and --splits adds the deterministic split column."""
+    import sys
+
+    out = str(tmp_path / "curated2")
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4",
+           "SPARK_GRAFT_DRIVER_MEM": "4g"}
+    p = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "jobs", "curate_corpus.py"),
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out, "--languages", "", "--min-tokens", "1",
+         "--pii-scrub", "--max-dup-line-ratio", "0.9",
+         "--mixture", "src0:0.5,src1:0.5",
+         "--splits", "train:0.9,val:0.1"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    curated = spark.read.parquet(out)
+    assert set(curated.columns) >= {"doc_id", "text", "source", "split"}
+    rows = curated.collect()
+    assert rows
+    assert {r["source"] for r in rows} <= {"src0", "src1"}
+    assert {r["split"] for r in rows} <= {"train", "val"}
+    with open(os.path.join(out, "_funnel.json")) as f:
+        stages = [s["stage"] for s in json.load(f)]
+    assert "repetition" in stages and "mixture" in stages
+
+
 @pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
                     reason="spark-submit not installed")
 def test_jobs_ship_via_py_files(tmp_path):

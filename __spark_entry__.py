@@ -637,14 +637,19 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
                    CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_subwords
             FROM documents
         """,
+        # rank on the SAME round-6 key the engine ranks on, then
+        # double-round for output exactly like the entry does
+        # (round(round(x,6),4) != round(x,4) near 4dp boundaries)
         "cosine_topk": """
-            SELECT vec_id,
-                   ROUND(list_cosine_similarity(
-                       CAST(embedding AS DOUBLE[]),
-                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
-                        WHERE vec_id = 0)), 4) AS cosine
-            FROM embeddings
-            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+            SELECT vec_id, ROUND(c6, 4) AS cosine FROM (
+                SELECT vec_id,
+                       ROUND(list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]),
+                           (SELECT CAST(embedding AS DOUBLE[])
+                            FROM embeddings WHERE vec_id = 0)), 6) AS c6
+                FROM embeddings
+                ORDER BY c6 DESC, vec_id ASC LIMIT 10
+            )
         """,
         "tumbling_counts": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -788,15 +793,17 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
         """,
-        # mirrors sampling.hash_bucket: first 8 md5 hex digits of the
-        # key as an unsigned 32-bit int, mod 10000; cuts at 8000/9000
+        # mirrors sampling.hash_bucket with assign_splits' purpose salt
+        # ('split:'): first 8 md5 hex digits of key||salt as an unsigned
+        # 32-bit int, mod 10000; cuts at 8000/9000
         "train_split": """
             SELECT doc_id,
                    CASE WHEN b < 8000 THEN 'train'
                         WHEN b < 9000 THEN 'val'
                         ELSE 'test' END AS split
             FROM (SELECT doc_id,
-                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                  || 'split:'),
                                               1, 8)) AS BIGINT) % 10000 AS b
                   FROM documents)
         """,
@@ -841,15 +848,18 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
         """,
         # identical semantics to cosine_topk but against the vec_id=1
         # query vector: the engine side routes through the full IVF path
-        # with nprobe = all cells, which must degenerate to brute force
+        # with nprobe = all cells, which must degenerate to brute force;
+        # same round-6 rank key + double-rounded output as cosine_topk
         "ivf_topk_identity": """
-            SELECT vec_id,
-                   ROUND(list_cosine_similarity(
-                       CAST(embedding AS DOUBLE[]),
-                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
-                        WHERE vec_id = 1)), 4) AS cosine
-            FROM embeddings
-            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+            SELECT vec_id, ROUND(c6, 4) AS cosine FROM (
+                SELECT vec_id,
+                       ROUND(list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]),
+                           (SELECT CAST(embedding AS DOUBLE[])
+                            FROM embeddings WHERE vec_id = 1)), 6) AS c6
+                FROM embeddings
+                ORDER BY c6 DESC, vec_id ASC LIMIT 10
+            )
         """,
         "pii_scrub": _pii_scrub_sql(),
         "repetition_stats": r"""
@@ -886,7 +896,9 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
         """,
         # mirrors sampling.rebalance_mixture: N = min(count/weight),
         # per-domain cut = floor(weight*N/count*10000) on the md5 bucket
-        # (same double-op order as the Python side — bit-identical)
+        # with the 'mixture:' purpose salt (same double-op order as the
+        # Python side — bit-identical); the binding domain (c/wt = N)
+        # clamps to 10000 exactly, as the engine does
         "mixture_rebalance": """
             WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3),
                                           ('src2', 0.2)),
@@ -895,11 +907,15 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
             j AS (SELECT w.source, w.wt, cnt.c FROM w JOIN cnt USING (source)),
             n AS (SELECT MIN(c / wt) AS nn FROM j),
             cuts AS (SELECT source,
-                            FLOOR(wt * (SELECT nn FROM n) / c * 10000) AS cut
+                            CASE WHEN c / wt = (SELECT nn FROM n) THEN 10000
+                                 ELSE FLOOR(wt * (SELECT nn FROM n)
+                                            / c * 10000)
+                            END AS cut
                      FROM j)
             SELECT d.doc_id, d.source
             FROM documents d JOIN cuts USING (source)
-            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                           || 'mixture:'), 1, 8))
                        AS BIGINT) % 10000 < cut
         """,
     }

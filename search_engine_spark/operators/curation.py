@@ -112,7 +112,11 @@ def curate(
     cur = cur.join(keep, "doc_id", "left_semi")
     checkpoint("quality")
     if max_dup_line_ratio is not None or max_top_bigram_frac is not None:
-        rep = textquality.repetition_stats(cur, text_col)
+        # bigram shuffle aggs only when the bigram threshold is in play —
+        # a lines-only repetition filter stays shuffle-free
+        rep = textquality.repetition_stats(
+            cur, text_col,
+            include_bigrams=max_top_bigram_frac is not None)
         cond = F.lit(True)
         if max_dup_line_ratio is not None:
             cond = cond & (F.col("dup_line_ratio")

@@ -28,6 +28,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ._cache import PersistRegistry
+
+# The slim (order, tokens) frame persisted by the last pack_sequences
+# call: three consumers read it (quantile sketch, chunk totals, final
+# window), and without a cache each would re-execute the caller's
+# upstream lineage — e.g. re-tokenize all text when fed from
+# token_count. Drained on the next call or via release_caches().
+_PERSISTED = PersistRegistry()
+
+
+def release_caches() -> None:
+    """Unpersist the slim input frame retained by the last
+    pack_sequences call (its output lazily recomputes if still used)."""
+    _PERSISTED.drain()
+
 
 def _chunk_col(order_col: str, bounds: list[float]):
     """Ordered chunk id from literal boundaries: #bounds <= order value.
@@ -74,9 +89,15 @@ def pack_sequences(docs: DataFrame, budget: int,
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive: {budget}")
-    bounds = chunk_bounds(docs, order_col, n_chunks)
-    base = docs.select(order_col, token_col) \
-        .withColumn("_chunk", _chunk_col(order_col, bounds))
+    release_caches()
+    # persist the 2-column slice FIRST: the quantile sketch, the totals
+    # aggregation, and the final plan all read it, and each would
+    # otherwise re-run the caller's upstream lineage (tokenization,
+    # joins) — one upstream scan total, three cached reads
+    slim = docs.select(order_col, token_col).persist()
+    _PERSISTED.add(slim)
+    bounds = chunk_bounds(slim, order_col, n_chunks)
+    base = slim.withColumn("_chunk", _chunk_col(order_col, bounds))
     # pass 1: per-chunk totals -> prefix offsets (n_chunks rows on the
     # driver; broadcast-joined back)
     totals = base.groupBy("_chunk") \

@@ -35,7 +35,13 @@ def hash_bucket(key_col: Column, salt: str = "",
                 n_buckets: int = N_BUCKETS) -> Column:
     """Uniform deterministic bucket in [0, n_buckets): first 8 hex digits
     of md5(key || salt) as an unsigned 32-bit int, mod n_buckets. Fits a
-    LongType with no sign issues (max 0xFFFFFFFF)."""
+    LongType with no sign issues (max 0xFFFFFFFF).
+
+    Each operator passes a purpose-prefixed salt ('split:…', 'sample:…',
+    'mixture:…') so their bucket streams are INDEPENDENT: with a shared
+    hash, chaining rebalance_mixture → assign_splits would correlate the
+    decisions (mixture survivors all sit in low buckets, so the high-
+    bucket val/test splits would end up empty or single-domain)."""
     h = F.conv(
         F.substring(F.md5(F.concat(key_col.cast("string"), F.lit(salt))),
                     1, 8),
@@ -63,7 +69,7 @@ def assign_splits(docs: DataFrame,
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
 
-    bucket = hash_bucket(F.col(key_col), salt)
+    bucket = hash_bucket(F.col(key_col), "split:" + salt)
     names = list(weights)
     cuts = []
     acc = 0.0
@@ -90,7 +96,7 @@ def stratified_sample(docs: DataFrame, fraction: float,
     same salt, so downsampling experiments are monotone."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1]: {fraction}")
-    bucket = hash_bucket(F.col(key_col), salt)
+    bucket = hash_bucket(F.col(key_col), "sample:" + salt)
     if by is None:
         return docs.filter(bucket < round(fraction * N_BUCKETS))
     fractions = fractions or {}
@@ -133,10 +139,15 @@ def rebalance_mixture(docs: DataFrame, target: dict[str, float],
         raise ValueError(
             f"target domains have no rows (mixture infeasible): {missing}")
     n = min(counts[s] / w for s, w in weights.items())
-    bucket = hash_bucket(F.col(key_col), salt)
+    bucket = hash_bucket(F.col(key_col), "mixture:" + salt)
     cut = None
     for s, w in weights.items():
-        c = F.lit(math.floor(w * n / counts[s] * N_BUCKETS))
+        # the BINDING domain (c/w == n) keeps everything by definition;
+        # computing its cut through floats would floor 9999.999… to 9999
+        # and silently drop ~0.01% of the domain that sets the budget
+        cut_val = N_BUCKETS if counts[s] / w == n \
+            else math.floor(w * n / counts[s] * N_BUCKETS)
+        c = F.lit(cut_val)
         cut = F.when(F.col(by) == s, c) if cut is None \
             else cut.when(F.col(by) == s, c)
     return docs.filter(bucket < cut)

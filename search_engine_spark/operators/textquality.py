@@ -198,9 +198,10 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(*keep, cur.alias(text_col), *cols)
 
 
-def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     include_bigrams: bool = True) -> DataFrame:
     """Gopher/C4-style repetition signals →
-    (doc_id, n_lines, dup_line_ratio, top_bigram_frac).
+    (doc_id, n_lines, dup_line_ratio[, top_bigram_frac]).
 
     * dup_line_ratio — fraction of non-empty lines that are repeats of
       an earlier line (1 − distinct/total); computed array-side per row,
@@ -208,12 +209,20 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     * top_bigram_frac — occurrences of the most frequent word bigram
       over total bigrams; explode → count keyed on (doc_id, bigram) —
       small derived keys, the scalable form of a per-doc mode.
+      ``include_bigrams=False`` omits the column AND its two shuffle
+      aggregations, keeping a lines-only pass fully shuffle-free (a
+      caller filtering only on dup_line_ratio must not pay the bigram
+      explode at 100 TB).
     Boilerplate-heavy pages score high on both; the standard prune
     thresholds are dup_line_ratio > 0.3, top_bigram_frac > 0.2."""
     lines = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n"),
         lambda x: x != "",
     )
+    dup_ratio = F.when(
+        F.col("n_lines") > 0,
+        F.round(F.lit(1.0) - F.col("n_distinct_lines") / F.col("n_lines"), 6),
+    ).otherwise(F.lit(0.0)).alias("dup_line_ratio")
     base = docs.select(
         "doc_id",
         F.size(lines).alias("n_lines"),
@@ -221,6 +230,8 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
                  lambda x: x != "").alias("_toks"),
     )
+    if not include_bigrams:
+        return base.select("doc_id", "n_lines", dup_ratio)
     bigrams = F.when(
         F.size("_toks") >= 2,
         F.expr("transform(sequence(1, size(_toks) - 1), "
@@ -233,11 +244,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         base.join(bg, "doc_id", "left")
         .select(
-            "doc_id", "n_lines",
-            F.when(F.col("n_lines") > 0,
-                   F.round(F.lit(1.0) - F.col("n_distinct_lines")
-                           / F.col("n_lines"), 6))
-            .otherwise(F.lit(0.0)).alias("dup_line_ratio"),
+            "doc_id", "n_lines", dup_ratio,
             F.coalesce(F.round(F.col("_top") / F.col("_total"), 6),
                        F.lit(0.0)).alias("top_bigram_frac"),
         )

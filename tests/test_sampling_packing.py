@@ -268,3 +268,71 @@ def test_curate_repetition_stage_drops_boilerplate(spark):
     assert ids == {2, 3}
     assert "repetition" in [s["stage"] for s in funnel]
     curation.release_caches()
+
+
+def test_sampling_operators_use_independent_buckets(spark):
+    """Chaining rebalance_mixture → assign_splits must keep every split
+    populated: the operators' purpose-prefixed salts decorrelate their
+    bucket streams (a shared hash would leave val/test empty, since
+    mixture survivors all sit in low buckets)."""
+    import pandas as pd
+
+    from search_engine_spark.operators import sampling as SA
+
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(6000, dtype="int64"),
+        "source": ["web"] * 4000 + ["code"] * 2000,
+    })
+    sdf = spark.createDataFrame(pdf)
+    mixed = SA.rebalance_mixture(sdf, {"web": 0.5, "code": 0.5},
+                                 by="source")
+    out = SA.assign_splits(mixed).toPandas()
+    per = out.groupby(["source", "split"]).size()
+    for src in ("web", "code"):
+        for sp in ("train", "val", "test"):
+            assert per.get((src, sp), 0) > 0, f"{src}/{sp} empty"
+
+
+def test_rebalance_binding_domain_keeps_everything(spark):
+    """The domain that sets the budget (min count/weight) must keep ALL
+    its rows even when floats put its cut at 9999.999…: weight 0.1 is
+    inexact in binary, so an unclamped floor drops bucket-9999 docs."""
+    import pandas as pd
+
+    from search_engine_spark.operators import sampling as SA
+
+    # weights 0.9/0.1: books binds (1000/0.1 = 10000 < 20000/0.9)
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(21000, dtype="int64"),
+        "source": ["web"] * 20000 + ["books"] * 1000,
+    })
+    out = SA.rebalance_mixture(spark.createDataFrame(pdf),
+                               {"web": 0.9, "books": 0.1},
+                               by="source").toPandas()
+    assert (out["source"] == "books").sum() == 1000  # nothing dropped
+
+
+def test_repetition_stats_lines_only_is_shuffle_free(spark, tok_pdf):
+    from search_engine_spark.operators import textquality
+
+    sdf = spark.createDataFrame([(1, "a\na\nb")], "doc_id long, text string")
+    out = textquality.repetition_stats(sdf, include_bigrams=False)
+    assert "top_bigram_frac" not in out.columns
+    assert out.collect()[0]["dup_line_ratio"] == pytest.approx(
+        round(1 - 2 / 3, 6))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure narrow projection
+
+
+def test_pack_sequences_bounds_persisted_frames(spark, tok_pdf):
+    """Repeated packing calls hold at most one persisted slim frame
+    (registry drained on entry), and the input is persisted so upstream
+    lineage executes once across the three internal consumers."""
+    from search_engine_spark.operators import packing as PK
+
+    sdf = spark.createDataFrame(tok_pdf)
+    for _ in range(3):
+        PK.pack_sequences(sdf, 1024).count()
+    assert len(PK._PERSISTED) == 1
+    PK.release_caches()
+    assert len(PK._PERSISTED) == 0

@@ -419,6 +419,27 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing a word 3-gram with the
+    synthetic eval set (doc_id % 97 == 0) are dropped; survivors are
+    value-checked row-for-row (operators/decontam.py)."""
+    from search_engine_spark.operators import decontam
+
+    docs = _docs(spark, sf_dir)
+    evals = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontam.decontaminate(docs, evals, n=3).select("doc_id")
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle as (shard, pos):
+    contiguous hash ranges + per-shard row numbers must equal DuckDB's
+    single-threaded window over the same md5 order key."""
+    from search_engine_spark.operators import sampling
+
+    return sampling.shuffle_shards(_docs(spark, sf_dir), 8) \
+        .select("doc_id", "shard", "pos")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_doc_tf": q_term_doc_tf,
@@ -455,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "mixture_rebalance": q_mixture_rebalance,
+        "decontaminate": q_decontaminate,
+        "shuffle_shards": q_shuffle_shards,
     }
 
 
@@ -860,6 +883,43 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
                 FROM embeddings
                 ORDER BY c6 DESC, vec_id ASC LIMIT 10
             )
+        """,
+        # mirrors decontam.decontaminate(n=3): word 3-grams hashed to
+        # their first 16 md5 hex chars; any doc sharing a gram hash with
+        # the eval set (doc_id % 97 == 0) is dropped. toks[i:i+2] is
+        # DuckDB's INCLUSIVE 3-element slice == Spark's slice(toks,i,3)
+        "decontaminate": r"""
+            WITH w AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                  lower(COALESCE(text, '')), '\s+'),
+                                  x -> x != '') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(
+                             generate_series(1, greatest(len(toks) - 2, 0)),
+                             i -> substr(md5(array_to_string(
+                                 toks[i:i+2], ' ')), 1, 16))) AS gh
+                  FROM w),
+            eg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+            flagged AS (SELECT DISTINCT doc_id FROM g JOIN eg USING (gh))
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        """,
+        # mirrors sampling.shuffle_shards(n_shards=8): order key =
+        # md5(doc_id || 'order:'), shard = top 32 bits scaled into 8
+        # contiguous ranges, pos = rank within shard by the full key
+        "shuffle_shards": """
+            SELECT doc_id,
+                   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                             || 'order:'), 1, 8))
+                         AS BIGINT) * 8) >> 32 AS shard,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY (CAST(('0x' || substr(
+                           md5(CAST(doc_id AS VARCHAR) || 'order:'), 1, 8))
+                           AS BIGINT) * 8) >> 32
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || 'order:'),
+                                doc_id) AS pos
+            FROM documents
         """,
         "pii_scrub": _pii_scrub_sql(),
         "repetition_stats": r"""

@@ -7,12 +7,13 @@ spark-submit --py-files dist/engine.zip jobs/curate_corpus.py \
     [--min-tokens 20] [--max-tokens 100000] \
     [--minhash-threshold 0.8] [--html] [--pii-scrub] \
     [--max-dup-line-ratio 0.3] [--max-top-bigram-frac 0.2] \
-    [--mixture src0:0.5,src1:0.5] [--splits train:0.9,val:0.1]
+    [--mixture src0:0.5,src1:0.5] [--splits train:0.9,val:0.1] \
+    [--decontam-eval /data/benchmarks_parquet [--decontam-n 13]]
 
 Pipeline (operators/curation.py): optional PII scrub → language filter
 → quality/length filter → optional repetition filter → exact dedup →
-MinHash near-dedup (opt-in) → optional mixture rebalance → optional
-deterministic split assignment. Writes the curated
+MinHash near-dedup (opt-in) → optional benchmark decontamination →
+optional mixture rebalance → optional deterministic split assignment. Writes the curated
 parquet plus ``_funnel.json`` recording rows surviving each stage (the
 underscore prefix makes Spark's file listing skip it, so the output dir
 stays directly readable as parquet; written through the Hadoop
@@ -55,6 +56,13 @@ def main() -> None:
     ap.add_argument("--max-top-bigram-frac", type=float, default=None,
                     help="drop docs whose most frequent bigram exceeds "
                          "this fraction of all bigrams")
+    ap.add_argument("--decontam-eval", default=None,
+                    help="parquet path of benchmark/eval docs (text "
+                         "column): drop training docs sharing a word "
+                         "n-gram with them")
+    ap.add_argument("--decontam-n", type=int, default=13,
+                    help="n-gram size for decontamination (default 13, "
+                         "the GPT-3/Pile standard)")
     ap.add_argument("--splits", default=None,
                     help="add a deterministic split column, e.g. "
                          "'train:0.9,val:0.05,test:0.05'")
@@ -96,6 +104,9 @@ def main() -> None:
         minhash_threshold=args.minhash_threshold,
         max_dup_line_ratio=args.max_dup_line_ratio,
         max_top_bigram_frac=args.max_top_bigram_frac,
+        eval_docs=(spark.read.parquet(args.decontam_eval)
+                   if args.decontam_eval else None),
+        decontam_n=args.decontam_n,
     )
     if args.mixture:
         from search_engine_spark.operators import sampling

@@ -3,7 +3,7 @@ runs to produce an LLM training corpus (task brief's pipeline family),
 built from this package's oracle-gated operators:
 
     language filter → quality/length filter → exact dedup → MinHash
-    near-dedup
+    near-dedup → benchmark decontamination
 
 with a per-stage row funnel for lineage. Stage order pins the cheap
 row-local filters BEFORE the shuffle-heavy dedup stages so dedup runs on
@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import dedup, textquality
+from . import decontam, dedup, textquality
 from ._cache import PersistRegistry
 
 # Final persisted frames from prior curate() calls (intermediate stage
@@ -50,6 +50,8 @@ def curate(
     minhash_threshold: float | None = None,
     max_dup_line_ratio: float | None = None,
     max_top_bigram_frac: float | None = None,
+    eval_docs: DataFrame | None = None,
+    decontam_n: int = 13,
     text_col: str = "text",
     collect_funnel: bool = True,
 ) -> tuple[DataFrame, list[dict]]:
@@ -62,6 +64,11 @@ def curate(
     repetition filter (textquality.repetition_stats) between the quality
     filter and dedup — boilerplate pruning belongs before the
     shuffle-heavy stages too.
+    ``eval_docs`` enables benchmark decontamination as the LAST stage
+    (it runs on the fewest surviving docs there, and dedup cannot
+    resurrect a contaminated text): any doc sharing a word
+    ``decontam_n``-gram with ``eval_docs`` is dropped
+    (operators.decontam).
     ``collect_funnel=False`` keeps the whole pipeline lazy (one action at
     the caller's sink) instead of persisting + counting per stage.
 
@@ -135,6 +142,10 @@ def curate(
                                    threshold=minhash_threshold)
         cur = cur.join(surv, "doc_id", "left_semi")
         checkpoint("near_dedup")
+    if eval_docs is not None:
+        cur = decontam.decontaminate(cur, eval_docs, n=decontam_n,
+                                     text_col=text_col)
+        checkpoint("decontaminate")
     if prev_persisted is not None:
         _PERSISTED.add(prev_persisted)
     return cur, funnel

@@ -15,6 +15,10 @@ curation (operators.curation) and packing (operators.packing):
                       the same bucket hash; fractions are NESTED
                       (the 1% sample is a subset of the 10% sample),
                       so sample-size sweeps reuse cached artifacts.
+* shuffle_shards    — deterministic global training-order shuffle as a
+                      (shard, pos) assignment: one shuffle keyed on a
+                      contiguous range of the order hash, a per-shard
+                      sort, never a global window. Salt = epoch.
 
 The hash is md5(key || salt) truncated to its first 8 hex digits — a
 uniform 32-bit bucket that DuckDB reproduces exactly
@@ -107,6 +111,44 @@ def stratified_sample(docs: DataFrame, fraction: float,
         cut = F.when(F.col(by) == val,
                      F.lit(round(frac * N_BUCKETS))).otherwise(cut)
     return docs.filter(bucket < cut)
+
+
+def shuffle_shards(docs: DataFrame, n_shards: int,
+                   key_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic global shuffle for training order, materialized as
+    ``shard`` (long) + ``pos`` (row number within shard) columns.
+
+    The order key is md5(key || 'order:' || salt); ``shard`` is the
+    top-level split of that key's first 32 bits into ``n_shards``
+    CONTIGUOUS ranges, and ``pos`` orders rows within a shard by the
+    full hex key. Because lowercase-hex lexicographic order equals the
+    numeric order of the hash, reading shard 0's rows by pos, then
+    shard 1's, … reproduces one global pseudo-random permutation —
+    without ever sorting globally. A new ``salt`` (e.g. "epoch2") is a
+    fresh permutation; the same salt replays bit-identically regardless
+    of partitioning or cluster size.
+
+    Plan: one shuffle (the per-shard window), no global window, no RNG.
+    Writers should ``repartition(n_shards, "shard")`` +
+    ``sortWithinPartitions("pos")`` + ``partitionBy("shard")`` so each
+    shard lands as one orderly file set."""
+    if not 1 <= n_shards <= 1 << 30:
+        raise ValueError(f"n_shards must be in [1, 2^30]: {n_shards}")
+    okey = F.md5(F.concat(F.col(key_col).cast("string"),
+                          F.lit("order:" + salt)))
+    # integer math: h32*n_shards < 2^62, exact in a long; >>32 splits
+    # [0, 2^32) into n_shards contiguous, near-equal ranges (a double
+    # division here could misplace boundary rows)
+    h32 = F.conv(F.substring(okey, 1, 8), 16, 10).cast("long")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy("_okey", key_col)
+    return (
+        docs.withColumn("_okey", okey)
+        .withColumn("shard", F.shiftright(h32 * F.lit(n_shards), 32))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_okey")
+    )
 
 
 def rebalance_mixture(docs: DataFrame, target: dict[str, float],

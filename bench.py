@@ -144,8 +144,9 @@ def main() -> None:
         timed(name, fn)
 
     # -- phase 4: training-data pipeline ops (first-class per task brief) ---
-    from search_engine_spark.operators import (dedup, packing, sampling,
-                                               similarity, textquality)
+    from search_engine_spark.operators import (decontam, dedup, packing,
+                                               sampling, similarity,
+                                               textquality)
 
     docs = corpus.read_documents(spark, sf_dir)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -169,6 +170,10 @@ def main() -> None:
         "p_pack_sequences": lambda: packing.pack_sequences(
             textquality.token_count(docs).select("doc_id", "n_tokens"),
             budget=512, n_chunks=16).count(),
+        "p_decontaminate": lambda: decontam.decontaminate(
+            docs, docs.filter(F.col("doc_id") % 97 == 0), n=13).count(),
+        "p_shuffle_shards": lambda: sampling.shuffle_shards(docs, 32)
+        .agg(F.max("pos")).count(),
     }
     for name, fn in pipeline_ops.items():
         timed(name, fn)

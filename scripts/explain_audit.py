@@ -235,6 +235,36 @@ def main() -> int:
         [("no Exchange anywhere in the plan", r"\bExchange\b", False)],
     )
 
+    # 11. decontamination: the corpus side n-grams narrowly (Generate),
+    # the small eval hash set arrives via broadcast — a shuffle of the
+    # exploded corpus grams (SortMergeJoin) would be the 100 TB killer
+    from search_engine_spark.operators import decontam as DC
+
+    p11 = plan_of(DC.decontaminate(docs, docs.filter(F.col("doc_id") % 97 == 0),
+                                   n=3))
+    check(
+        "Benchmark decontamination", p11,
+        [
+            ("corpus grams explode narrowly (Generate)", r"\bGenerate\b", True),
+            ("eval hash set joined via broadcast", r"BroadcastHashJoin", True),
+            ("no shuffle join of exploded corpus grams", r"SortMergeJoin", False),
+            ("no cartesian product", r"CartesianProduct", False),
+        ],
+    )
+
+    # 12. training-order shuffle: pos must come from a window
+    # partitioned BY SHARD — a partition-less ordered window would pull
+    # the whole corpus through one task
+    p12 = plan_of(SA.shuffle_shards(docs, 8))
+    check(
+        "Training-order shuffle (shard, pos)", p12,
+        [
+            ("row_number window partitioned by shard",
+             r"windowspecdefinition\(shard", True),
+            ("no single-partition global sort/window", r"SinglePartition", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -30,41 +30,68 @@ contract (``decontaminate`` entry in __spark_entry__.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import hashlib
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _tokens(text_col: str) -> Column:
-    """Lowercased whitespace tokens, empty strings removed (same
-    splitting contract as textquality.token_count, so n-gram positions
-    agree with every other text operator and with the DuckDB oracle's
-    regexp_split_to_array + list_filter)."""
-    return F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda x: x != "",
-    )
+def _gram_hash_udf(n: int):
+    """Arrow-batched pandas UDF: text → array of 16-hex md5 gram-hash
+    prefixes, one per word-n-gram position.
+
+    A pandas UDF, not a Catalyst ``transform(sequence(...), i ->
+    md5(array_join(slice(...))))``: higher-order-function lambdas
+    evaluate INTERPRETED per element, and the expression form measured
+    ~10× slower at sf0.1 (same finding as dedup.simhash64 — hashlib's C
+    md5 beats interpreted expression trees for per-token hashing).
+
+    Tokenization contract (== the JVM text operators and the DuckDB
+    oracle): lowercase, split on ASCII whitespace runs, drop empties —
+    ``re.ASCII`` pins Python's ``\\s`` to Java's/RE2's ASCII class so
+    all three engines tokenize identically."""
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @F.pandas_udf("array<string>")
+    def gram_hashes(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [w for w in ws.split((t or "").lower()) if w]
+            if len(toks) < n:
+                out.append([])
+                continue
+            joined = " ".join(toks)
+            # gram strings via one pre-joined buffer + running offsets:
+            # avoids re-joining a 13-token slice per position
+            offs = [0]
+            for w in toks:
+                offs.append(offs[-1] + len(w) + 1)
+            out.append([
+                hashlib.md5(
+                    joined[offs[i]:offs[i + n] - 1].encode()
+                ).hexdigest()[:16]
+                for i in range(len(toks) - n + 1)
+            ])
+        return pd.Series(out)
+
+    return gram_hashes
 
 
 def ngram_hashes(docs: DataFrame, n: int, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """→ (id_col, gram_hash) — one row per word-n-gram occurrence
     position; gram_hash = first 16 md5 hex chars of the space-joined
-    gram. Documents shorter than ``n`` tokens yield no rows (standard
-    n-gram decontamination semantics: too short to match). Narrow
-    (explode only, no shuffle); callers dedupe as needed."""
+    lowercased gram. Documents shorter than ``n`` tokens yield no rows
+    (standard n-gram decontamination semantics: too short to match).
+    Narrow (Arrow UDF + explode only, no shuffle); callers dedupe as
+    needed."""
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")
-    # size guard, not greatest(): Spark's sequence(1, 0) counts DOWN
-    # ([1, 0]), so a too-short doc would ask slice() for start index 0
-    grams = F.expr(
-        f"CASE WHEN size(_toks) >= {n} THEN "
-        f"transform(sequence(1, size(_toks) - {n} + 1), "
-        f"i -> substring(md5(array_join(slice(_toks, i, {n}), ' ')), 1, 16)) "
-        f"ELSE CAST(array() AS array<string>) END"
-    )
-    return (
-        docs.select(F.col(id_col), _tokens(text_col).alias("_toks"))
-        .select(id_col, F.explode(grams).alias("gram_hash"))
+    return docs.select(
+        F.col(id_col),
+        F.explode(_gram_hash_udf(n)(F.col(text_col))).alias("gram_hash"),
     )
 
 

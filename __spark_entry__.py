@@ -440,6 +440,54 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard", "pos")
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup: deterministic URL spellings synthesized
+    from (doc_id, source) — three variants exercising every
+    canonicalization rule (case, www., default ports, fragments,
+    tracking params, param order, trailing slash) — collapse to one
+    min-doc_id survivor per canonical URL (operators/urls.py)."""
+    from search_engine_spark.operators import urls
+
+    m = (F.col("doc_id") % 40).cast("string")
+    src = F.col("source")
+    v = F.col("doc_id") % 3
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTPS://WWW."), src, F.lit(".Example.COM:443/p/"), m,
+            F.lit("/?utm_source=x&b=2&a=1#f")))
+        .when(v == 1, F.concat(
+            F.lit("http://"), src, F.lit(".example.com:80/p/"), m,
+            F.lit("?b=2&a=1")))
+        .otherwise(F.concat(
+            F.lit("https://"), src, F.lit(".EXAMPLE.com/p/"), m))
+    )
+    frame = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return urls.url_dedup(frame)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-unigram-LM quality signal
+    (operators/textquality.py unigram_logprob)."""
+    from search_engine_spark.operators import textquality
+
+    return textquality.unigram_logprob(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "bits_per_token",
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the deterministic synthetic link
+    graph (operators/graph.py), checked rank-for-rank at 6 decimals
+    against the unrolled DuckDB power-iteration CTE chain."""
+    from search_engine_spark.operators import graph
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    ranks = graph.pagerank(graph.synth_edges(docs, n), n_iter=5)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_doc_tf": q_term_doc_tf,
@@ -478,6 +526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_rebalance": q_mixture_rebalance,
         "decontaminate": q_decontaminate,
         "shuffle_shards": q_shuffle_shards,
+        "url_dedup": q_url_dedup,
+        "unigram_logprob": q_unigram_logprob,
+        "pagerank": q_pagerank,
     }
 
 
@@ -978,7 +1029,59 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
                                            || 'mixture:'), 1, 8))
                        AS BIGINT) % 10000 < cut
         """,
+        # mirrors q_url_dedup: same three URL spellings synthesized per
+        # doc, canonicalized by the shared rule generator
+        # (urls.oracle_canonical_sql — one source of truth), min doc_id
+        # per canonical URL
+        "url_dedup": _url_dedup_sql(),
+        # mirrors textquality.unigram_logprob: corpus unigram model
+        # p(w) = cf/total over lowercased \s+ tokens; per-doc mean of
+        # -log2 p; empty docs get (0, 0.0)
+        "unigram_logprob": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(list_filter(regexp_split_to_array(
+                                  lower(COALESCE(text, '')), '\s+'),
+                                  x -> x != '')) AS tok
+                       FROM documents),
+            cf AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+            d AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                         ROUND(AVG(-log2(cf.c / (SELECT n FROM tot))), 6)
+                             AS bits_per_token
+                  FROM t JOIN cf USING (tok) GROUP BY t.doc_id)
+            SELECT doc.doc_id,
+                   COALESCE(d.n_tokens, 0) AS n_tokens,
+                   COALESCE(d.bits_per_token, 0.0) AS bits_per_token
+            FROM documents doc LEFT JOIN d USING (doc_id)
+        """,
+        # mirrors q_pagerank: the same synthetic quadratic link graph and
+        # the power iteration unrolled as one CTE chain per iteration
+        # (graph.pagerank_oracle_sql — shared formula/damping/iterations)
+        "pagerank": _pagerank_sql(),
     }
+
+
+def _url_dedup_sql() -> str:
+    from search_engine_spark.operators.urls import oracle_canonical_sql
+
+    canon = oracle_canonical_sql("url")
+    return f"""
+        WITH u AS (SELECT doc_id, CASE doc_id % 3
+            WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/p/'
+                        || (doc_id % 40) || '/?utm_source=x&b=2&a=1#f'
+            WHEN 1 THEN 'http://' || source || '.example.com:80/p/'
+                        || (doc_id % 40) || '?b=2&a=1'
+            ELSE 'https://' || source || '.EXAMPLE.com/p/' || (doc_id % 40)
+            END AS url FROM documents),
+        c AS (SELECT doc_id, {canon} AS url_canon FROM u)
+        SELECT MIN(doc_id) AS doc_id, url_canon FROM c GROUP BY url_canon
+    """
+
+
+def _pagerank_sql() -> str:
+    from search_engine_spark.operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(n_iter=5)
 
 
 def _pii_scrub_sql() -> str:

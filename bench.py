@@ -144,9 +144,9 @@ def main() -> None:
         timed(name, fn)
 
     # -- phase 4: training-data pipeline ops (first-class per task brief) ---
-    from search_engine_spark.operators import (decontam, dedup, packing,
-                                               sampling, similarity,
-                                               textquality)
+    from search_engine_spark.operators import (decontam, dedup, graph,
+                                               packing, sampling, similarity,
+                                               textquality, urls)
 
     docs = corpus.read_documents(spark, sf_dir)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -174,6 +174,18 @@ def main() -> None:
             docs, docs.filter(F.col("doc_id") % 97 == 0), n=13).count(),
         "p_shuffle_shards": lambda: sampling.shuffle_shards(docs, 32)
         .agg(F.max("pos")).count(),
+        "p_unigram_logprob": lambda: textquality.unigram_logprob(docs)
+        .agg(F.avg("bits_per_token")).count(),
+        "p_url_dedup": lambda: urls.url_dedup(
+            docs.select("doc_id",
+                        F.concat(F.lit("https://www."), F.col("source"),
+                                 F.lit(".example.com/p/"),
+                                 (F.col("doc_id") % 997).cast("string"),
+                                 F.lit("/?utm_source=x&b=2&a=1#f"))
+                        .alias("url"))).count(),
+        "p_pagerank": lambda: graph.pagerank(
+            graph.synth_edges(docs.select("doc_id"), n_docs),
+            n_iter=5).agg(F.sum("rank")).count(),
     }
     for name, fn in pipeline_ops.items():
         timed(name, fn)

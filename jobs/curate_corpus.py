@@ -7,11 +7,13 @@ spark-submit --py-files dist/engine.zip jobs/curate_corpus.py \
     [--min-tokens 20] [--max-tokens 100000] \
     [--minhash-threshold 0.8] [--html] [--pii-scrub] \
     [--max-dup-line-ratio 0.3] [--max-top-bigram-frac 0.2] \
+    [--max-bits-per-token 14] [--url-dedup] \
     [--mixture src0:0.5,src1:0.5] [--splits train:0.9,val:0.1] \
     [--decontam-eval /data/benchmarks_parquet [--decontam-n 13]]
 
-Pipeline (operators/curation.py): optional PII scrub → language filter
-→ quality/length filter → optional repetition filter → exact dedup →
+Pipeline (operators/curation.py): optional PII scrub → optional URL
+dedup → language filter → quality/length filter → optional repetition
+filter → optional corpus-LM (bits/token) filter → exact dedup →
 MinHash near-dedup (opt-in) → optional benchmark decontamination →
 optional mixture rebalance → optional deterministic split assignment. Writes the curated
 parquet plus ``_funnel.json`` recording rows surviving each stage (the
@@ -56,6 +58,14 @@ def main() -> None:
     ap.add_argument("--max-top-bigram-frac", type=float, default=None,
                     help="drop docs whose most frequent bigram exceeds "
                          "this fraction of all bigrams")
+    ap.add_argument("--max-bits-per-token", type=float, default=None,
+                    help="CCNet-style corpus-LM filter: drop docs whose "
+                         "mean -log2 p(token) under the corpus unigram "
+                         "model exceeds this bound")
+    ap.add_argument("--url-dedup", action="store_true",
+                    help="collapse URL spellings to one row per "
+                         "canonical URL before any text stage (input "
+                         "must carry a url column)")
     ap.add_argument("--decontam-eval", default=None,
                     help="parquet path of benchmark/eval docs (text "
                          "column): drop training docs sharing a word "
@@ -104,6 +114,8 @@ def main() -> None:
         minhash_threshold=args.minhash_threshold,
         max_dup_line_ratio=args.max_dup_line_ratio,
         max_top_bigram_frac=args.max_top_bigram_frac,
+        max_bits_per_token=args.max_bits_per_token,
+        url_dedup=args.url_dedup,
         eval_docs=(spark.read.parquet(args.decontam_eval)
                    if args.decontam_eval else None),
         decontam_n=args.decontam_n,

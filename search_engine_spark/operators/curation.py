@@ -50,6 +50,9 @@ def curate(
     minhash_threshold: float | None = None,
     max_dup_line_ratio: float | None = None,
     max_top_bigram_frac: float | None = None,
+    max_bits_per_token: float | None = None,
+    url_dedup: bool = False,
+    url_col: str = "url",
     eval_docs: DataFrame | None = None,
     decontam_n: int = 13,
     text_col: str = "text",
@@ -64,6 +67,14 @@ def curate(
     repetition filter (textquality.repetition_stats) between the quality
     filter and dedup — boilerplate pruning belongs before the
     shuffle-heavy stages too.
+    ``max_bits_per_token`` enables the CCNet-style corpus-LM filter
+    (textquality.unigram_logprob): docs whose mean −log₂ p(token) under
+    the corpus unigram model exceeds the bound are dropped (rare-token
+    soup). The model is fit on the rows ALIVE at this stage, so earlier
+    filters don't pollute it.
+    ``url_dedup=True`` collapses spellings of the same URL to one
+    min-doc_id row FIRST (operators.urls) — the cheapest dedup signal a
+    crawl has, run before any text is touched; requires ``url_col``.
     ``eval_docs`` enables benchmark decontamination as the LAST stage
     (it runs on the fewest surviving docs there, and dedup cannot
     resurrect a contaminated text): any doc sharing a word
@@ -100,6 +111,15 @@ def curate(
         prev_persisted = cur
 
     checkpoint("input")
+    if url_dedup:
+        if url_col not in cur.columns:
+            raise ValueError(
+                f"url_dedup=True but column {url_col!r} is absent")
+        from . import urls as U
+
+        keep = U.url_dedup(cur, url_col).select("doc_id")
+        cur = cur.join(keep, "doc_id", "left_semi")
+        checkpoint("url_dedup")
     if languages:
         keep = (
             textquality.language_id(cur, text_col)
@@ -134,6 +154,15 @@ def curate(
         cur = cur.join(rep.filter(cond).select("doc_id"),
                        "doc_id", "left_semi")
         checkpoint("repetition")
+    if max_bits_per_token is not None:
+        keep = (
+            textquality.unigram_logprob(cur, text_col)
+            .filter(F.col("bits_per_token")
+                    <= F.lit(float(max_bits_per_token)))
+            .select("doc_id")
+        )
+        cur = cur.join(keep, "doc_id", "left_semi")
+        checkpoint("lm_quality")
     survivors = dedup.exact_dedup(cur, text_col).select("doc_id")
     cur = cur.join(survivors, "doc_id", "left_semi")
     checkpoint("exact_dedup")

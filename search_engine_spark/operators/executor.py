@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..plans import planner
 from . import phrase as PH
 from . import boolean as B
+from . import search as search_mod
 from .search import InvertedIndex, search_freetext_tokens, topk
 
 
@@ -58,6 +59,9 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
     reference's fin-abbrev feature (helpers.py:297-303; dead code there,
     live opt-in here)."""
     index.release_caches()  # previous query's phrase/adaptive caches
+    # validate + clamp k once at the surface: top-k buffers are O(k) per
+    # partition, and no query returns more rows than the corpus has docs
+    k = search_mod.effective_k(index, k)
     plan = planner.classify(query, index.analyzer)
     if isinstance(plan, planner.FreeTextPlan):
         rewritten = query

@@ -101,6 +101,19 @@ class InvertedIndex:
         return df
 
 
+def effective_k(index: InvertedIndex, k: int | None) -> int | None:
+    """Validate and clamp a caller-supplied k. TakeOrderedAndProject
+    keeps an O(k) buffer PER PARTITION, so a hostile/absurd k (10⁹)
+    allocates gigabytes of heap per task before a single row flows; a
+    query can never return more rows than the corpus has docs, so
+    clamping to n_docs is semantics-free and bounds the heap."""
+    if k is None:
+        return None
+    if k < 0:
+        raise ValueError(f"k must be >= 0: {k}")
+    return min(k, index.stats["n_docs"])
+
+
 def _scored_frame(index: InvertedIndex, terms: list[str], model: str,
                   q_tf: dict[str, int] | None = None) -> DataFrame:
     """per-(term,doc) weight frame for the given (deduped) terms."""
@@ -186,6 +199,7 @@ def search_freetext_tokens(index: InvertedIndex, toks: list[str],
     if model == "vsm":
         return search_vsm_tokens(index, toks, k=k, candidates=candidates,
                                  adaptive=adaptive)
+    k = effective_k(index, k)
     if not toks:
         return index.postings.sparkSession.createDataFrame([], "doc_id long, score double")
     q_tf: dict[str, int] = {}
@@ -269,6 +283,7 @@ def search_vsm_tokens(index: InvertedIndex, toks: list[str],
     broadcast aggregate for qnorm) instead of a per-query driver collect —
     at serving scale a blocking metadata job per query is pure scheduling
     latency."""
+    k = effective_k(index, k)
     if not toks:
         return index.postings.sparkSession.createDataFrame([], "doc_id long, score double")
     q_tf: dict[str, int] = {}

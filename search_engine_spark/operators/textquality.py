@@ -179,6 +179,61 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style corpus-LM quality signal →
+    (doc_id, n_tokens, bits_per_token).
+
+    ``bits_per_token`` is the mean over the doc's (lowercased,
+    whitespace-split) tokens of −log₂ p(w), where p(w) = cf(w)/total
+    over THIS corpus — the self-perplexity proxy for the KenLM filter
+    CCNet runs (no external model ships in this sandbox; the corpus's
+    own unigram distribution is the deterministic, oracle-checkable
+    stand-in). Low bits ⇒ function-word-like, typical text; high bits ⇒
+    rare-token soup (lorem, base64, boilerplate navigation). Empty docs
+    get 0.0.
+
+    Plan shape: explode → one vocab-sized count agg → join back →
+    per-doc avg, all JVM-side, one action. The token stream is scanned
+    twice (stats pass + scoring pass) rather than persisted: at 100 TB
+    a corpus-sized cache costs more than the second source scan, and
+    both scans are narrow until their respective aggs. The cf join is
+    vocab-sized on the build side — AQE broadcasts it for real-world
+    vocabularies (≤ a few hundred M terms) and falls back to a shuffle
+    join only when the vocabulary itself is at data scale."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                        r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    cf = toks.groupBy("tok").agg(F.count("*").alias("_c"))
+    total = toks.agg(F.count("*").cast("double").alias("_n"))
+    scored = (
+        toks.join(cf, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log2(F.col("_c") / F.col("_n"))), 6)
+            .alias("bits_per_token"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("bits_per_token"), F.lit(0.0))
+            .alias("bits_per_token"),
+        )
+    )
+
+
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails / IPv4 addresses / phone-shaped digit runs: the
     text column is replaced with the scrubbed form, every other input

@@ -1,0 +1,199 @@
+"""Tests for operators.graph (PageRank) and operators.urls
+(canonicalization + URL dedup) and textquality.unigram_logprob."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import graph, urls
+from search_engine_spark.operators.textquality import unigram_logprob
+
+# ---------------------------------------------------------------- urls
+
+CASES = [
+    # (raw, canonical)
+    ("HTTPS://WWW.Example.COM:443/Path/To//page///?utm_source=x&b=2&a=1#f",
+     "https://example.com/Path/To//page?a=1&b=2"),
+    ("http://example.com:80/", "http://example.com/"),
+    ("http://example.com/", "http://example.com/"),
+    ("https://sub.www.example.com/a?ref=tw&z=9&a=1",
+     "https://sub.www.example.com/a?a=1&z=9"),   # only LEADING www.
+    ("ftp://Files.Example.com:21/data/", "ftp://files.example.com:21/data"),
+    ("example.com/no-scheme?utm_campaign=z&x=1", "example.com/no-scheme?x=1"),
+    ("https://example.com", "https://example.com"),
+    ("https://example.com/?", "https://example.com/"),
+    ("http://EXAMPLE.com:8080/Keep/Case?B=2&a=1&fbclid=abc",
+     "http://example.com:8080/Keep/Case?B=2&a=1"),  # non-default port kept
+    ("https://www.example.com:443///", "https://example.com/"),
+]
+
+
+def test_canonical_url_rules(spark):
+    df = spark.createDataFrame([(raw,) for raw, _ in CASES], "url string")
+    got = [r[0] for r in df.select(urls.canonical_url(F.col("url"))).collect()]
+    assert got == [want for _, want in CASES]
+
+
+def test_canonical_url_oracle_parity(spark):
+    """The DuckDB expression from oracle_canonical_sql and the Spark
+    column agree byte-for-byte on every rule case (the contract's
+    foundation)."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(url VARCHAR)")
+    for raw, _ in CASES:
+        con.execute("INSERT INTO u VALUES (?)", [raw])
+    expr = urls.oracle_canonical_sql("url")
+    duck = [r[0] for r in con.execute(f"SELECT {expr} FROM u").fetchall()]
+    df = spark.createDataFrame([(raw,) for raw, _ in CASES], "url string")
+    got = [r[0] for r in df.select(urls.canonical_url(F.col("url"))).collect()]
+    assert got == duck
+
+
+def test_url_dedup_min_id_representative(spark):
+    rows = [
+        (1, "http://a.com/x?utm_source=f"),
+        (2, "HTTP://A.com/x"),          # same canonical as 1
+        (3, "http://a.com/y"),
+        (7, "http://www.a.com/x#frag"),  # same canonical as 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["url_canon"]: r["doc_id"]
+           for r in urls.url_dedup(df).collect()}
+    assert out == {"http://a.com/x": 1, "http://a.com/y": 3}
+
+
+# --------------------------------------------------------------- graph
+
+def _np_pagerank(edges, n_iter=5, d=0.85):
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for s, t in set(edges):
+        out.setdefault(s, []).append(t)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[idx[v]] for v in nodes if v not in out)
+        nxt += d * dangling / n
+        for s, ts in out.items():
+            for t in ts:
+                nxt[idx[t]] += d * r[idx[s]] / len(ts)
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_with_dangling(spark):
+    # node 5 is dangling (no out-edges); (2,4) appears twice
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (2, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in graph.pagerank(df, n_iter=6).collect()}
+    want = _np_pagerank(edges, n_iter=6)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    graph.release_caches()
+
+
+def test_pagerank_duplicate_edges_count_once(spark):
+    base = [(1, 2), (2, 1)]
+    dup = base + [(1, 2)] * 5
+    a = {r["node"]: r["rank"] for r in
+         graph.pagerank(spark.createDataFrame(base, "src long, dst long"),
+                        n_iter=3).collect()}
+    b = {r["node"]: r["rank"] for r in
+         graph.pagerank(spark.createDataFrame(dup, "src long, dst long"),
+                        n_iter=3).collect()}
+    assert a == b
+    graph.release_caches()
+
+
+def test_pagerank_empty_and_validation(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank(empty).count() == 0
+    with pytest.raises(ValueError):
+        graph.pagerank(empty, n_iter=-1)
+    with pytest.raises(ValueError):
+        graph.pagerank(empty, damping=1.5)
+    graph.release_caches()
+
+
+def test_pagerank_synth_oracle_parity(spark):
+    """Engine pagerank over the synthetic contract graph == the unrolled
+    DuckDB CTE oracle, rank-for-rank at 6 decimals (what the driver
+    hashes)."""
+    docs = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    e = graph.synth_edges(docs, 120)
+    got = {r["node"]: round(r["rank"], 6)
+           for r in graph.pagerank(e, n_iter=5).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT range AS doc_id FROM range(120)")
+    want = dict(con.execute(graph.pagerank_oracle_sql(n_iter=5)).fetchall())
+    assert got == want
+    graph.release_caches()
+
+
+# ------------------------------------------------- unigram log-prob LM
+
+def test_unigram_logprob_hand_computed(spark):
+    rows = [(1, "a a b"), (2, "b c"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+           for r in unigram_logprob(df).collect()}
+    # corpus: a×2 b×2 c×1, total 5
+    pa = pb = 2 / 5
+    pc = 1 / 5
+    import math
+
+    d1 = -(2 * math.log2(pa) + math.log2(pb)) / 3
+    d2 = -(math.log2(pb) + math.log2(pc)) / 2
+    assert got[1] == (3, pytest.approx(round(d1, 6), abs=2e-6))
+    assert got[2] == (2, pytest.approx(round(d2, 6), abs=2e-6))
+    assert got[3] == (0, 0.0)
+    assert got[4] == (0, 0.0)
+
+
+def test_unigram_logprob_case_fold_and_whitespace(spark):
+    # "The" and "the" are the same token; tabs/newlines split
+    df = spark.createDataFrame([(1, "The\tthe\nTHE")], "doc_id long, text string")
+    row = unigram_logprob(df).collect()[0]
+    assert row["n_tokens"] == 3
+    assert row["bits_per_token"] == 0.0  # p=1 -> 0 bits
+
+
+# --------------------------------------------- curation stage wiring
+
+def test_curate_url_dedup_and_lm_stages(spark):
+    from search_engine_spark.operators import curation
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        # 1 and 2 are URL-spellings of the same page -> 2 dropped first
+        (1, "http://a.com/x", common + " one"),
+        (2, "HTTP://A.com/x?utm_source=f", common + " two"),
+        (3, "http://a.com/y", common + " three"),
+        # rare-token soup: every token unique in the corpus -> high bits
+        (4, "http://a.com/z", "qzx wvu tsr qpo nml kji hgf edc ba9 876"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out, funnel = curation.curate(
+        df, languages=None, url_dedup=True, max_bits_per_token=4.5)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert ids == {1, 3}
+    stages = [f["stage"] for f in funnel]
+    assert stages == ["input", "url_dedup", "quality", "lm_quality",
+                      "exact_dedup"]
+    by = {f["stage"]: f["rows"] for f in funnel}
+    assert by["input"] == 4 and by["url_dedup"] == 3
+    assert by["lm_quality"] == 2 and by["exact_dedup"] == 2
+    curation.release_caches()
+
+
+def test_curate_url_dedup_requires_column(spark):
+    from search_engine_spark.operators import curation
+
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        curation.curate(df, url_dedup=True)

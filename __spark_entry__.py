@@ -488,6 +488,98 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url) with deterministic host/path variety for the
+    host-level contract entries: host cycles through four shapes
+    (plain, subdomain, www-prefixed .org, deep co.uk subdomain) and the
+    path repeats every 40 ids so hosts accumulate duplicate canonical
+    URLs. Mirrored verbatim by _SYNTH_URL_SQL."""
+    m = (F.col("doc_id") % 40).cast("string")
+    src = F.col("source")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://"), src, F.lit(".keep.com/p/"), m,
+            F.lit("?utm_source=x&b=2&a=1")))
+        .when(v == 1, F.concat(
+            F.lit("HTTPS://Sub."), src, F.lit(".spam.co.uk:443/p/"), m,
+            F.lit("/")))
+        .when(v == 2, F.concat(
+            F.lit("http://www."), src, F.lit(".block.org:80/p/"), m,
+            F.lit("#frag")))
+        .otherwise(F.concat(
+            F.lit("https://deep."), src, F.lit(".keep.com/p/"), m))
+    )
+    return _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+
+
+_SYNTH_URL_SQL = """
+    SELECT doc_id, CASE doc_id % 4
+        WHEN 0 THEN 'https://' || source || '.keep.com/p/'
+                    || (doc_id % 40) || '?utm_source=x&b=2&a=1'
+        WHEN 1 THEN 'HTTPS://Sub.' || source || '.spam.co.uk:443/p/'
+                    || (doc_id % 40) || '/'
+        WHEN 2 THEN 'http://www.' || source || '.block.org:80/p/'
+                    || (doc_id % 40) || '#frag'
+        ELSE 'https://deep.' || source || '.keep.com/p/' || (doc_id % 40)
+        END AS url FROM documents
+"""
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-redundancy stats over the synthetic URL table
+    (operators/hosts.py host_stats): docs per host, distinct canonical
+    URLs, and the fraction URL canonicalization alone collapses."""
+    from search_engine_spark.operators import hosts
+
+    return hosts.host_stats(_synth_urls(spark, sf_dir))
+
+
+def q_domain_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain blocklist filter (operators/hosts.py
+    domain_filter): blocking spam.co.uk / block.org must also drop
+    their subdomains (sub.*.spam.co.uk, www.*.block.org) while keeping
+    both keep.com host shapes."""
+    from search_engine_spark.operators import hosts
+
+    return hosts.domain_filter(
+        _synth_urls(spark, sf_dir), ["spam.co.uk", "block.org"]
+    ).select("doc_id")
+
+
+def q_bm25_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 blended with the PageRank static prior (the classic
+    web-ranking mixture): score = bm25 + 0.3·ln(rank) over the
+    deterministic synthetic link graph, single final top-100
+    (search.blend_doc_prior; oracle = the bm25 CTEs spliced with the
+    unrolled power-iteration chain)."""
+    from search_engine_spark.operators import graph
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    n = idx.stats["n_docs"]
+    ranks = graph.pagerank(
+        graph.synth_edges(docs.select("doc_id"), n), n_iter=5)
+    scored = S._scored_frame(idx, _BM25_QUERY_TERMS, "bm25")
+    agg = scored.groupBy("doc_id").agg(F.sum("weight").alias("score"))
+    blended = S.blend_doc_prior(agg, ranks, lam=0.3)
+    out = (blended.select("doc_id", F.round("score", 4).alias("score"))
+           .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
+    # materialize before releasing the pagerank caches the plan reads
+    rows = out.collect()
+    graph.release_caches()
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact top-50 word bigrams — the boilerplate-discovery
+    heavy-hitter list (operators/corpusstats.py), ties broken by gram
+    text so the ranking is fully deterministic."""
+    from search_engine_spark.operators import corpusstats
+
+    return corpusstats.top_ngrams(_docs(spark, sf_dir), n=2, k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_doc_tf": q_term_doc_tf,
@@ -529,6 +621,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "unigram_logprob": q_unigram_logprob,
         "pagerank": q_pagerank,
+        "host_stats": q_host_stats,
+        "domain_block": q_domain_block,
+        "top_bigrams": q_top_bigrams,
+        "bm25_pagerank_topk": q_bm25_pagerank_topk,
     }
 
 
@@ -1058,7 +1154,84 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
         # the power iteration unrolled as one CTE chain per iteration
         # (graph.pagerank_oracle_sql — shared formula/damping/iterations)
         "pagerank": _pagerank_sql(),
+        # host-level entries: URL synth shared via _SYNTH_URL_SQL, host/
+        # domain/canonical expressions generated by the same builders the
+        # engine columns come from (hosts.oracle_*_sql, urls.oracle_*)
+        "host_stats": _host_stats_sql(),
+        "domain_block": _domain_block_sql(),
+        # mirrors q_top_bigrams: generator shares n/k/tokenize/tie-break
+        "top_bigrams": _top_bigrams_sql(),
+        # mirrors q_bm25_pagerank_topk: the bm25_topk CTEs + the spliced
+        # power-iteration chain (graph.pagerank_oracle_parts — CTE names
+        # verified disjoint), blended with the same lam/log mixture
+        "bm25_pagerank_topk": _bm25_pagerank_sql(bm25_terms),
     }
+
+
+def _bm25_pagerank_sql(bm25_terms: str) -> str:
+    from search_engine_spark.operators.graph import pagerank_oracle_parts
+
+    pr_parts, final = pagerank_oracle_parts(n_iter=5)
+    pr_sql = ",\n".join(pr_parts)
+    return f"""
+        WITH {pr_sql},
+        tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        q(term) AS (VALUES {bm25_terms}),
+        w AS (
+            SELECT tf.doc_id,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        ),
+        bsc AS (SELECT doc_id, SUM(wt) AS bscore FROM w GROUP BY doc_id)
+        SELECT bsc.doc_id,
+               ROUND(bsc.bscore
+                     + 0.3 * LN(COALESCE({final}.rank, 1e-12)), 4) AS score
+        FROM bsc LEFT JOIN {final} ON bsc.doc_id = {final}.node
+        ORDER BY score DESC, doc_id ASC LIMIT 100
+    """
+
+
+def _host_stats_sql() -> str:
+    from search_engine_spark.operators.hosts import oracle_host_sql
+    from search_engine_spark.operators.urls import oracle_canonical_sql
+
+    return f"""
+        WITH u AS ({_SYNTH_URL_SQL}),
+        c AS (SELECT {oracle_host_sql("url")} AS host,
+                     {oracle_canonical_sql("url")} AS url_canon
+              FROM u)
+        SELECT host, COUNT(*) AS n_docs,
+               COUNT(DISTINCT url_canon) AS n_urls,
+               ROUND(1.0 - COUNT(DISTINCT url_canon) / COUNT(*), 6)
+                   AS dup_ratio
+        FROM c GROUP BY host
+    """
+
+
+def _domain_block_sql() -> str:
+    from search_engine_spark.operators.hosts import (
+        oracle_host_sql, oracle_registered_domain_sql)
+
+    dom = oracle_registered_domain_sql(oracle_host_sql("url"))
+    return f"""
+        WITH u AS ({_SYNTH_URL_SQL})
+        SELECT doc_id FROM u
+        WHERE {dom} NOT IN ('spam.co.uk', 'block.org')
+    """
+
+
+def _top_bigrams_sql() -> str:
+    from search_engine_spark.operators.corpusstats import (
+        top_ngrams_oracle_sql)
+
+    return top_ngrams_oracle_sql(n=2, k=50)
 
 
 def _url_dedup_sql() -> str:

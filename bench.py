@@ -144,8 +144,9 @@ def main() -> None:
         timed(name, fn)
 
     # -- phase 4: training-data pipeline ops (first-class per task brief) ---
-    from search_engine_spark.operators import (decontam, dedup, graph,
-                                               packing, sampling, similarity,
+    from search_engine_spark.operators import (corpusstats, decontam, dedup,
+                                               graph, hosts, packing,
+                                               sampling, similarity,
                                                textquality, urls)
 
     docs = corpus.read_documents(spark, sf_dir)
@@ -186,6 +187,14 @@ def main() -> None:
         "p_pagerank": lambda: graph.pagerank(
             graph.synth_edges(docs.select("doc_id"), n_docs),
             n_iter=5).agg(F.sum("rank")).count(),
+        "p_host_stats": lambda: hosts.host_stats(
+            docs.select("doc_id",
+                        F.concat(F.lit("https://www."), F.col("source"),
+                                 F.lit(".example.com/p/"),
+                                 (F.col("doc_id") % 997).cast("string"))
+                        .alias("url"))).count(),
+        "p_top_bigrams": lambda: corpusstats.top_ngrams(docs, n=2, k=50)
+        .count(),
     }
     for name, fn in pipeline_ops.items():
         timed(name, fn)

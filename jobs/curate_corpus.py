@@ -8,11 +8,13 @@ spark-submit --py-files dist/engine.zip jobs/curate_corpus.py \
     [--minhash-threshold 0.8] [--html] [--pii-scrub] \
     [--max-dup-line-ratio 0.3] [--max-top-bigram-frac 0.2] \
     [--max-bits-per-token 14] [--url-dedup] \
+    [--blocked-domains spam.com,seo-farm.co.uk | @/data/blocklist.txt] \
     [--mixture src0:0.5,src1:0.5] [--splits train:0.9,val:0.1] \
     [--decontam-eval /data/benchmarks_parquet [--decontam-n 13]]
 
-Pipeline (operators/curation.py): optional PII scrub → optional URL
-dedup → language filter → quality/length filter → optional repetition
+Pipeline (operators/curation.py): optional PII scrub → optional
+domain blocklist → optional URL dedup → language filter →
+quality/length filter → optional repetition
 filter → optional corpus-LM (bits/token) filter → exact dedup →
 MinHash near-dedup (opt-in) → optional benchmark decontamination →
 optional mixture rebalance → optional deterministic split assignment. Writes the curated
@@ -66,6 +68,10 @@ def main() -> None:
                     help="collapse URL spellings to one row per "
                          "canonical URL before any text stage (input "
                          "must carry a url column)")
+    ap.add_argument("--blocked-domains", default=None,
+                    help="comma-separated registered domains to drop "
+                         "(subdomains included) as the first stage; or "
+                         "@/path/to/file with one domain per line")
     ap.add_argument("--decontam-eval", default=None,
                     help="parquet path of benchmark/eval docs (text "
                          "column): drop training docs sharing a word "
@@ -116,6 +122,7 @@ def main() -> None:
         max_top_bigram_frac=args.max_top_bigram_frac,
         max_bits_per_token=args.max_bits_per_token,
         url_dedup=args.url_dedup,
+        blocked_domains=_parse_blocked(args.blocked_domains),
         eval_docs=(spark.read.parquet(args.decontam_eval)
                    if args.decontam_eval else None),
         decontam_n=args.decontam_n,
@@ -136,6 +143,17 @@ def main() -> None:
     write_funnel(spark, args.output, funnel)
     for row in funnel:
         print(json.dumps(row))
+
+
+def _parse_blocked(spec: str | None) -> list[str] | None:
+    """``a.com,b.org`` or ``@file`` (one domain per line, # comments)."""
+    if not spec:
+        return None
+    if spec.startswith("@"):
+        with open(spec[1:]) as f:
+            return [ln.strip() for ln in f
+                    if ln.strip() and not ln.startswith("#")]
+    return [s.strip() for s in spec.split(",") if s.strip()]
 
 
 def _parse_weights(spec: str) -> dict[str, float]:

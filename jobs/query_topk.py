@@ -4,7 +4,8 @@ spark-submit --py-files dist/engine.zip jobs/query_topk.py \
     --index /data/index --query "market price" [--k 100] \
     [--model bm25|bm25-reference|vsm|lm-dirichlet|lm-pyp] \
     [--wand] [--date-start 2022-01-01 --date-end 2022-01-31] \
-    [--documents /data/documents_parquet]
+    [--documents /data/documents_parquet] \
+    [--prior /data/ranks [--prior-lam 0.3]]
 
 Prints one JSON line per hit: {"rank", "doc_id", "score"}.
 --wand uses the Block-Max WAND kernel (BM25 only); default is the
@@ -43,7 +44,14 @@ def main() -> None:
                     help="fin_abbv.json-shaped term→expansion dict; "
                          "expansions append as quoted phrases before "
                          "execution (helpers.py:297-303)")
+    ap.add_argument("--prior",
+                    help="(node, rank) parquet (jobs/pagerank.py output): "
+                         "blend the static prior into ranked queries")
+    ap.add_argument("--prior-lam", type=float, default=0.3)
     args = ap.parse_args()
+    if args.wand and args.prior:
+        ap.error("--wand scores pure BM25 (the kernel has no prior "
+                 "mixture); drop --wand to use --prior")
     if args.wand and (args.date_start or args.date_end):
         # WAND scores over ALL blocks; silently post-filtering an
         # unrestricted top-k would return fewer-than-k / wrong-rank
@@ -92,12 +100,14 @@ def main() -> None:
                                                     quote=False)
         hits = wand.search_wand(idx, query, k=args.k)
     else:
+        prior = spark.read.parquet(args.prior) if args.prior else None
         df = executor.execute(
             idx, args.query, k=args.k, model=args.model,
             date_start=date.fromisoformat(args.date_start) if args.date_start else None,
             date_end=date.fromisoformat(args.date_end) if args.date_end else None,
             spellchecker=checker, symbols=symbols,
             abbreviations=abbreviations,
+            prior=prior, prior_lam=args.prior_lam,
         )
         hits = [(r.doc_id, r.score) for r in df.collect()]
 

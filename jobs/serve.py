@@ -60,13 +60,18 @@ def _parse_date(s: str | None) -> date | None:
 def create_server(index, port: int = 0, spellchecker=None,
                   symbols: frozenset[str] = frozenset(),
                   abbreviations: dict[str, str] | None = None,
+                  prior=None, prior_lam: float = 0.3,
                   ) -> ThreadingHTTPServer:
     """Build (without starting) the HTTP server around a loaded index.
     ``port=0`` binds an ephemeral port (see ``server.server_address``).
     ``abbreviations`` (term→expansion, e.g. from
     spellcheck.load_abbreviations) appends '"{expansion}"' phrases on the
     first-execution path AFTER spellcheck; the corrected-vs-original flag
-    tracks spellcheck only (the reference's has_term_been_corrected)."""
+    tracks spellcheck only (the reference's has_term_been_corrected).
+    ``prior`` (a (node, rank) DataFrame, e.g. a pagerank artifact)
+    blends the static document prior into every relational-path ranked
+    query (executor.execute(prior=...)); the WAND kernel scores pure
+    BM25, so wand=1 requests ignore it by construction."""
     from search_engine_spark.operators import executor, wand
 
     lock = threading.Lock()
@@ -129,7 +134,8 @@ def create_server(index, port: int = 0, spellchecker=None,
                 hits = wand.search_wand(index, executed, k=k)
             else:
                 df = executor.execute(index, executed, k=k, model=model,
-                                      date_start=ds, date_end=de)
+                                      date_start=ds, date_end=de,
+                                      prior=prior, prior_lam=prior_lam)
                 hits = [(r.doc_id, r.score) for r in df.collect()]
         return {
             "results": [
@@ -232,6 +238,13 @@ def main() -> None:
                     help="fin_abbv.json-shaped term→expansion dict "
                          "(helpers.py:225,297-303); expansions append as "
                          "quoted phrases on the first-execution path")
+    ap.add_argument("--prior-parquet",
+                    help="(node, rank) parquet (jobs/pagerank.py output): "
+                         "blend the static document prior into ranked "
+                         "relational-path queries")
+    ap.add_argument("--prior-lam", type=float, default=0.3,
+                    help="mixture weight for the static prior "
+                         "(score + lam*ln(rank))")
     args = ap.parse_args()
 
     from search_engine_spark.plans.spellcheck import (load_abbreviations,
@@ -256,8 +269,11 @@ def main() -> None:
 
         checker = VocabularySpellchecker.from_index(idx)
 
+    prior = (spark.read.parquet(args.prior_parquet)
+             if args.prior_parquet else None)
     srv = create_server(idx, args.port, spellchecker=checker,
-                        symbols=symbols, abbreviations=abbreviations)
+                        symbols=symbols, abbreviations=abbreviations,
+                        prior=prior, prior_lam=args.prior_lam)
     print(f"serving on http://127.0.0.1:{srv.server_address[1]}  "
           f"(index={args.index}, n_docs={idx.stats['n_docs']})", flush=True)
     srv.serve_forever()

@@ -252,6 +252,103 @@ def main() -> int:
         ],
     )
 
+    # 12b. URL canonicalization must be a pure narrow projection (no
+    # UDF, no exchange); url_dedup adds exactly the one group-agg
+    # exchange its contract requires
+    from search_engine_spark.operators import urls as UR
+
+    surls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://www."), F.col("source"),
+                 F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+                 F.lit("/?utm_source=x&b=2&a=1#f")).alias("url"))
+    p12a = plan_of(surls.select(UR.canonical_url(F.col("url"))))
+    check(
+        "URL canonicalization (narrow, JVM-only)", p12a,
+        [
+            ("no exchange", r"\bExchange\b", False),
+            ("no Python UDF", r"BatchEvalPython|ArrowEvalPython", False),
+        ],
+    )
+    p12b = plan_of(UR.url_dedup(surls))
+    check(
+        "URL dedup (single group-agg)", p12b,
+        [
+            ("partial aggregation before exchange", r"partial_min|partial_first", True),
+            ("no Python UDF", r"BatchEvalPython|ArrowEvalPython", False),
+            ("no join anywhere", r"Join", False),
+        ],
+    )
+
+    # 12c. host stats: one agg pipeline, JVM-only; blocklist filter is a
+    # broadcast anti-join — the corpus side must NOT hash-exchange
+    from search_engine_spark.operators import hosts as HO
+
+    p12c = plan_of(HO.host_stats(surls))
+    check(
+        "Host stats (JVM-only agg)", p12c,
+        [
+            ("no Python UDF", r"BatchEvalPython|ArrowEvalPython", False),
+            ("codegen-capable HashAggregate", r"\bHashAggregate\b", True),
+        ],
+    )
+    p12d = plan_of(HO.domain_filter(surls, ["example.com"]))
+    check(
+        "Domain blocklist filter (broadcast anti-join)", p12d,
+        [
+            ("broadcast anti-join", r"BroadcastHashJoin.*LeftAnti|LeftAnti BuildRight", True),
+            ("corpus side not hash-exchanged", r"Exchange hashpartitioning", False),
+            ("no sort-merge join", r"SortMergeJoin", False),
+        ],
+    )
+
+    # 12e. corpus-wide top n-grams: narrow gram enumeration (Generate),
+    # partial count before the exchange, and the top-k must be a
+    # TakeOrderedAndProject — never a global Sort
+    from search_engine_spark.operators import corpusstats as CS
+
+    p12e = plan_of(CS.top_ngrams(docs, n=2, k=50))
+    check(
+        "Top n-grams (heavy hitters)", p12e,
+        [
+            ("grams enumerate narrowly (Generate)", r"\bGenerate\b", True),
+            ("partial count before exchange", r"partial_count", True),
+            ("top-k is TakeOrderedAndProject", r"TakeOrderedAndProject", True),
+            ("no global Sort node", r"\bSort\b \(", False),
+        ],
+    )
+
+    # 12f. unigram corpus-LM quality: gram/token work is JVM HOFs (no
+    # UDF), and no cartesian product sneaks in via the 1-row total
+    from search_engine_spark.operators import textquality as TQ2
+
+    p12f = plan_of(TQ2.unigram_logprob(docs))
+    check(
+        "Unigram corpus-LM quality (JVM-only)", p12f,
+        [
+            ("no Python UDF", r"BatchEvalPython|ArrowEvalPython", False),
+            ("1-row total arrives via broadcast", r"BroadcastExchange", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
+    # 12g. PageRank iteration: the per-iteration rank join must reuse
+    # the persisted weighted-edge frame (InMemoryTableScan), and the
+    # dangling-mass scalar must broadcast, not shuffle
+    from search_engine_spark.operators import graph as GR
+
+    pr_edges = GR.synth_edges(docs.select("doc_id"), 500)
+    p12g = plan_of(GR.pagerank(pr_edges, n_iter=2))
+    GR.release_caches()
+    check(
+        "PageRank (persisted edges, broadcast dangling mass)", p12g,
+        [
+            ("weighted edges read from cache", r"InMemoryTableScan", True),
+            ("dangling scalar broadcast", r"BroadcastExchange|BroadcastNestedLoopJoin", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
     # 12. training-order shuffle: pos must come from a window
     # partitioned BY SHARD — a partition-less ordered window would pull
     # the whole corpus through one task

@@ -52,6 +52,7 @@ def curate(
     max_top_bigram_frac: float | None = None,
     max_bits_per_token: float | None = None,
     url_dedup: bool = False,
+    blocked_domains: list[str] | None = None,
     url_col: str = "url",
     eval_docs: DataFrame | None = None,
     decontam_n: int = 13,
@@ -72,8 +73,13 @@ def curate(
     the corpus unigram model exceeds the bound are dropped (rare-token
     soup). The model is fit on the rows ALIVE at this stage, so earlier
     filters don't pollute it.
+    ``blocked_domains`` drops rows whose registered domain is
+    blocklisted (operators.hosts.domain_filter) as the VERY FIRST stage:
+    it is a narrow broadcast anti-join (shuffle-free) and everything a
+    blocklist removes is work every later stage skips; requires
+    ``url_col``.
     ``url_dedup=True`` collapses spellings of the same URL to one
-    min-doc_id row FIRST (operators.urls) — the cheapest dedup signal a
+    min-doc_id row next (operators.urls) — the cheapest dedup signal a
     crawl has, run before any text is touched; requires ``url_col``.
     ``eval_docs`` enables benchmark decontamination as the LAST stage
     (it runs on the fewest surviving docs there, and dedup cannot
@@ -111,6 +117,14 @@ def curate(
         prev_persisted = cur
 
     checkpoint("input")
+    if blocked_domains:
+        if url_col not in cur.columns:
+            raise ValueError(
+                f"blocked_domains set but column {url_col!r} is absent")
+        from . import hosts as H
+
+        cur = H.domain_filter(cur, blocked_domains, url_col)
+        checkpoint("domain_block")
     if url_dedup:
         if url_col not in cur.columns:
             raise ValueError(

@@ -43,6 +43,7 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
             date_end: date | None = None, adaptive: bool = False,
             spellchecker=None, symbols: frozenset[str] = frozenset(),
             abbreviations: dict[str, str] | None = None,
+            prior: DataFrame | None = None, prior_lam: float = 0.3,
             ) -> DataFrame:
     """→ (doc_id, score) for ranked kinds; (doc_id, score=0.0) for
     proximity/boolean kinds (reference returns those unranked).
@@ -57,7 +58,15 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
     appends '"{expansion}"' phrases for free-text queries AFTER spellcheck
     (so a corrected token can still trigger its expansion) — the
     reference's fin-abbrev feature (helpers.py:297-303; dead code there,
-    live opt-in here)."""
+    live opt-in here).
+
+    ``prior`` (a (node, rank) frame, canonically operators.graph.pagerank
+    output) blends a query-independent document prior into RANKED kinds
+    via search.blend_doc_prior — score + prior_lam·ln(rank) — applied
+    once to the merged score frame BEFORE the final top-k. Unranked
+    kinds (proximity, boolean fallback) ignore it (their score is a
+    constant 0.0 by reference semantics, and re-ranking them by prior
+    alone would invent an ordering the reference does not define)."""
     index.release_caches()  # previous query's phrase/adaptive caches
     # validate + clamp k once at the surface: top-k buffers are O(k) per
     # partition, and no query returns more rows than the corpus has docs
@@ -106,8 +115,12 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
             # terms are ALREADY analyzed by the planner — token-level call
             # (re-analysis would double-stem, e.g. 'provis'→'provi')
             scored = search_freetext_tokens(
-                index, terms, k=k, model=model, candidates=docs
+                index, terms, k=None, model=model, candidates=docs
             )
+            if prior is not None:
+                scored = search_mod.blend_doc_prior(scored, prior,
+                                                    lam=prior_lam)
+            scored = search_mod.topk(scored, k)
             # cache before the emptiness probe: the probe executes the
             # scoring pipeline, and the caller's collect would otherwise
             # recompute it end-to-end (released by the NEXT execute())
@@ -144,4 +157,6 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
         merged = merged.unionByName(f)
     if len(frames) > 1:
         merged = merged.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    if prior is not None:
+        merged = search_mod.blend_doc_prior(merged, prior, lam=prior_lam)
     return topk(merged, k)

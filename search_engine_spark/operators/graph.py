@@ -135,16 +135,16 @@ def synth_edges(docs: DataFrame, n_docs: int, fanout: int = 3,
     )
 
 
-def pagerank_oracle_sql(n_iter: int = 5, damping: float = 0.85,
-                        fanout: int = 3) -> str:
-    """DuckDB oracle for pagerank(synth_edges(documents)) — the power
-    iteration unrolled as one CTE chain per iteration (deterministic,
-    no recursion), mirroring the engine's dangling-mass redistribution
-    exactly. Generated so engine and oracle share iteration count,
-    damping, and the edge formula."""
+def pagerank_oracle_parts(n_iter: int = 5, damping: float = 0.85,
+                          fanout: int = 3) -> tuple[list[str], str]:
+    """(CTE definitions, final rank CTE name) for the unrolled power
+    iteration — exposed separately so composite oracles (e.g. BM25 +
+    PageRank prior) can splice the chain into a larger WITH clause.
+    CTE names (nn/e/nodes/outdeg/r*/dm*/c*) are chosen not to collide
+    with the retrieval oracles' names (tok/tf/dl/stats/df/q/w)."""
     d = repr(float(damping))
     parts = [
-        "WITH nn AS (SELECT COUNT(*) AS n FROM documents)",
+        "nn AS (SELECT COUNT(*) AS n FROM documents)",
         f"""e AS (SELECT DISTINCT doc_id AS src,
                        (doc_id * doc_id * 13 + j * 31 + 7)
                            % (SELECT n FROM nn) AS dst
@@ -172,6 +172,17 @@ def pagerank_oracle_sql(n_iter: int = 5, damping: float = 0.85,
                             + (SELECT m FROM dm{i}) / (SELECT n FROM nn))
                    AS rank
             FROM nodes LEFT JOIN c{i} USING (node))""")
+    return parts, f"r{n_iter}"
+
+
+def pagerank_oracle_sql(n_iter: int = 5, damping: float = 0.85,
+                        fanout: int = 3) -> str:
+    """DuckDB oracle for pagerank(synth_edges(documents)) — the power
+    iteration unrolled as one CTE chain per iteration (deterministic,
+    no recursion), mirroring the engine's dangling-mass redistribution
+    exactly. Generated so engine and oracle share iteration count,
+    damping, and the edge formula."""
+    parts, final = pagerank_oracle_parts(n_iter, damping, fanout)
     parts_sql = ",\n".join(parts)
-    return (f"{parts_sql}\n"
-            f"SELECT node, ROUND(rank, 6) AS rank FROM r{n_iter}")
+    return (f"WITH {parts_sql}\n"
+            f"SELECT node, ROUND(rank, 6) AS rank FROM {final}")

@@ -234,6 +234,37 @@ def search_freetext_tokens(index: InvertedIndex, toks: list[str],
     return agg if k is None else topk(agg, k)
 
 
+def blend_doc_prior(scores: DataFrame, prior: DataFrame, lam: float = 0.3,
+                    id_col: str = "node", prior_col: str = "rank",
+                    default_prior: float = 1e-12) -> DataFrame:
+    """Blend a query-independent document prior (canonically PageRank,
+    operators.graph) into a (doc_id, score) frame:
+
+        score' = score + lam · ln(prior)
+
+    — the standard log-odds mixture for static rank in web retrieval
+    (the prior is a probability, so ln(prior) ≤ 0; lam scales how hard
+    link evidence can move lexical rank). Docs absent from the prior
+    frame (pages outside the link graph) take ``default_prior`` — a
+    floor probability, so being unlinked is a penalty, never an error.
+
+    The join is doc-keyed like the LM doc-prior join above: the prior
+    frame is corpus-sized (NOT broadcastable at 10^12 docs), but the
+    scores side is already reduced to matching docs, and both sides
+    hash-partition on doc_id — co-partition/bucket both by doc_id on a
+    real cluster to make it exchange-free. Must run BEFORE top-k (the
+    mixture reorders)."""
+    p = prior.select(F.col(id_col).alias("doc_id"),
+                     F.col(prior_col).alias("_prior"))
+    return scores.join(p, "doc_id", "left").select(
+        "doc_id",
+        (F.col("score")
+         + F.lit(float(lam))
+         * F.log(F.coalesce(F.col("_prior"), F.lit(float(default_prior)))))
+        .alias("score"),
+    )
+
+
 def vsm_norms_frame(postings: DataFrame, term_stats: DataFrame,
                     n_docs: int) -> DataFrame:
     """(doc_id, dnorm): sqrt(Σ w_d²) over ALL of a doc's terms

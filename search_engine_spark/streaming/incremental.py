@@ -383,3 +383,40 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30,
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_url_dedup(docs_stream: DataFrame, url_col: str = "url",
+                        ts_col: str = "fetch_ts",
+                        watermark: str = "1 hour") -> DataFrame:
+    """First-fetch-wins URL dedup for a crawl STREAM: canonicalize
+    (operators.urls.canonical_url — same rules as the batch operator,
+    narrow JVM projection) and keep the first arrival per canonical URL.
+
+    State is bounded by the watermark via dropDuplicatesWithinWatermark:
+    a canonical URL refetched more than ``watermark`` of event time
+    later is admitted again — exactly the recrawl semantics a continuous
+    crawler wants (the batch ``urls.url_dedup`` is the whole-corpus
+    collapse; this is the ingest-time guard that keeps near-in-time
+    refetches out of the staged corpus). Requires an event-time column
+    ``ts_col``; when the input carries none, pass ``watermark=None``
+    explicitly to opt into UNBOUNDED keyed state (fine for bounded
+    backfills replayed through the streaming path, a leak on a real
+    24/7 stream — hence opt-in).
+
+    Output: the input columns plus ``url_canon``, append mode. Batch
+    parity: for a stream whose arrival order is doc_id order, survivors
+    == batch url_dedup survivors within one watermark window
+    (pytest-gated in tests/test_streaming.py).
+    """
+    from ..operators import urls as _urls
+
+    out = docs_stream.withColumn(
+        "url_canon", _urls.canonical_url(F.col(url_col)))
+    if watermark is None:
+        return out.dropDuplicates(["url_canon"])
+    if dict(out.dtypes).get(ts_col) == "timestamp_ntz":
+        out = out.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        out.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["url_canon"])
+    )

@@ -197,3 +197,49 @@ def test_curate_url_dedup_requires_column(spark):
     df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     with pytest.raises(ValueError):
         curation.curate(df, url_dedup=True)
+
+
+# ----------------------------------------------- static prior blending
+
+def test_blend_doc_prior_formula(spark):
+    import math
+
+    from search_engine_spark.operators.search import blend_doc_prior
+
+    scores = spark.createDataFrame(
+        [(1, 2.0), (2, 2.0), (3, 1.0)], "doc_id long, score double")
+    prior = spark.createDataFrame(
+        [(1, 0.5), (2, 0.125)], "node long, rank double")
+    got = {r["doc_id"]: r["score"]
+           for r in blend_doc_prior(scores, prior, lam=0.3,
+                                    default_prior=1e-12).collect()}
+    assert got[1] == pytest.approx(2.0 + 0.3 * math.log(0.5))
+    assert got[2] == pytest.approx(2.0 + 0.3 * math.log(0.125))
+    # doc 3 absent from the graph -> floor prior (a penalty, not an error)
+    assert got[3] == pytest.approx(1.0 + 0.3 * math.log(1e-12))
+    # equal lexical scores are now ordered by link evidence
+    assert got[1] > got[2]
+
+
+def test_executor_prior_reorders_topk(spark):
+    """execute(prior=...) must apply the mixture BEFORE the final top-k:
+    with a huge lam, the prior ordering dominates within the matched set."""
+    from search_engine_spark import engine
+    from search_engine_spark.functions.analyzer import AnalyzerConfig
+    from search_engine_spark.operators import executor as EX
+    from search_engine_spark.operators import search as S
+
+    docs = spark.createDataFrame(
+        [(1, "common alpha"), (2, "common beta"), (3, "common gamma"),
+         (4, "unrelated text")],
+        "doc_id long, text string")
+    idx = engine.build_index(docs, AnalyzerConfig.full(), cache=False)
+    base = [r["doc_id"] for r in
+            EX.execute(idx, "common", k=3).collect()]
+    prior = spark.createDataFrame(
+        [(1, 0.01), (2, 0.9), (3, 0.05)], "node long, rank double")
+    boosted = [r["doc_id"] for r in
+               EX.execute(idx, "common", k=3, prior=prior,
+                          prior_lam=1000.0).collect()]
+    assert set(base) == set(boosted) == {1, 2, 3}
+    assert boosted == [2, 3, 1]  # prior order, lexical ties broken by it

@@ -165,3 +165,37 @@ def test_missing_query_param_is_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server + "/results")
     assert e.value.code == 400
+
+
+def test_prior_blend_through_results(spark, corpus_sdf, tmp_path):
+    """A server created with a static prior must return prior-mixed
+    scores on the relational path: with a dominant lam the top hit is
+    the prior's favorite among the matched docs."""
+    import threading
+
+    from jobs.serve import create_server
+    from search_engine_spark.operators import executor as EX
+
+    d = str(tmp_path / "prior_idx")
+    catalog.build_durable_index(spark, corpus_sdf, d, shards=2, buckets=16,
+                                block_span=64)
+    idx = catalog.load_index(spark, d, documents=corpus_sdf)
+    base = [r["doc_id"] for r in EX.execute(idx, "market", k=3).collect()]
+    assert len(base) == 3
+    # favor the doc that base ranking puts LAST
+    prior = spark.createDataFrame(
+        [(int(base[-1]), 0.9)] + [(int(b), 1e-6) for b in base[:-1]],
+        "node long, rank double")
+    srv = create_server(idx, port=0, prior=prior, prior_lam=1000.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, body = _get(
+            f"http://127.0.0.1:{srv.server_address[1]}"
+            "/results?query=market&k=3")
+        assert status == 200
+        got = [h["doc_id"] for h in body["results"]]
+        assert got[0] == base[-1]
+        assert set(got) == set(base)
+    finally:
+        srv.shutdown()

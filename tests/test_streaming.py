@@ -403,3 +403,54 @@ def test_compaction_guards(spark, corpus_sdf, tmp_path):
     with pytest.raises(ValueError, match="not a streaming index"):
         catalog.compact_streaming_index(
             spark, str(tmp_path / "nope"), str(tmp_path / "g_out2"))
+
+
+def test_streaming_url_dedup_equals_batch(spark, tmp_path):
+    """First-arrival streaming URL dedup == batch min-id url_dedup when
+    rows arrive in doc_id order (one file, one batch preserves order);
+    dup spellings of one canonical URL collapse, distinct URLs pass."""
+    from datetime import datetime
+
+    from search_engine_spark.operators import urls as U
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "http://a.com/x?utm_source=f", base),
+        (2, "HTTP://A.com/x", base),                 # dup of 1
+        (3, "http://a.com/y", base),
+        (4, "http://www.a.com/x#frag", base),        # dup of 1
+        (5, "https://b.com:443/z/", base),
+    ]
+    src = str(tmp_path / "crawl")
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, url string, fetch_ts timestamp") \
+        .repartition(1).sortWithinPartitions("doc_id")
+    sdf.write.parquet(src)
+    stream = spark.readStream.schema(sdf.schema).parquet(src)
+    out = incremental.streaming_url_dedup(stream)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("url_dedup_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["doc_id"], r["url_canon"])
+           for r in spark.sql("select * from url_dedup_s").collect()}
+    want = {(r["doc_id"], r["url_canon"])
+            for r in U.url_dedup(spark.read.parquet(src)).collect()}
+    assert got == want
+    assert len(got) == 3
+
+
+def test_streaming_url_dedup_unbounded_optin(spark, tmp_path):
+    """watermark=None (no event-time column) opts into unbounded-state
+    dropDuplicates — the bounded-backfill path."""
+    src = str(tmp_path / "crawl2")
+    sdf = spark.createDataFrame(
+        [(1, "http://a.com/x"), (2, "http://a.com/x?utm_source=z")],
+        "doc_id long, url string")
+    sdf.repartition(1).sortWithinPartitions("doc_id").write.parquet(src)
+    stream = spark.readStream.schema(sdf.schema).parquet(src)
+    out = incremental.streaming_url_dedup(stream, watermark=None)
+    q = (out.writeStream.format("memory").queryName("url_dedup_u")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.sql("select * from url_dedup_u").count() == 1

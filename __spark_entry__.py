@@ -580,6 +580,60 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusstats.top_ngrams(_docs(spark, sf_dir), n=2, k=50)
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level duplicate-line removal: lines occurring
+    in >=2 distinct docs are deleted everywhere, texts rebuilt in
+    original order, value-hashed cross-engine
+    (textquality.dedup_lines)."""
+    from search_engine_spark.operators import textquality
+
+    return textquality.dedup_lines(_docs(spark, sf_dir), min_docs=2) \
+        .select("doc_id", "text", "n_lines_dropped")
+
+
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: connected components (hash-min label
+    propagation, graph.connected_components) over a deterministic
+    hub-and-spoke pair graph — every member maps to its component's
+    min-id representative; the oracle recomputes components with a
+    recursive reachability CTE."""
+    from search_engine_spark.operators import graph
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    a = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") % 40).alias("doc_b"))
+    b = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("doc_a"),
+        ((F.col("doc_id") * F.col("doc_id")) % 35).alias("doc_b"))
+    clusters = graph.dup_clusters(a.unionByName(b))
+    rows = clusters.collect()  # materialize before releasing graph caches
+    graph.release_caches()
+    return spark.createDataFrame(rows, "doc_id long, rep long")
+
+
+def q_anchor_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded web ranking: body BM25 + 0.5 × anchor-field BM25
+    (search.search_fielded over graph.anchor_index), each field scored
+    against its own df/dl/avgdl. Anchors are synthesized per edge of the
+    deterministic link graph ('link w{(src+dst)%13}'), so the anchor
+    index has both a stopword-like term and a spread of rarer ones."""
+    from search_engine_spark.operators import graph
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    n = idx.stats["n_docs"]
+    edges = graph.synth_edges(docs.select("doc_id"), n).withColumn(
+        "anchor",
+        F.concat(F.lit("link w"),
+                 ((F.col("src") + F.col("dst")) % 13).cast("string")))
+    aidx = graph.anchor_index(edges)
+    merged = S.search_fielded(idx, aidx, ["spark", "w3", "link"],
+                              k=None, w_anchor=0.5)
+    return (merged.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_doc_tf": q_term_doc_tf,
@@ -625,6 +679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_block": q_domain_block,
         "top_bigrams": q_top_bigrams,
         "bm25_pagerank_topk": q_bm25_pagerank_topk,
+        "anchor_bm25_topk": q_anchor_bm25_topk,
+        "dup_components": q_dup_components,
+        "dedup_lines": q_dedup_lines,
     }
 
 
@@ -1165,7 +1222,112 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
         # power-iteration chain (graph.pagerank_oracle_parts — CTE names
         # verified disjoint), blended with the same lam/log mixture
         "bm25_pagerank_topk": _bm25_pagerank_sql(bm25_terms),
+        # mirrors q_anchor_bm25_topk: body bm25 CTEs + an anchor-field
+        # bm25 block over the same synthetic edges/anchor formula, full
+        # outer join, 0.5 anchor weight
+        "anchor_bm25_topk": _anchor_bm25_sql(),
+        # mirrors q_dup_components: same hub-and-spoke pair synth; the
+        # component of a node = MIN over its recursive reachability set
+        # (symmetric edges), DuckDB's WITH RECURSIVE doing the closure
+        "dup_components": r"""
+            WITH RECURSIVE p AS (
+                SELECT doc_id AS doc_a, doc_id % 40 AS doc_b
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id, (doc_id * doc_id) % 35
+                FROM documents WHERE doc_id % 3 = 1
+            ),
+            e AS (
+                SELECT doc_a AS a, doc_b AS b FROM p WHERE doc_a <> doc_b
+                UNION
+                SELECT doc_b, doc_a FROM p WHERE doc_a <> doc_b
+            ),
+            reach(node, lab) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM e)
+                UNION
+                SELECT e.a, reach.lab FROM e JOIN reach ON e.b = reach.node
+            )
+            SELECT node AS doc_id, MIN(lab) AS rep
+            FROM reach GROUP BY node
+        """,
+        # mirrors textquality.dedup_lines(min_docs=2): boilerplate =
+        # non-empty lines in >=2 DISTINCT docs; empty lines pass; texts
+        # rebuilt in original line order; all-boilerplate docs -> ''
+        "dedup_lines": r"""
+            WITH w AS (SELECT doc_id,
+                              string_split(COALESCE(text, ''), chr(10)) AS ls
+                       FROM documents),
+            l AS (SELECT doc_id,
+                         unnest(generate_series(1, len(ls))) AS pos,
+                         unnest(ls) AS line
+                  FROM w),
+            boil AS (SELECT line
+                     FROM (SELECT line, COUNT(DISTINCT doc_id) AS nd
+                           FROM l WHERE line <> '' GROUP BY line)
+                     WHERE nd >= 2),
+            keep AS (SELECT doc_id, pos, line FROM l
+                     WHERE line NOT IN (SELECT line FROM boil)),
+            reb AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY pos) AS text,
+                           COUNT(*) AS n_kept
+                    FROM keep GROUP BY doc_id),
+            tot AS (SELECT doc_id, COUNT(*) AS n_all FROM l GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(reb.text, '') AS text,
+                   CAST(tot.n_all - COALESCE(reb.n_kept, 0) AS BIGINT)
+                       AS n_lines_dropped
+            FROM documents d JOIN tot USING (doc_id)
+            LEFT JOIN reb USING (doc_id)
+        """,
     }
+
+
+def _anchor_bm25_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in ["spark", "w3", "link"])
+    return f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        q(term) AS (VALUES {terms}),
+        w AS (
+            SELECT tf.doc_id,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        ),
+        bsc AS (SELECT doc_id, SUM(wt) AS score FROM w GROUP BY doc_id),
+        -- anchor field: one row per EDGE (no DISTINCT — two links are
+        -- two endorsements), anchor = 'link w' || (src+dst)%13
+        ae AS (SELECT doc_id AS src,
+                      (doc_id * doc_id * 13 + j * 31 + 7)
+                          % (SELECT COUNT(*) FROM documents) AS dst
+               FROM documents, generate_series(1, 3) AS t(j)),
+        atok AS (SELECT dst AS doc_id,
+                        unnest(string_split(
+                            'link w' || ((src + dst) % 13), ' ')) AS term
+                 FROM ae),
+        atf AS (SELECT term, doc_id, COUNT(*) AS tf FROM atok GROUP BY 1, 2),
+        adl AS (SELECT doc_id, COUNT(*) AS dl FROM atok GROUP BY 1),
+        ast AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM adl),
+        adf AS (SELECT term, COUNT(*) AS df FROM atf GROUP BY 1),
+        aw AS (
+            SELECT atf.doc_id,
+                   LN(1 + (s.n - adf.df + 0.5) / (adf.df + 0.5))
+                   * atf.tf * 2.2
+                   / (atf.tf + 1.2 * (0.25 + 0.75 * adl.dl / s.avgdl)) AS wt
+            FROM atf JOIN q USING (term) JOIN adf USING (term)
+            JOIN adl USING (doc_id) CROSS JOIN ast s
+        ),
+        ascr AS (SELECT doc_id, SUM(wt) AS score FROM aw GROUP BY doc_id)
+        SELECT doc_id,
+               ROUND(COALESCE(bsc.score, 0) + 0.5 * COALESCE(ascr.score, 0),
+                     4) AS score
+        FROM bsc FULL OUTER JOIN ascr USING (doc_id)
+        ORDER BY score DESC, doc_id ASC LIMIT 100
+    """
 
 
 def _bm25_pagerank_sql(bm25_terms: str) -> str:

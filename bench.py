@@ -195,7 +195,19 @@ def main() -> None:
                         .alias("url"))).count(),
         "p_top_bigrams": lambda: corpusstats.top_ngrams(docs, n=2, k=50)
         .count(),
+        "p_anchor_fielded": lambda: _anchor_fielded(docs, n_docs),
     }
+    def _anchor_fielded(docs_df, n):
+        from search_engine_spark.operators import search as S
+
+        edges = graph.synth_edges(docs_df.select("doc_id"), n).withColumn(
+            "anchor",
+            F.concat(F.lit("link w"),
+                     ((F.col("src") + F.col("dst")) % 13).cast("string")))
+        aidx = graph.anchor_index(edges, cache=False)
+        return S.search_fielded(idx, aidx, ["market", "w3", "link"],
+                                k=100, w_anchor=0.5).count()
+
     for name, fn in pipeline_ops.items():
         timed(name, fn)
 

@@ -72,6 +72,10 @@ def main() -> None:
                     help="comma-separated registered domains to drop "
                          "(subdomains included) as the first stage; or "
                          "@/path/to/file with one domain per line")
+    ap.add_argument("--dedup-lines-min-docs", type=int, default=None,
+                    help="CCNet-style boilerplate removal: delete every "
+                         "non-empty line occurring in >= this many "
+                         "distinct docs, before the text filters")
     ap.add_argument("--decontam-eval", default=None,
                     help="parquet path of benchmark/eval docs (text "
                          "column): drop training docs sharing a word "
@@ -123,6 +127,7 @@ def main() -> None:
         max_bits_per_token=args.max_bits_per_token,
         url_dedup=args.url_dedup,
         blocked_domains=_parse_blocked(args.blocked_domains),
+        dedup_line_min_docs=args.dedup_lines_min_docs,
         eval_docs=(spark.read.parquet(args.decontam_eval)
                    if args.decontam_eval else None),
         decontam_n=args.decontam_n,

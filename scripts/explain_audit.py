@@ -349,6 +349,26 @@ def main() -> int:
         ],
     )
 
+    # 12h. fielded body+anchor: the two field frames union-sum into ONE
+    # final top-k; term stats broadcast on both sides, no sort-merge join
+    a_edges = GR.synth_edges(docs.select("doc_id"), 500).withColumn(
+        "anchor",
+        F.concat(F.lit("link w"),
+                 ((F.col("src") + F.col("dst")) % 13).cast("string")))
+    aidx = GR.anchor_index(a_edges, cache=False)
+    p12h = plan_of(S.search_fielded(mem, aidx, ["market", "price"], k=10))
+    check(
+        "Fielded body+anchor ranking", p12h,
+        [
+            ("single final top-k",
+             r"TakeOrderedAndProject \(\d+\)[\s\S]*TakeOrderedAndProject \(\d+\)",
+             False),
+            ("a TakeOrderedAndProject is present", r"TakeOrderedAndProject", True),
+            ("term stats broadcast", r"BroadcastHashJoin|BroadcastExchange", True),
+            ("no sort-merge join", r"SortMergeJoin", False),
+        ],
+    )
+
     # 12. training-order shuffle: pos must come from a window
     # partitioned BY SHARD — a partition-less ordered window would pull
     # the whole corpus through one task

@@ -53,6 +53,7 @@ def curate(
     max_bits_per_token: float | None = None,
     url_dedup: bool = False,
     blocked_domains: list[str] | None = None,
+    dedup_line_min_docs: int | None = None,
     url_col: str = "url",
     eval_docs: DataFrame | None = None,
     decontam_n: int = 13,
@@ -81,6 +82,10 @@ def curate(
     ``url_dedup=True`` collapses spellings of the same URL to one
     min-doc_id row next (operators.urls) — the cheapest dedup signal a
     crawl has, run before any text is touched; requires ``url_col``.
+    ``dedup_line_min_docs`` enables CCNet-style corpus-level duplicate-
+    line removal (textquality.dedup_lines) BEFORE the text-derived
+    filters, so language/quality/LM signals see boilerplate-free text —
+    the row count is unchanged (it rewrites text, never drops docs).
     ``eval_docs`` enables benchmark decontamination as the LAST stage
     (it runs on the fewest surviving docs there, and dedup cannot
     resurrect a contaminated text): any doc sharing a word
@@ -134,6 +139,11 @@ def curate(
         keep = U.url_dedup(cur, url_col).select("doc_id")
         cur = cur.join(keep, "doc_id", "left_semi")
         checkpoint("url_dedup")
+    if dedup_line_min_docs is not None:
+        cur = textquality.dedup_lines(
+            cur, min_docs=dedup_line_min_docs, text_col=text_col
+        ).drop("n_lines_dropped")
+        checkpoint("dedup_lines")
     if languages:
         keep = (
             textquality.language_id(cur, text_col)

@@ -135,6 +135,165 @@ def synth_edges(docs: DataFrame, n_docs: int, fanout: int = 3,
     )
 
 
+def connected_components(edges: DataFrame, src_col: str = "src",
+                         dst_col: str = "dst",
+                         max_iter: int = 50) -> DataFrame:
+    """→ (node, component): undirected connected components, component =
+    the MINIMUM node id in each component (the deterministic canonical
+    representative — the same min-id convention as every dedup operator
+    here).
+
+    This is what turns a near-duplicate PAIR set (simhash_pairs,
+    embedding_near_dups, minhash candidates) into dedup CLUSTERS: pairs
+    are edges, a cluster is a component, and `component` is the survivor
+    every member collapses to — transitively, so A~B~C dedups to one doc
+    even when A~C was never emitted as a pair.
+
+    Algorithm: hash-min label propagation. Labels start at the node id;
+    each round every node takes the min of its own label and its
+    neighbors' labels; converged when no label changes. Rounds needed =
+    graph diameter (≤ log-ish for the star/clique shapes near-dup graphs
+    take; bounded by ``max_iter`` against pathological chains — a path
+    graph of length > max_iter raises rather than returning wrong
+    components). Per round: one join edges⋈labels + one min-agg — both
+    keyed on node ids, co-partitionable on a real cluster; the
+    convergence probe reads ONE scalar (changed-row count) per round,
+    never the vector. Lineage truncates every _CHECKPOINT_EVERY rounds
+    like pagerank.
+
+    Like pagerank, the returned frame is backed by persisted
+    intermediates released at the next graph-module call (module
+    convention: one live graph result at a time) or via
+    release_caches()."""
+    release_caches()
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"),
+                            F.col(src_col).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    _PERSISTED.add(sym)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .persist()
+    )
+    _PERSISTED.add(labels)
+    labels.count()
+    for i in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "b")
+                     .withColumnRenamed("component", "_nc"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("_nc").alias("_m"))
+        )
+        nxt = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"),
+                        F.coalesce(F.col("_m"), F.col("component")))
+                .alias("component"),
+            )
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+            _PERSISTED.add(nxt)
+        changed = (
+            nxt.withColumnRenamed("component", "_new")
+            .join(labels, "node")
+            .filter(F.col("_new") != F.col("component"))
+            .limit(1).count()
+        )
+        labels = nxt
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter — raise it for chain-shaped "
+        "graphs)")
+
+
+def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
+                 b_col: str = "doc_b") -> DataFrame:
+    """→ (doc_id, rep): transitive dedup clusters from a near-dup pair
+    frame — every doc that appears in any pair, mapped to its cluster's
+    min-id representative (connected_components on the pair graph).
+    Docs in no pair are their own singletons and are simply absent here
+    (semantics match the pairwise operators: absent = keep)."""
+    cc = connected_components(pairs, src_col=a_col, dst_col=b_col)
+    return cc.select(F.col("node").alias("doc_id"),
+                     F.col("component").alias("rep"))
+
+
+def anchor_index(edges: DataFrame, anchor_col: str = "anchor",
+                 dst_col: str = "dst", cache: bool = True):
+    """Build the ANCHOR-FIELD inverted index from inbound-link anchor
+    text → an operators.search.InvertedIndex over (term, target-doc)
+    postings.
+
+    Anchor text is the second classic query-independent web signal after
+    PageRank: the words other pages use to link to a document often
+    describe it better than its own body (the reference engine has no
+    link data at all — its corpus is a flat TSV). Semantics: each edge's
+    anchor tokenizes independently (lowercase, whitespace split — the
+    JVM-expressible simple analyzer, so the whole build is one narrow
+    explode plus two aggregations); a term's tf against a target doc is
+    its TOTAL count across all inbound links, the standard
+    count-weighted anchor model. Duplicate edges contribute duplicate
+    anchors by design (two links are two endorsements).
+
+    Scale shape: identical to the body postings build — explode is
+    narrow, both aggs key on (term, doc_id)/(doc_id), so a mega-indegree
+    page (every crawl has them) spreads across reducers by term instead
+    of hot-spotting one. dl rides in the postings like the body index
+    (no doc_stats join at query time). Score it with
+    search.search_freetext_tokens or blend body+anchor via
+    search.search_fielded."""
+    from ..functions.analyzer import AnalyzerConfig
+    from .search import InvertedIndex
+
+    toks = edges.select(
+        F.col(dst_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(anchor_col), F.lit(""))),
+                        r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    doc_stats = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    postings = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .join(doc_stats, "doc_id")
+    )
+    term_stats = postings.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    if cache:
+        postings = postings.cache()
+        doc_stats = doc_stats.cache()
+        term_stats = term_stats.cache()
+    row = doc_stats.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("total"),
+    ).collect()[0]
+    n, total = row["n"], int(row["total"])
+    stats = {"n_docs": n, "total_len": total,
+             "avgdl": (total / n) if n else 0.0}
+    return InvertedIndex(postings=postings, doc_stats=doc_stats,
+                         term_stats=term_stats, stats=stats,
+                         analyzer=AnalyzerConfig.simple())
+
+
 def pagerank_oracle_parts(n_iter: int = 5, damping: float = 0.85,
                           fanout: int = 3) -> tuple[list[str], str]:
     """(CTE definitions, final rank CTE name) for the unrolled power

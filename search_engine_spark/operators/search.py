@@ -234,6 +234,35 @@ def search_freetext_tokens(index: InvertedIndex, toks: list[str],
     return agg if k is None else topk(agg, k)
 
 
+def search_fielded(body_index: InvertedIndex, anchor_index: InvertedIndex,
+                   toks: list[str], k: int | None = 100,
+                   w_anchor: float = 1.0, model: str = "bm25",
+                   anchor_toks: list[str] | None = None) -> DataFrame:
+    """Multi-field web ranking: body score + ``w_anchor`` × anchor-field
+    score (each field scored under ``model`` against its OWN df/dl/avgdl
+    statistics — the standard fielded retrieval shape, BM25F's simple
+    per-field-then-combine special case).
+
+    Both field frames stay UNRANKED (k=None) and union-sum into one
+    aggregate with a single final top-k — the same single
+    TakeOrderedAndProject discipline as the mixed free-text+phrase
+    path. ``anchor_toks`` lets callers pass differently-analyzed tokens
+    when the two indexes use different analyzers (the anchor field is
+    simple lowercase/whitespace; a full-analyzer body index stems)."""
+    k = effective_k(body_index, k)
+    body = search_freetext_tokens(body_index, toks, k=None, model=model)
+    anch = search_freetext_tokens(
+        anchor_index, anchor_toks if anchor_toks is not None else toks,
+        k=None, model=model)
+    anch = anch.select(
+        "doc_id", (F.col("score") * F.lit(float(w_anchor))).alias("score"))
+    merged = (
+        body.unionByName(anch)
+        .groupBy("doc_id").agg(F.sum("score").alias("score"))
+    )
+    return merged if k is None else topk(merged, k)
+
+
 def blend_doc_prior(scores: DataFrame, prior: DataFrame, lam: float = 0.3,
                     id_col: str = "node", prior_col: str = "rank",
                     default_prior: float = 1e-12) -> DataFrame:

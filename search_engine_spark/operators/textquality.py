@@ -304,3 +304,71 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
                        F.lit(0.0)).alias("top_bigram_frac"),
         )
     )
+
+
+def dedup_lines(docs: DataFrame, min_docs: int = 2,
+                text_col: str = "text") -> DataFrame:
+    """Corpus-level duplicate-line removal (the CCNet/RefinedWeb
+    boilerplate stage): any NON-EMPTY line whose exact string occurs in
+    ``min_docs`` or more DISTINCT documents is deleted from every
+    document, and each text is rebuilt from its surviving lines in the
+    original order. Nav bars, cookie banners, and SEO footers are
+    line-identical across a site's pages, so this one pass removes them
+    corpus-wide without any per-site configuration. Distinct-doc counts
+    (not raw occurrences) mean a line repeated within a single document
+    is NOT boilerplate by this signal — that is repetition_stats' job.
+    Empty lines pass through (they are spacing, and deleting them
+    would rewrite every document).
+
+    → the input columns with ``text_col`` rewritten, plus
+    ``n_lines_dropped`` per doc. The doc set is preserved: a document
+    whose every line is boilerplate comes back with empty text, not
+    dropped (dropping is a policy for the quality filter downstream).
+
+    Scale shape, three key-partitioned shuffles (the minimum for exact
+    corpus-wide line counts): (1) distinct-doc count per line; (2) the
+    lines frame ANTI-joins the boilerplate set — only lines ABOVE the
+    threshold ship to that join's build side, typically orders of
+    magnitude smaller than the distinct-line universe, so AQE broadcasts
+    it for real corpora; (3) rebuild keyed on doc_id. The hottest line
+    ("Home") is one row after the count agg — partial aggregation
+    absorbs the skew map-side."""
+    lines = docs.select(
+        F.col("doc_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("_pos", "_line"),
+    )
+    boiler = (
+        lines.filter(F.col("_line") != "")
+        .groupBy("_line")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= F.lit(int(min_docs)))
+        .select("_line")
+    )
+    kept = lines.join(boiler, "_line", "left_anti")
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("_new_text"),
+            F.count("*").alias("_n_kept"),
+        )
+    )
+    n_lines = lines.groupBy("doc_id").agg(F.count("*").alias("_n_all"))
+    others = [c for c in docs.columns if c != text_col]
+    return (
+        docs.join(rebuilt, "doc_id", "left")
+        .join(n_lines, "doc_id")
+        .select(
+            *others,
+            F.coalesce(F.col("_new_text"), F.lit("")).alias(text_col),
+            (F.col("_n_all") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long").alias("n_lines_dropped"),
+        )
+    )

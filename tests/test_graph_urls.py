@@ -243,3 +243,137 @@ def test_executor_prior_reorders_topk(spark):
                           prior_lam=1000.0).collect()]
     assert set(base) == set(boosted) == {1, 2, 3}
     assert boosted == [2, 3, 1]  # prior order, lexical ties broken by it
+
+
+# ---------------------------------------------- anchor field + fielded
+
+def test_anchor_index_counts(spark):
+    edges = [
+        (1, 10, "Click Here"),
+        (2, 10, "click  here"),   # double space -> still 2 tokens
+        (2, 10, "click here"),    # duplicate edge text counts again
+        (3, 11, "other page"),
+        (4, 11, None),            # NULL anchor contributes nothing
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, anchor string")
+    from search_engine_spark.operators import graph
+
+    aidx = graph.anchor_index(df, cache=False)
+    post = {(r["term"], r["doc_id"]): r["tf"]
+            for r in aidx.postings.collect()}
+    assert post[("click", 10)] == 3 and post[("here", 10)] == 3
+    assert post[("other", 11)] == 1 and post[("page", 11)] == 1
+    dl = {r["doc_id"]: r["dl"] for r in aidx.doc_stats.collect()}
+    assert dl == {10: 6, 11: 2}
+    ts = {r["term"]: (r["df"], r["cf"]) for r in aidx.term_stats.collect()}
+    assert ts["click"] == (1, 3) and ts["other"] == (1, 1)
+    assert aidx.stats["n_docs"] == 2 and aidx.stats["total_len"] == 8
+    assert aidx.stats["avgdl"] == pytest.approx(4.0)
+
+
+def test_search_fielded_is_weighted_sum(spark):
+    from search_engine_spark import engine
+    from search_engine_spark.functions.analyzer import AnalyzerConfig
+    from search_engine_spark.operators import graph
+    from search_engine_spark.operators import search as S
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha"), (3, "gamma delta")],
+        "doc_id long, text string")
+    idx = engine.build_index(docs, AnalyzerConfig.simple(), cache=False)
+    edges = spark.createDataFrame(
+        [(1, 3, "alpha anchor"), (2, 3, "alpha"), (3, 1, "anchor")],
+        "src long, dst long, anchor string")
+    aidx = graph.anchor_index(edges, cache=False)
+    toks = ["alpha", "anchor"]
+    body = {r["doc_id"]: r["score"] for r in
+            S.search_freetext_tokens(idx, toks, k=None).collect()}
+    anch = {r["doc_id"]: r["score"] for r in
+            S.search_freetext_tokens(aidx, toks, k=None).collect()}
+    got = {r["doc_id"]: r["score"] for r in
+           S.search_fielded(idx, aidx, toks, k=100, w_anchor=0.5).collect()}
+    want = {d: body.get(d, 0.0) + 0.5 * anch.get(d, 0.0)
+            for d in set(body) | set(anch)}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+    # doc 3 has no body match for 'anchor' but inbound anchors score it
+    assert 3 in got and anch[3] > 0
+
+
+# ------------------------------------------- connected components / CC
+
+def test_connected_components_basic(spark):
+    # two components {1,2,3,4} (path+extra edge) and {10,11}; self-loop
+    # and duplicate edges are ignored/deduped
+    edges = [(1, 2), (2, 3), (3, 4), (4, 2), (10, 11), (11, 10), (5, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in graph.connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    graph.release_caches()
+
+
+def test_connected_components_transitive_chain(spark):
+    # a chain needs diameter rounds — exactly the shape the max_iter
+    # guard protects; 12 hops converges well within 50
+    edges = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in graph.connected_components(df).collect()}
+    assert set(got.values()) == {0}
+    graph.release_caches()
+
+
+def test_connected_components_max_iter_guard(spark):
+    edges = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="converge"):
+        graph.connected_components(df, max_iter=2)
+    graph.release_caches()
+
+
+def test_dup_clusters_transitive_rep(spark):
+    # A~B and B~C but never A~C: all three must collapse to min-id A
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 9)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["rep"] for r in graph.dup_clusters(pairs).collect()}
+    assert got == {3: 3, 7: 3, 9: 3}
+    graph.release_caches()
+
+
+def test_connected_components_matches_recursive_oracle(spark):
+    import duckdb as _dd
+
+    docs = spark.range(0, 90).select(F.col("id").alias("doc_id"))
+    a = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") % 40).alias("dst"))
+    b = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * F.col("doc_id")) % 35).alias("dst"))
+    got = {(r["node"], r["component"]) for r in
+           graph.connected_components(a.unionByName(b)).collect()}
+    con = _dd.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT range AS doc_id FROM range(90)")
+    want = set(con.execute("""
+        WITH RECURSIVE p AS (
+            SELECT doc_id AS doc_a, doc_id % 40 AS doc_b
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, (doc_id * doc_id) % 35
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        e AS (
+            SELECT doc_a AS a, doc_b AS b FROM p WHERE doc_a <> doc_b
+            UNION SELECT doc_b, doc_a FROM p WHERE doc_a <> doc_b
+        ),
+        reach(node, lab) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM e)
+            UNION
+            SELECT e.a, reach.lab FROM e JOIN reach ON e.b = reach.node
+        )
+        SELECT node, MIN(lab) FROM reach GROUP BY node
+    """).fetchall())
+    assert got == want
+    graph.release_caches()

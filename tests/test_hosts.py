@@ -135,3 +135,61 @@ def test_curate_domain_block_requires_url_column(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         curation.curate(df, blocked_domains=["x.com"])
+
+
+# --------------------------------------- corpus-level line dedup (CCNet)
+
+def test_dedup_lines_hand_computed(spark):
+    from search_engine_spark.operators.textquality import dedup_lines
+
+    nav = "home | products | contact"
+    rows = [
+        (1, f"{nav}\nunique one\n\n{nav}"),     # nav twice + empty line
+        (2, f"{nav}\nunique two"),
+        (3, "unique three\nunique three"),       # within-doc repeat stays
+        (4, nav),                                # all boilerplate -> ""
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines_dropped"])
+           for r in dedup_lines(df, min_docs=2).collect()}
+    assert got[1] == ("unique one\n", 2)   # empty line preserved
+    assert got[2] == ("unique two", 1)
+    assert got[3] == ("unique three\nunique three", 0)
+    assert got[4] == ("", 1)
+
+
+def test_dedup_lines_threshold_and_columns(spark):
+    from search_engine_spark.operators.textquality import dedup_lines
+
+    rows = [(1, "x\ny", "s0"), (2, "x\nz", "s1"), (3, "x", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dedup_lines(df, min_docs=3)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    # "x" is in 3 docs -> dropped at min_docs=3; y/z stay
+    assert got == {1: "y", 2: "z", 3: ""}
+    assert set(out.columns) == {"doc_id", "source", "text",
+                                "n_lines_dropped"}
+
+
+def test_curate_dedup_lines_stage(spark):
+    from search_engine_spark.operators import curation
+
+    filler = "the quick brown fox jumps over the lazy dog again"
+    nav = "home products contact about team careers press legal"
+    rows = [
+        (1, f"{nav}\n{filler} one"),
+        (2, f"{nav}\n{filler} two"),
+        (3, f"{nav}"),   # becomes empty -> dropped by min_tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, funnel = curation.curate(
+        df, languages=None, min_tokens=5, dedup_line_min_docs=2)
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {1, 2}
+    stages = [f["stage"] for f in funnel]
+    assert "dedup_lines" in stages
+    by = {f["stage"]: f["rows"] for f in funnel}
+    assert by["dedup_lines"] == 3 and by["quality"] == 2
+    # the surviving texts are boilerplate-free
+    texts = {r["text"] for r in out.select("text").collect()}
+    assert all(nav not in t for t in texts)
+    curation.release_caches()

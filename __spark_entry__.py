@@ -580,6 +580,28 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusstats.top_ngrams(_docs(spark, sf_dir), n=2, k=50)
 
 
+def q_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pre-tokenizer counts (textquality.bpe_pretoken_count): the
+    GPT-style regex pre-token count per doc, shared pattern constant
+    generating both engines' expressions."""
+    from search_engine_spark.operators import textquality
+
+    return textquality.bpe_pretoken_count(_docs(spark, sf_dir))
+
+
+def q_snippets_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERP snippets for the BM25 top-20: ±60-char window around the
+    first query-term hit, ellipsized (search.snippets); window math
+    mirrored in SQL via strpos/substr."""
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    scored = S._scored_frame(idx, _BM25_QUERY_TERMS, "bm25")
+    agg = scored.groupBy("doc_id").agg(
+        F.round(F.sum("weight"), 4).alias("score"))
+    hits = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    return S.snippets(hits, docs, _BM25_QUERY_TERMS, width=60)
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-level duplicate-line removal: lines occurring
     in >=2 distinct docs are deleted everywhere, texts rebuilt in
@@ -682,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_bm25_topk": q_anchor_bm25_topk,
         "dup_components": q_dup_components,
         "dedup_lines": q_dedup_lines,
+        "bpe_pretokens": q_bpe_pretokens,
+        "snippets_topk": q_snippets_topk,
     }
 
 
@@ -1278,7 +1302,61 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
             FROM documents d JOIN tot USING (doc_id)
             LEFT JOIN reb USING (doc_id)
         """,
+        # generated from textquality.BPE_PRETOKEN_RE — one pattern,
+        # both engines
+        "bpe_pretokens": _bpe_pretokens_sql(),
+        # mirrors q_snippets_topk: bm25 top-20 + strpos/substr window
+        "snippets_topk": _snippets_sql(bm25_terms),
     }
+
+
+def _bpe_pretokens_sql() -> str:
+    from search_engine_spark.operators.textquality import (
+        bpe_pretoken_oracle_sql)
+
+    return bpe_pretoken_oracle_sql()
+
+
+def _snippets_sql(bm25_terms: str) -> str:
+    width = 60
+    pos_list = ", ".join(
+        f"strpos(lt, '{t}')" for t in _BM25_QUERY_TERMS)
+    return f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        q(term) AS (VALUES {bm25_terms}),
+        w AS (
+            SELECT tf.doc_id,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        ),
+        hits AS (SELECT doc_id, ROUND(SUM(wt), 4) AS score
+                 FROM w GROUP BY doc_id
+                 ORDER BY score DESC, doc_id ASC LIMIT 20),
+        win AS (
+            SELECT h.doc_id, h.score, COALESCE(d.text, '') AS text,
+                   GREATEST(COALESCE(
+                       list_aggregate(list_filter([{pos_list}],
+                                                  p -> p > 0), 'min'),
+                       1) - {width}, 1) AS st
+            FROM hits h JOIN (SELECT doc_id,
+                                     COALESCE(text, '') AS text,
+                                     lower(COALESCE(text, '')) AS lt
+                              FROM documents) d USING (doc_id)
+        )
+        SELECT doc_id, score,
+               (CASE WHEN st > 1 THEN '…' ELSE '' END)
+               || substr(text, st, {2 * width})
+               || (CASE WHEN st + {2 * width} <= length(text)
+                   THEN '…' ELSE '' END) AS snippet
+        FROM win
+    """
 
 
 def _anchor_bm25_sql() -> str:

@@ -79,7 +79,8 @@ def create_server(index, port: int = 0, spellchecker=None,
     MAX_K = 10_000
 
     def run_query(query: str, k: int, model: str, ds, de,
-                  first_execution: bool, use_wand: bool) -> dict:
+                  first_execution: bool, use_wand: bool,
+                  want_snippets: bool = False) -> dict:
         t0 = time.perf_counter()
         if not 1 <= k <= MAX_K:
             # negative k raises deep inside Spark's limit() (a 500), and
@@ -137,9 +138,28 @@ def create_server(index, port: int = 0, spellchecker=None,
                                       date_start=ds, date_end=de,
                                       prior=prior, prior_lam=prior_lam)
                 hits = [(r.doc_id, r.score) for r in df.collect()]
+        snips: dict[int, str] = {}
+        if want_snippets and hits:
+            if index.documents is None:
+                raise ValueError(
+                    "snippets=1 requires the server to be started with "
+                    "--documents (no corpus table to window into)")
+            import re as _re
+
+            from search_engine_spark.operators import search as _S
+
+            terms = _re.findall(r"[a-z0-9]+", executed.lower())
+            with lock:
+                sdf = index.documents.sparkSession.createDataFrame(
+                    [(int(d), float(s)) for d, s in hits],
+                    "doc_id long, score double")
+                snips = {r["doc_id"]: r["snippet"] for r in
+                         _S.snippets(sdf, index.documents, terms).collect()}
         return {
             "results": [
-                {"rank": i, "doc_id": int(d), "score": float(s)}
+                {"rank": i, "doc_id": int(d), "score": float(s),
+                 **({"snippet": snips.get(int(d), "")}
+                    if want_snippets else {})}
                 for i, (d, s) in enumerate(hits, 1)
             ],
             "number_of_results": len(hits),
@@ -199,7 +219,8 @@ def create_server(index, port: int = 0, spellchecker=None,
                         _parse_date(q.get("date_start", [None])[0]),
                         _parse_date(q.get("date_end", [None])[0]),
                         first_execution=True,
-                        use_wand=q.get("wand", ["0"])[0] == "1"))
+                        use_wand=q.get("wand", ["0"])[0] == "1",
+                        want_snippets=q.get("snippets", ["0"])[0] == "1"))
                 elif parts[0] == "rerun_query" and len(parts) == 4:
                     self._json(200, run_query(
                         unquote(parts[1]), 100, "bm25",

@@ -438,6 +438,37 @@ def hydrate(topk_df: DataFrame, documents: DataFrame) -> DataFrame:
     )
 
 
+def snippets(topk_df: DataFrame, documents: DataFrame, terms: list[str],
+             width: int = 60, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, score, snippet): the SERP text fragment for each hit —
+    a ±``width``-character window around the FIRST occurrence of any
+    query term (case-insensitive; the earliest position across terms
+    wins), ellipsized at whichever ends were cut; documents matching no
+    term verbatim (stemming, phrase operands) fall back to the leading
+    2·width characters. Same broadcast-hits shape as hydrate(): the
+    top-k side is k rows, the documents scan prunes through the join,
+    and the window math is a narrow JVM projection — per-query cost is
+    O(k) document rows regardless of corpus size."""
+    joined = F.broadcast(topk_df).join(documents, "doc_id")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lt = F.lower(text)
+    pos = F.array_min(
+        F.filter(
+            F.array(*[F.locate(t.lower(), lt) for t in terms]),
+            lambda p: p > 0,
+        )
+    )
+    start = F.greatest(F.coalesce(pos, F.lit(1)) - width, F.lit(1))
+    core = text.substr(start, F.lit(2 * width))
+    lead = F.when(start > 1, F.lit("…")).otherwise(F.lit(""))
+    trail = F.when(start + 2 * width <= F.length(text),
+                   F.lit("…")).otherwise(F.lit(""))
+    return joined.select(
+        "doc_id", "score",
+        F.concat(lead, core, trail).alias("snippet"),
+    )
+
+
 def compare_runs(run_a: DataFrame, run_b: DataFrame,
                  id_col: str = "doc_id") -> dict:
     """Compare two ranked (doc_id, score) runs — the reference's results

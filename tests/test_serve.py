@@ -199,3 +199,15 @@ def test_prior_blend_through_results(spark, corpus_sdf, tmp_path):
         assert set(got) == set(base)
     finally:
         srv.shutdown()
+
+
+def test_snippets_through_results(server):
+    status, body = _get(server + "/results?query=market&k=3&snippets=1")
+    assert status == 200
+    assert body["results"]
+    for hit in body["results"]:
+        assert "snippet" in hit
+        assert "market" in hit["snippet"].lower().replace("…", "")
+    # without the flag, no snippet key
+    status, body = _get(server + "/results?query=market&k=3")
+    assert "snippet" not in body["results"][0]

@@ -656,6 +656,74 @@ def q_anchor_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
 
 
+def q_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete from the index vocabulary (serp.autocomplete):
+    top-20 's'-prefixed terms by collection frequency, cf desc / term
+    asc — the completion surface next to the reference's vocabulary
+    spellchecker."""
+    from search_engine_spark.operators import serp
+
+    idx = engine.build_index(_docs(spark, sf_dir), SIMPLE,
+                             positional=False, cache=False)
+    return serp.autocomplete(idx.term_stats, "s", k=20)
+
+
+def q_host_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-collapsed SERP (serp.diversify_by_host): BM25 top-50 with at
+    most 2 results per host over the synthetic URL table — one window
+    keyed on host, then a single global top-k."""
+    from search_engine_spark.operators import hosts, serp
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    scored = S._scored_frame(idx, _BM25_QUERY_TERMS, "bm25")
+    agg = scored.groupBy("doc_id").agg(
+        F.round(F.sum("weight"), 4).alias("score"))
+    doc_hosts = _synth_urls(spark, sf_dir).select(
+        "doc_id", hosts.host_of(F.col("url")).alias("host"))
+    return serp.diversify_by_host(agg, doc_hosts, per_host=2, k=50)
+
+
+def q_facet_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet histogram (serp.facet_counts): language counts over the
+    'spark' match set — the SERP sidebar aggregation, one join + one
+    group-agg."""
+    from search_engine_spark.operators import serp
+
+    docs = _docs(spark, sf_dir)
+    post = P.build_postings(docs, SIMPLE, positional=False)
+    hits = post.filter(F.col("term") == "spark").select("doc_id")
+    return serp.facet_counts(hits, docs, "lang")
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc tf-idf keyword annotation (corpusstats.doc_keywords):
+    top-3 terms per doc by tf·ln(N/df), per-doc-local window rank (no
+    global sort)."""
+    from search_engine_spark.operators import corpusstats
+
+    idx = engine.build_index(_docs(spark, sf_dir), SIMPLE,
+                             positional=False, cache=False)
+    return corpusstats.doc_keywords(
+        idx.postings.select("term", "doc_id", "tf"), idx.term_stats,
+        idx.stats["n_docs"], m=3)
+
+
+def q_top_bigrams_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory/bounded-shuffle heavy hitters
+    (corpusstats.top_ngrams_approx) in its provably-exact regime
+    (capacity ≥ any partition's distinct grams → err = 0): hash-gated
+    against the SAME oracle as the exact operator, while the tight-
+    capacity eviction regime is property-gated in pytest."""
+    from search_engine_spark.operators import corpusstats
+
+    out = corpusstats.top_ngrams_approx(
+        _docs(spark, sf_dir), n=2, k=50, capacity=400_000)
+    rows = out.select("gram", "cnt").collect()  # materialize, then drop
+    corpusstats.release_caches()                # the summary cache
+    return spark.createDataFrame(rows, "gram string, cnt long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_doc_tf": q_term_doc_tf,
@@ -706,6 +774,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "bpe_pretokens": q_bpe_pretokens,
         "snippets_topk": q_snippets_topk,
+        "autocomplete": q_autocomplete,
+        "host_diversified_topk": q_host_diversified_topk,
+        "facet_lang_counts": q_facet_lang_counts,
+        "doc_keywords": q_doc_keywords,
+        "top_bigrams_approx": q_top_bigrams_approx,
     }
 
 
@@ -1307,7 +1380,64 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
         "bpe_pretokens": _bpe_pretokens_sql(),
         # mirrors q_snippets_topk: bm25 top-20 + strpos/substr window
         "snippets_topk": _snippets_sql(bm25_terms),
+        "autocomplete": f"""
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
+            FROM ({_TOK}) WHERE term LIKE 's%'
+            GROUP BY term ORDER BY cf DESC, term ASC LIMIT 20
+        """,
+        "host_diversified_topk": _host_diversified_sql(bm25_terms),
+        "facet_lang_counts": f"""
+            WITH tok AS ({_TOK}),
+            hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+            SELECT d.lang, COUNT(*) AS cnt
+            FROM hits h JOIN documents d USING (doc_id)
+            WHERE d.lang IS NOT NULL
+            GROUP BY d.lang ORDER BY cnt DESC, lang ASC
+        """,
+        "doc_keywords": _doc_keywords_sql(),
+        # the approx operator's exact regime (err = 0) must equal the
+        # exact operator — so it shares the exact oracle verbatim
+        "top_bigrams_approx": _top_bigrams_sql(),
     }
+
+
+def _host_diversified_sql(bm25_terms: str) -> str:
+    from search_engine_spark.operators.hosts import oracle_host_sql
+
+    return f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        q(term) AS (VALUES {bm25_terms}),
+        w AS (
+            SELECT tf.doc_id,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        ),
+        scored AS (SELECT doc_id, ROUND(SUM(wt), 4) AS score
+                   FROM w GROUP BY doc_id),
+        u AS ({_SYNTH_URL_SQL}),
+        dh AS (SELECT doc_id, {oracle_host_sql("url")} AS host FROM u),
+        j AS (SELECT s.doc_id, s.score, dh.host
+              FROM scored s JOIN dh USING (doc_id)),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+                  ORDER BY score DESC, doc_id ASC) AS rn FROM j)
+        SELECT doc_id, score, host FROM r WHERE rn <= 2
+        ORDER BY score DESC, doc_id ASC LIMIT 50
+    """
+
+
+def _doc_keywords_sql() -> str:
+    from search_engine_spark.operators.corpusstats import (
+        doc_keywords_oracle_sql)
+
+    return doc_keywords_oracle_sql(
+        n_docs_sql="SELECT COUNT(*) FROM documents", m=3, tok_sql=_TOK)
 
 
 def _bpe_pretokens_sql() -> str:

@@ -25,8 +25,24 @@ promises.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import re
+from collections import Counter
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ._cache import PersistRegistry
+
+_registry = PersistRegistry()
+
+
+def release_caches() -> None:
+    """Unpersist the module's cached summary frames (top_ngrams_approx).
+    Each entry point drains before caching anew, so the registry holds
+    at most one small frame between calls."""
+    _registry.drain()
 
 
 def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20,
@@ -78,4 +94,172 @@ def top_ngrams_oracle_sql(n: int = 2, k: int = 20,
         SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM g GROUP BY gram
         ORDER BY cnt DESC, gram LIMIT {k}
+    """
+
+
+#: exact Java-regex \s class (ASCII) — the Python twin of the JVM
+#: split(lower(text), r"\s+") that top_ngrams uses (same constant as
+#: textquality's Arrow pass; Python's bare \s would also split Unicode
+#: whitespace and break gram parity with the exact path)
+_WS = re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def top_ngrams_approx(docs: DataFrame, n: int = 2, k: int = 20,
+                      capacity: int = 4096,
+                      text_col: str = "text") -> DataFrame:
+    """Approximate n-gram heavy hitters with BOUNDED per-task memory and
+    BOUNDED shuffle — the 100 TB path next to top_ngrams' exact form.
+
+    → (gram, cnt, err): ``cnt`` is a LOWER bound on the gram's true
+    corpus count, and ``cnt + err`` an upper bound, where ``err`` is the
+    summed eviction watermark of every input partition (a gram absent
+    from a partition's summary can have occurred at most that
+    partition's watermark times there). Ordered by (cnt desc, gram asc),
+    top ``k``.
+
+    Why it exists: the exact form's group-agg must shuffle one row per
+    DISTINCT gram per map partition — on web text the gram tail is huge
+    (most n-grams are unique), so at 100 TB that exchange carries nearly
+    the whole tokenized corpus. This operator caps both sides: each task
+    keeps a Counter of at most 8×``capacity`` entries (evicting down to
+    ``capacity`` by (count desc, gram asc) and recording the largest
+    evicted count as its watermark) and ships exactly ``capacity`` rows
+    into the final agg. Any gram with true frequency > Σ watermarks is
+    GUARANTEED to surface with cnt ≥ true − Σ watermarks (the classic
+    lossy-counting argument); Zipf heads clear that bar by orders of
+    magnitude, and the caller can verify from the emitted err whether
+    the top-k order is provably exact (gap between ranks > err).
+
+    Determinism: counting is exact per partition; eviction points depend
+    only on the input partitioning and Arrow batch size, both fixed for
+    a given input + session config. With ``capacity`` ≥ the distinct
+    grams of every partition, no eviction happens, err = 0, and the
+    result equals top_ngrams exactly (pytest-gated).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if capacity < k:
+        raise ValueError(f"capacity must be >= k: {capacity} < {k}")
+    watermark_len = 8 * capacity
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: Counter = Counter()
+        err = 0
+
+        def evict_to(keep: int) -> int:
+            nonlocal err
+            if len(counts) <= keep:
+                return err
+            kept = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            dropped_max = max(c for _, c in kept[keep:])
+            err = max(err, dropped_max)
+            counts.clear()
+            counts.update(dict(kept[:keep]))
+            return err
+
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if not text:
+                    continue
+                toks = [t for t in _WS.split(text.lower()) if t]
+                if len(toks) < n:
+                    continue
+                counts.update(
+                    " ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+            if len(counts) > watermark_len:
+                evict_to(capacity)
+        evict_to(capacity)
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        yield pd.DataFrame(
+            {"gram": [g for g, _ in top],
+             "cnt": pd.Series([c for _, c in top], dtype="int64"),
+             "err": pd.Series([err] * len(top), dtype="int64")}
+        )
+
+    # the summary frame feeds TWO aggregates (per-gram counts + the
+    # global Σ-watermark bound), so cache it for the query's lifetime —
+    # it holds ≤ capacity rows per task, tiny by construction. Drained
+    # on the next call / release_caches(), the module-registry idiom
+    # shared with operators.dedup.
+    _registry.drain()
+    summaries = docs.select(text_col).mapInPandas(
+        summarize, "gram string, cnt long, err long"
+    ).cache()
+    _registry.add(summaries)
+    merged = summaries.groupBy("gram").agg(F.sum("cnt").alias("cnt"))
+    # every row of a task repeats that task's watermark — recover one
+    # value per task via spark_partition_id (mapInPandas is 1:1 with its
+    # input partitions), then Σ over tasks = the global undercount bound
+    bound = (
+        summaries.select(F.spark_partition_id().alias("_p"), "err")
+        .groupBy("_p").agg(F.max("err").alias("_w"))
+        .groupBy().agg(F.coalesce(F.sum("_w"), F.lit(0)).alias("err"))
+    )
+    return (
+        merged.crossJoin(F.broadcast(bound))
+        .select("gram", "cnt", "err")
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def doc_keywords(postings: DataFrame, term_stats: DataFrame, n_docs: int,
+                 m: int = 5) -> DataFrame:
+    """Per-document tf-idf keyword extraction: the ``m`` highest-scoring
+    terms of every doc, score = tf × ln(n_docs / df), rounded to 6 dp.
+
+    → (doc_id, term, tfidf), ties by term ascending. The canonical
+    corpus-annotation op (tag docs with their salient vocabulary for
+    curation / clustering / eval slicing); the reference computes tf·idf
+    weights only transiently inside VSM scoring (vector_space_model.py),
+    never as a per-doc annotation.
+
+    Plan shape: one join postings⋈term_stats on term (AQE broadcasts
+    term_stats when the vocabulary is small; sort-merge otherwise — both
+    sides partial-agg nothing, it is a straight enrich), then one window
+    rank partitioned by doc_id — billions of small partitions, the
+    window's sort is per-doc-local and never global. ln(n_docs/df) ≥ 0
+    with equality on corpus-universal terms, which therefore rank last
+    (kept: determinism beats cleverness; stopwords are already out of
+    the postings when the full analyzer built them).
+    """
+    if n_docs < 1:
+        raise ValueError(f"n_docs must be >= 1: {n_docs}")
+    if m < 1:
+        raise ValueError(f"m must be >= 1: {m}")
+    scored = postings.select("term", "doc_id", "tf").join(
+        term_stats.select("term", "df"), "term"
+    ).select(
+        "doc_id", "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+        .alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= m)
+        .drop("_r")
+    )
+
+
+def doc_keywords_oracle_sql(n_docs_sql: str, m: int = 5,
+                            tok_sql: str | None = None) -> str:
+    """DuckDB oracle for doc_keywords() — ``tok_sql`` must yield
+    (term, doc_id) one row per token occurrence (the caller's tokenizer
+    contract), ``n_docs_sql`` a scalar subquery for the corpus size."""
+    return f"""
+        WITH tf AS (SELECT term, doc_id, COUNT(*) AS tf
+                    FROM ({tok_sql}) GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        s AS (SELECT tf.doc_id, tf.term,
+                     ROUND(tf.tf * LN(({n_docs_sql}) * 1.0 / df.df), 6)
+                     AS tfidf
+              FROM tf JOIN df USING (term)),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term ASC) AS rn FROM s)
+        SELECT doc_id, term, tfidf FROM r WHERE rn <= {m}
     """

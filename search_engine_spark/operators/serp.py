@@ -1,0 +1,114 @@
+"""SERP-composition operators: host diversification, facet counts, and
+prefix autocomplete.
+
+These are the result-page operators every production web engine layers on
+top of raw ranked retrieval. The reference engine returns the raw ranked
+list (search/retrieval/retrieval_algorithm.py hands views.py the top-k
+as-is) — it has no URL column, so host-level collapsing is impossible
+there; this module exists because a web-scale corpus makes it mandatory
+(one host can dominate a SERP with near-identical pages) rather than as
+a port.
+
+Plan shapes (all JVM, no UDFs):
+- diversify_by_host: one shuffle keyed on host (window rank, partial
+  top-per-host) → global TakeOrderedAndProject. Host cardinality is
+  ~n_docs/pages-per-host (high), so the window partitions are small and
+  skew is bounded by the hottest host's candidate count — and the input
+  is a scored CANDIDATE set (already df-bounded by retrieval), never the
+  raw corpus.
+- facet_counts: one join (facet side pruned to (doc_id, facet)) + one
+  group-agg on the facet value; both sides partial-agg before the
+  exchange. AQE broadcasts the hit set when it is small (the common
+  case: a query's match set ≪ corpus).
+- autocomplete: a prefix filter on the term-stats table + one global
+  top-k (TakeOrderedAndProject). ``term LIKE 'prefix%'`` compiles to
+  StringStartsWith, which parquet pushes to row-group min/max stats —
+  against the term-sorted segment-store stats files the scan prunes to
+  the row groups that can contain the prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def diversify_by_host(scored: DataFrame, doc_hosts: DataFrame,
+                      per_host: int = 2, k: int | None = None,
+                      id_col: str = "doc_id", score_col: str = "score",
+                      host_col: str = "host") -> DataFrame:
+    """Collapse a scored candidate set to at most ``per_host`` results
+    per host, then take the global top ``k``.
+
+    → (doc_id, score, host), ordered by (score desc, doc_id asc).
+    Ties inside a host break by doc_id ascending (deterministic), so the
+    kept representatives are stable across runs. Docs missing from
+    ``doc_hosts`` are dropped — an unknown-host doc cannot be collapsed
+    against anything, and in a web corpus every doc has a URL.
+    """
+    if per_host < 1:
+        raise ValueError(f"per_host must be >= 1: {per_host}")
+    if k is not None and k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    joined = scored.select(id_col, score_col).join(
+        doc_hosts.select(id_col, host_col), id_col
+    )
+    w = Window.partitionBy(host_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    kept = (
+        joined.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= per_host)
+        .drop("_r")
+    )
+    out = kept.orderBy(F.desc(score_col), F.asc(id_col))
+    return out.limit(k) if k is not None else out
+
+
+def facet_counts(hits: DataFrame, facets: DataFrame, facet_col: str,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Facet histogram over a query's match set: → (facet value, cnt),
+    ordered by (cnt desc, value asc).
+
+    ``hits`` is a (doc_id) match set (duplicates collapsed — a doc
+    counts once per facet no matter how many query terms hit it);
+    ``facets`` maps doc_id → the facet column (lang, host, source, a
+    date bucket, ...). NULL facet values count under NULL's own bucket
+    is NOT emitted — a doc without the attribute is outside the
+    histogram's domain, matching SQL GROUP BY over an inner join.
+    """
+    dedup = hits.select(id_col).dropDuplicates([id_col])
+    joined = dedup.join(
+        facets.select(id_col, facet_col).filter(F.col(facet_col).isNotNull()),
+        id_col,
+    )
+    return (
+        joined.groupBy(facet_col)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(facet_col))
+    )
+
+
+def autocomplete(term_stats: DataFrame, prefix: str, k: int = 10) -> DataFrame:
+    """Prefix completion from the index vocabulary: the ``k`` terms
+    starting with ``prefix`` with the highest collection frequency
+    (cf desc, term asc — deterministic). → (term, cf).
+
+    The reference has no completion endpoint; its spellchecker's
+    vocabulary (helpers.py builds it from the index) is the same data
+    this reads, so completion is the natural companion surface. The
+    prefix must be non-empty lowercase (the analyzer lowercases every
+    indexed term, so a mixed-case prefix could never match).
+    """
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    if prefix != prefix.lower():
+        raise ValueError(f"prefix must be lowercase (terms are): {prefix!r}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    return (
+        term_stats.filter(F.col("term").startswith(prefix))
+        .select("term", "cf")
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(k)
+    )

@@ -1,4 +1,5 @@
-"""Tests for operators.corpusstats.top_ngrams and its oracle."""
+"""Tests for operators.corpusstats: exact + approximate n-gram heavy
+hitters, per-doc tf-idf keywords, and their oracles."""
 
 import duckdb
 import pytest
@@ -55,3 +56,83 @@ def test_top_ngrams_oracle_parity(spark):
     want = con.execute(
         corpusstats.top_ngrams_oracle_sql(n=3, k=5)).fetchall()
     assert got == want
+
+
+def test_top_ngrams_approx_exact_regime(spark, corpus_sdf):
+    """With capacity >> distinct grams per partition: err == 0 and the
+    result equals the exact operator gram-for-gram."""
+    exact = [(r["gram"], r["cnt"]) for r in
+             corpusstats.top_ngrams(corpus_sdf, n=2, k=25).collect()]
+    rows = corpusstats.top_ngrams_approx(
+        corpus_sdf, n=2, k=25, capacity=200_000).collect()
+    corpusstats.release_caches()
+    assert all(r["err"] == 0 for r in rows)
+    assert [(r["gram"], r["cnt"]) for r in rows] == exact
+
+
+def test_top_ngrams_approx_heavy_hitters_survive_eviction(spark):
+    """Planted Zipf head under a tight capacity: the heavy grams
+    surface with cnt >= true - err (lossy-counting guarantee), and the
+    emitted bound is honest (cnt <= true <= cnt + err)."""
+    # 40 docs of pure noise-grams (all unique) + 30 docs repeating the
+    # same two heavy bigrams
+    noise = [(i, f"n{i}a n{i}b n{i}c n{i}d n{i}e n{i}f") for i in range(40)]
+    heavy = [(100 + i, "hot pair hot pair hot pair") for i in range(30)]
+    df = spark.createDataFrame(noise + heavy, "doc_id long, text string") \
+        .repartition(4)
+    true = {r["gram"]: r["cnt"] for r in
+            corpusstats.top_ngrams(df, n=2, k=3).collect()}
+    rows = corpusstats.top_ngrams_approx(df, n=2, k=3, capacity=8).collect()
+    corpusstats.release_caches()
+    got = {r["gram"]: (r["cnt"], r["err"]) for r in rows}
+    for gram in ("hot pair", "pair hot"):
+        assert gram in got, f"heavy hitter {gram} evicted"
+        cnt, err = got[gram]
+        assert cnt <= true[gram] <= cnt + err
+
+
+def test_top_ngrams_approx_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        corpusstats.top_ngrams_approx(df, n=0)
+    with pytest.raises(ValueError):
+        corpusstats.top_ngrams_approx(df, k=0)
+    with pytest.raises(ValueError):
+        corpusstats.top_ngrams_approx(df, k=10, capacity=5)
+
+
+def test_doc_keywords_hand_computed(spark):
+    import math
+
+    from search_engine_spark.functions.analyzer import AnalyzerConfig
+    from search_engine_spark.operators import postings as P
+
+    rows = [
+        (1, "apple apple banana cherry"),
+        (2, "banana cherry cherry"),
+        (3, "cherry date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    conf = AnalyzerConfig.simple()
+    post = P.build_postings(df, conf, positional=False)
+    stats = P.term_stats(post)
+    out = corpusstats.doc_keywords(post, stats, n_docs=3, m=2).collect()
+    got = {(r["doc_id"], r["term"]): r["tfidf"] for r in out}
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert got[(1, "apple")] == round(2 * math.log(3.0), 6)
+    assert got[(1, "banana")] == round(math.log(1.5), 6)
+    # doc 3: date tf=1 df=1 -> ln(3); cherry tf=1 df=3 -> ln(1)=0 kept
+    assert got[(3, "date")] == round(math.log(3.0), 6)
+    assert got[(3, "cherry")] == 0.0
+    # m=2 cap per doc
+    from collections import Counter
+
+    per_doc = Counter(d for d, _ in got)
+    assert set(per_doc.values()) == {2}
+
+
+def test_doc_keywords_validation(spark):
+    with pytest.raises(ValueError):
+        corpusstats.doc_keywords(None, None, n_docs=0)
+    with pytest.raises(ValueError):
+        corpusstats.doc_keywords(None, None, n_docs=1, m=0)

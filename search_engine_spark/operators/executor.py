@@ -38,7 +38,7 @@ def date_candidates(documents: DataFrame, start: date, end: date,
     return documents.filter(cond).select("doc_id")
 
 
-def execute(index: InvertedIndex, query: str, k: int = 100,
+def execute(index: InvertedIndex, query: str, k: int | None = 100,
             model: str = "bm25", date_start: date | None = None,
             date_end: date | None = None, adaptive: bool = False,
             spellchecker=None, symbols: frozenset[str] = frozenset(),
@@ -120,7 +120,8 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
             if prior is not None:
                 scored = search_mod.blend_doc_prior(scored, prior,
                                                     lam=prior_lam)
-            scored = search_mod.topk(scored, k)
+            if k is not None:
+                scored = search_mod.topk(scored, k)
             # cache before the emptiness probe: the probe executes the
             # scoring pipeline, and the caller's collect would otherwise
             # recompute it end-to-end (released by the NEXT execute())
@@ -159,4 +160,7 @@ def execute(index: InvertedIndex, query: str, k: int = 100,
         merged = merged.groupBy("doc_id").agg(F.sum("score").alias("score"))
     if prior is not None:
         merged = search_mod.blend_doc_prior(merged, prior, lam=prior_lam)
-    return topk(merged, k)
+    # k=None → the FULL scored frame (df-bounded, never corpus-scale),
+    # unsorted: a global sort without a limit is a scale hazard, and the
+    # k=None callers (SERP diversification) re-rank downstream anyway
+    return merged if k is None else topk(merged, k)

@@ -6,9 +6,19 @@ Endpoint parity (reference search/retrieval/urls.py:8-11, views.py):
     GET /                                        → liveness/info
     GET /results?query=...[&date_start=YYYY-MM-DD&date_end=...]
                 [&model=bm25|bm25-reference|vsm|lm-dirichlet|lm-pyp]
-                [&k=100][&wand=1]                → first-execution path
+                [&k=100][&wand=1][&snippets=1]
+                [&collapse_host=N]               → first-execution path
                                                    (spellcheck ON,
-                                                   views.py:27-97)
+                                                   views.py:27-97;
+                                                   collapse_host caps
+                                                   results per host —
+                                                   needs --documents
+                                                   with a url column,
+                                                   relational path only)
+    GET /complete?prefix=...[&k=10]              → vocabulary prefix
+                                                   autocomplete (no
+                                                   reference analogue;
+                                                   serp.autocomplete)
     GET /rerun_query/<query>/<date_start>/<date_end>
                                                  → rerun path (spellcheck
                                                    SKIPPED, views.py:99-138;
@@ -77,10 +87,24 @@ def create_server(index, port: int = 0, spellchecker=None,
     lock = threading.Lock()
 
     MAX_K = 10_000
+    MAX_PER_HOST = 100
+    MAX_COMPLETIONS = 100
+
+    # host table for SERP diversification (collapse_host=N): derivable
+    # only when the corpus table ships URLs (the input_hint shape)
+    doc_hosts = None
+    if index.documents is not None and "url" in index.documents.columns:
+        from pyspark.sql import functions as F
+
+        from search_engine_spark.operators import hosts as _hosts
+
+        doc_hosts = index.documents.select(
+            "doc_id", _hosts.host_of(F.col("url")).alias("host"))
 
     def run_query(query: str, k: int, model: str, ds, de,
                   first_execution: bool, use_wand: bool,
-                  want_snippets: bool = False) -> dict:
+                  want_snippets: bool = False,
+                  collapse_host: int = 0) -> dict:
         t0 = time.perf_counter()
         if not 1 <= k <= MAX_K:
             # negative k raises deep inside Spark's limit() (a 500), and
@@ -88,6 +112,21 @@ def create_server(index, port: int = 0, spellchecker=None,
             # through the serving lock — reject as a 400 like the
             # wand/date and half-open-range checks
             raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
+        if collapse_host:
+            if not 1 <= collapse_host <= MAX_PER_HOST:
+                raise ValueError(
+                    f"collapse_host must be in [1, {MAX_PER_HOST}], "
+                    f"got {collapse_host}")
+            if use_wand:
+                # the WAND kernel returns a driver-side bounded heap of
+                # exactly k; diversifying after the cut would UNDER-fill
+                # the page — route through the relational path, whose
+                # full df-bounded ranking the collapse can draw from
+                raise ValueError(
+                    "collapse_host requires the relational path (wand=0)")
+            if doc_hosts is None:
+                raise ValueError(
+                    "collapse_host requires --documents with a url column")
         if (ds is None) != (de is None):
             # a half-open range would be silently dropped by the executor
             # (it filters only when BOTH bounds are set) — reject instead
@@ -133,6 +172,18 @@ def create_server(index, port: int = 0, spellchecker=None,
                         "wand=1 does not support date filtering; "
                         "use the relational path")
                 hits = wand.search_wand(index, executed, k=k)
+            elif collapse_host:
+                from search_engine_spark.operators import serp
+
+                # full ranking (df-bounded, never corpus-scale), THEN
+                # the per-host cap, THEN the page cut — cutting first
+                # would under-fill the page when a host dominates it
+                df = executor.execute(index, executed, k=None, model=model,
+                                      date_start=ds, date_end=de,
+                                      prior=prior, prior_lam=prior_lam)
+                div = serp.diversify_by_host(
+                    df, doc_hosts, per_host=collapse_host, k=k)
+                hits = [(r.doc_id, r.score) for r in div.collect()]
             else:
                 df = executor.execute(index, executed, k=k, model=model,
                                       date_start=ds, date_end=de,
@@ -220,7 +271,30 @@ def create_server(index, port: int = 0, spellchecker=None,
                         _parse_date(q.get("date_end", [None])[0]),
                         first_execution=True,
                         use_wand=q.get("wand", ["0"])[0] == "1",
-                        want_snippets=q.get("snippets", ["0"])[0] == "1"))
+                        want_snippets=q.get("snippets", ["0"])[0] == "1",
+                        collapse_host=int(
+                            q.get("collapse_host", ["0"])[0])))
+                elif parts[0] == "complete":
+                    q = parse_qs(u.query)
+                    prefix = q.get("prefix", [None])[0]
+                    if not prefix:
+                        self._json(400,
+                                   {"error": "prefix parameter required"})
+                        return
+                    kk = int(q.get("k", ["10"])[0])
+                    if not 1 <= kk <= MAX_COMPLETIONS:
+                        raise ValueError(
+                            f"k must be in [1, {MAX_COMPLETIONS}], got {kk}")
+                    from search_engine_spark.operators import serp
+
+                    with lock:
+                        rows = serp.autocomplete(
+                            index.term_stats, prefix, k=kk).collect()
+                    self._json(200, {
+                        "prefix": prefix,
+                        "completions": [{"term": r["term"], "cf": int(r["cf"])}
+                                        for r in rows],
+                    })
                 elif parts[0] == "rerun_query" and len(parts) == 4:
                     self._json(200, run_query(
                         unquote(parts[1]), 100, "bm25",

@@ -211,3 +211,64 @@ def test_snippets_through_results(server):
     # without the flag, no snippet key
     status, body = _get(server + "/results?query=market&k=3")
     assert "snippet" not in body["results"][0]
+
+
+def test_complete_endpoint(server):
+    status, body = _get(server + "/complete?prefix=ma&k=5")
+    assert status == 200
+    comps = body["completions"]
+    assert comps, "no completions for a common prefix"
+    assert all(c["term"].startswith("ma") for c in comps)
+    cfs = [c["cf"] for c in comps]
+    assert cfs == sorted(cfs, reverse=True)
+
+
+def test_complete_validation(server):
+    status, _ = _err(server + "/complete")
+    assert status == 400
+    status, _ = _err(server + "/complete?prefix=Ma")  # uppercase
+    assert status == 400
+    status, _ = _err(server + "/complete?prefix=ma&k=0")
+    assert status == 400
+
+
+def _err(url: str):
+    try:
+        with urllib.request.urlopen(url, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_collapse_host_through_results(server, corpus_pdf):
+    status, flat = _get(server + "/results?query=market&k=10")
+    assert status == 200
+    status, coll = _get(server + "/results?query=market&k=10&collapse_host=1")
+    assert status == 200
+    # host of each returned doc via the same extraction rule, python-side
+    import re
+
+    url_of = dict(zip(corpus_pdf["doc_id"], corpus_pdf["url"]))
+
+    def host(u):
+        m = re.match(r"^[a-z][a-z0-9+.-]*://([^/:?]+)", u.lower())
+        h = m.group(1) if m else ""
+        return h[4:] if h.startswith("www.") else h
+
+    hosts_flat = [host(url_of[r["doc_id"]]) for r in flat["results"]]
+    hosts_coll = [host(url_of[r["doc_id"]]) for r in coll["results"]]
+    assert len(set(hosts_coll)) == len(hosts_coll), "collapse=1 repeated a host"
+    # the uncollapsed page must actually repeat hosts for this to test bite
+    if len(set(hosts_flat)) == len(hosts_flat):
+        import pytest as _pytest
+
+        _pytest.skip("corpus page had no host repeats — nothing to collapse")
+    # collapsed list is drawn from the full ranking: scores descending
+    scores = [r["score"] for r in coll["results"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_collapse_host_wand_rejected(server):
+    status, body = _err(server + "/results?query=market&collapse_host=1&wand=1")
+    assert status == 400
+    assert "relational" in body["error"]

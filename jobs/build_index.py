@@ -2,7 +2,7 @@
 
 spark-submit --py-files dist/engine.zip jobs/build_index.py \
     --input /data/documents_parquet --output /data/index \
-    [--buckets 64] [--block-span 131072] [--shards 8] [--no-positions] \
+    [--buckets 64] [--block-span 131072] [--shards 1] [--no-positions] \
     [--analyzer full|simple] [--text-col text] [--html] [--resume/--no-resume]
 
 Input: parquet with (doc_id, text, ...) — or, with --html, the input_hint
@@ -27,7 +27,8 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--block-span", type=int, default=1 << 17)
-    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--shards", type=int, default=1,
+                    help="1 = fused single-exchange build (default); >1 = per-shard encode jobs with bounded-rework resume")
     ap.add_argument("--no-positions", action="store_true")
     ap.add_argument("--analyzer", choices=["full", "simple"], default="full")
     ap.add_argument("--text-col", default="text")

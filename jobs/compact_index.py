@@ -4,7 +4,7 @@ segment layout (WAND-servable, identical to jobs/build_index.py output).
 
 spark-submit --py-files dist/engine.zip jobs/compact_index.py \
     --stream-index /data/stream_idx --output /data/index \
-    [--block-span 131072] [--shards 8] [--analyzer full|simple]
+    [--block-span 131072] [--shards 1] [--analyzer full|simple]
 
 Pure layout transform: no re-tokenization, no re-hashing (term buckets
 are reused from the ingest); resumable via the same per-step manifests
@@ -25,7 +25,7 @@ def main() -> None:
     ap.add_argument("--stream-index", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--block-span", type=int, default=1 << 17)
-    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--shards", type=int, default=1)
     ap.add_argument("--analyzer", choices=["full", "simple"], default="full",
                     help="must match the streaming ingest's analyzer "
                          "(validated against stream_meta.json)")

@@ -122,6 +122,32 @@ def main() -> int:
         ],
     )
 
+    # 3b. fused index build: postings -> sorted exchange -> shuffle-free
+    # segment encode. The WHOLE chain must contain exactly ONE Exchange
+    # (the range repartition that lays out (bucket, term, block_id)) —
+    # the encode itself is a mapInPandas over those partitions, no
+    # second shuffle, no per-group applyInPandas aggregate.
+    from search_engine_spark.operators import segments as SEGOP
+
+    sorted_post = post.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(16)).cast("int")
+    ).withColumn("block_id", (F.col("doc_id") / F.lit(4096)).cast("long")) \
+        .repartitionByRange(16, "bucket", "term", "block_id") \
+        .sortWithinPartitions("bucket", "term", "block_id", "doc_id")
+    p3b = plan_of(SEGOP.encode_sorted(sorted_post))
+    check(
+        "Fused segment encode (postings -> segments)", p3b,
+        [
+            ("exactly one exchange in the whole chain",
+             r"\(\d+\) Exchange\b[\s\S]*\(\d+\) Exchange\b", False),
+            ("the one range exchange is present", r"rangepartitioning", True),
+            ("encode is mapInPandas (no per-group aggregate)",
+             r"MapInPandas", True),
+            ("no FlatMapGroupsInPandas in the fused path",
+             r"FlatMapGroupsInPandas", False),
+        ],
+    )
+
     # 4. date-range filter on a days(warc_ts)-partitioned documents table
     # → directory-level partition pruning, no full scan (the reference's
     # date2doc reverse map replaced by table layout)

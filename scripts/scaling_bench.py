@@ -40,11 +40,29 @@ def gen_corpus(n_docs: int) -> str:
 
 
 def run_job(cpus: int, corpus_dir: str, runs: int) -> dict:
-    p = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "scripts", "scaling_job.py"),
-         str(cpus), corpus_dir, "--runs", str(runs)],
-        capture_output=True, text=True, timeout=1800,
-    )
+    env = dict(os.environ)
+    if os.path.isdir("/dev/shm"):
+        # Keep the measurement about COMPUTE scaling: this sandbox's
+        # virtual disk throttles in multi-minute bursts (the same build
+        # step was observed at 51s and 130s minutes apart), which buries
+        # the N-vs-4N signal. Shuffle/spill dirs and build outputs go to
+        # tmpfs; on a real cluster shuffle goes to executor-local NVMe,
+        # which scales WITH the executor count, so tmpfs is the faithful
+        # stand-in and the throttled shared disk is the artifact.
+        shm = os.path.join("/dev/shm", f"scale_local_{cpus}")
+        os.makedirs(shm, exist_ok=True)
+        env["SPARK_LOCAL_DIRS"] = shm
+        env["SCALE_TMPDIR"] = "/dev/shm"
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "scripts", "scaling_job.py"),
+             str(cpus), corpus_dir, "--runs", str(runs)],
+            capture_output=True, text=True, timeout=3600, env=env,
+        )
+    finally:
+        if "SPARK_LOCAL_DIRS" in env:
+            import shutil
+            shutil.rmtree(env["SPARK_LOCAL_DIRS"], ignore_errors=True)
     if p.returncode != 0:
         raise RuntimeError(p.stderr[-2000:])
     return json.loads(p.stdout.strip().splitlines()[-1])
@@ -101,9 +119,9 @@ def assert_quiet_host(max_load1: float = 2.0) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=150000)
+    ap.add_argument("--docs", type=int, default=300000)
     ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
     corpus_dir = gen_corpus(args.docs)

@@ -76,13 +76,15 @@ def main() -> None:
         }))
         return
 
-    tmp = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
+    tmp = tempfile.mkdtemp(prefix=f"scale_{cpus}_",
+                           dir=os.environ.get("SCALE_TMPDIR") or None)
     try:
         # warm-up on ~5% of docs
         warm = web.sample(fraction=0.05, seed=1)
         span = max(4096, 1 << max(int(n / 128).bit_length(), 1))
         catalog.build_durable_index(
-            spark, prepared(warm), os.path.join(tmp, "warm"), shards=2,
+            spark, prepared(warm), os.path.join(tmp, "warm"),
+            shards=int(os.environ.get("SCALE_SHARDS", "1")),
             block_span=span,
         )
         best = None
@@ -90,7 +92,7 @@ def main() -> None:
             out = os.path.join(tmp, f"run{r}")
             t0 = time.perf_counter()
             catalog.build_durable_index(spark, prepared(web), out,
-                                        shards=int(os.environ.get("SCALE_SHARDS", "2")),
+                                        shards=int(os.environ.get("SCALE_SHARDS", "1")),
                                         block_span=span)
             sec = time.perf_counter() - t0
             shutil.rmtree(out)

@@ -101,6 +101,99 @@ def encode_segments(postings: DataFrame, buckets: int = DEFAULT_BUCKETS,
     return base.groupBy("term", "block_id").applyInPandas(encode, SEGMENT_SCHEMA)
 
 
+def encode_sorted(postings: DataFrame, positional: bool = True) -> DataFrame:
+    """Shuffle-FREE segment encoder for postings that are already
+    range-partitioned by (bucket, term, block_id) and sorted within
+    partitions by (bucket, term, block_id, doc_id) — the exact layout the
+    durable build's ONE stage exchange produces.
+
+    ``encode_segments`` pays a second full shuffle of every posting row
+    plus one pandas-DataFrame construction per (term, block) group
+    (applyInPandas); at 150k docs / 11M postings that group overhead was
+    ~2/3 of the whole index build and scaled at only ~0.4 efficiency
+    from 2→8 cores. This encoder is a mapInPandas pass: groups are
+    CONSECUTIVE runs in the sorted partitions, detected vectorized, with
+    the trailing (possibly incomplete) run carried across Arrow batch
+    boundaries within a partition. Range partitioning keeps every row of
+    one (bucket, term, block_id) key in one partition, so no group ever
+    straddles a partition boundary; group size is bounded by block
+    occupancy ≤ block_span (the doc-partitioned-block skew bound).
+
+    Requires columns: term, doc_id, tf, bucket, block_id [, dl]
+    [, positions]. Rows within each group must be doc_id-ascending
+    (delta encoding depends on it) — guaranteed by the sort.
+    """
+    import numpy as np
+
+    has_pos = positional and "positions" in postings.columns
+    has_dl = "dl" in postings.columns
+    cols = ["term", "bucket", "block_id", "doc_id", "tf"] \
+        + (["dl"] if has_dl else []) + (["positions"] if has_pos else [])
+
+    def encode_stream(batches):
+        carry: pd.DataFrame | None = None
+
+        def encode_runs(pdf: pd.DataFrame, starts: "np.ndarray"):
+            docs_all = pdf["doc_id"].to_numpy()
+            tfs_all = pdf["tf"].to_numpy()
+            dls_all = pdf["dl"].to_numpy() if has_dl else None
+            pos_all = pdf["positions"].to_numpy() if has_pos else None
+            terms = pdf["term"].to_numpy()
+            buckets_ = pdf["bucket"].to_numpy()
+            blocks_ = pdf["block_id"].to_numpy()
+            out = {k: [] for k in ("term", "bucket", "block_id", "n_docs",
+                                   "min_doc_id", "max_doc_id",
+                                   "block_max_tf", "payload", "pos_payload")}
+            bounds = list(starts) + [len(pdf)]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                docs, tfs = docs_all[s:e], tfs_all[s:e]
+                payload = codec.encode_block(
+                    docs, tfs, dls_all[s:e] if has_dl else None)
+                if has_pos:
+                    plist = pos_all[s:e]
+                    counts = np.fromiter((len(p) for p in plist),
+                                         dtype="int64", count=e - s)
+                    flat = (np.concatenate([np.asarray(p, dtype="int64")
+                                            for p in plist])
+                            if counts.sum() else np.empty(0, dtype="int64"))
+                    pos_payload = codec.encode_positions(flat, counts)
+                else:
+                    pos_payload = b""
+                out["term"].append(terms[s])
+                out["bucket"].append(int(buckets_[s]))
+                out["block_id"].append(int(blocks_[s]))
+                out["n_docs"].append(e - s)
+                out["min_doc_id"].append(int(docs[0]))
+                out["max_doc_id"].append(int(docs[-1]))
+                out["block_max_tf"].append(int(tfs.max()))
+                out["payload"].append(payload)
+                out["pos_payload"].append(pos_payload)
+            return pd.DataFrame(out)
+
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            terms = pdf["term"].to_numpy()
+            blocks_ = pdf["block_id"].to_numpy()
+            change = (terms[1:] != terms[:-1]) | (blocks_[1:] != blocks_[:-1])
+            starts = np.concatenate(
+                [[0], np.flatnonzero(change) + 1]).astype("int64")
+            # the last run may continue in the next Arrow batch of this
+            # partition — hold it back
+            carry = pdf.iloc[starts[-1]:]
+            body = pdf.iloc[: starts[-1]]
+            if len(body):
+                yield encode_runs(body, starts[:-1])
+        if carry is not None and len(carry):
+            yield encode_runs(carry.reset_index(drop=True),
+                              np.zeros(1, dtype="int64"))
+
+    return postings.select(*cols).mapInPandas(encode_stream, SEGMENT_SCHEMA)
+
+
 DECODED_SCHEMA = StructType([
     StructField("term", StringType()),
     StructField("doc_id", LongType()),

@@ -9,8 +9,10 @@ calls for ``writeTo(...).using("iceberg")`` without touching the plan):
       stats.json                 corpus scalars + build config
       postings_stage/            postings parquet, partitioned by bucket
       doc_stats/  term_stats/    parquet side tables
-      segments/shard=K/          encoded blocks, shard = bucket range
-      manifest/<step>.json       one lineage row per completed step/shard
+      segments/bucket=B/         encoded blocks (default fused build;
+                                 shards>1 adds a shard=K level above it)
+      manifest/<step>.json       one lineage row per completed step, with
+                                 per-bucket (fused) or per-shard detail
 
 Resume semantics: each step writes its data, then atomically records a
 manifest entry (rows, bytes, checksum, duration). A re-run skips every
@@ -60,11 +62,22 @@ def build_durable_index(
     conf: AnalyzerConfig = AnalyzerConfig.full(),
     buckets: int = SEG.DEFAULT_BUCKETS,
     block_span: int = SEG.DEFAULT_BLOCK_SPAN,
-    shards: int = 8,
+    shards: int = 1,
     positional: bool = True,
     resume: bool = True,
 ) -> str:
-    """Build (or resume building) the segment index under ``index_dir``."""
+    """Build (or resume building) the segment index under ``index_dir``.
+
+    ``shards=1`` (default) is the FUSED path: one range exchange lays the
+    postings out by (bucket, term, block_id); the staged postings table,
+    the encoded segments, doc/term stats and VSM norms are all derived
+    from that one sorted, persisted exchange — the segment encode is a
+    shuffle-free mapInPandas over it (``SEG.encode_sorted``). Lineage is
+    per BUCKET (finer than the old per-shard rows). ``shards>1`` keeps
+    the per-shard encode jobs (each its own exchange + manifest) for
+    bounded re-work on driver loss mid-encode; the fused path's resume
+    granularity is the whole segments step, re-derived from the staged
+    parquet with one fresh exchange."""
     if not resume and os.path.exists(os.path.join(index_dir, "manifest")):
         import shutil
         shutil.rmtree(index_dir)
@@ -95,35 +108,57 @@ def build_durable_index(
     else:
         _record(index_dir, "build_config", config=config)
 
+    from pyspark import StorageLevel
+
     stage_dir = os.path.join(index_dir, "postings_stage")
+    # the fused path's sorted exchange output, persisted for the session:
+    # segments/doc_stats/term_stats/vsm_norms all read it cache-hit
+    sorted_post: DataFrame | None = None
+    post_cache: DataFrame | None = None
     if not _done(index_dir, "postings_stage"):
         t0 = time.perf_counter()
         post = P.build_postings(docs, conf, positional=positional).withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
-        )
-        # Range-partition on (bucket, term, doc_id) before the partitionBy
-        # write. Three birds: (1) without a pre-partition, every task
-        # writes into every bucket dir — file count scales as tasks x
-        # buckets and commit overhead WORSENS with more cores; (2) a plain
-        # hash repartition(buckets) makes one task per bucket, and Zipf
-        # head-term buckets become stragglers that cap scaling — range
-        # sampling balances them, and including doc_id lets one huge term
-        # split across tasks (the skew handling of the north rule);
-        # (3) sortWithinPartitions gives term-ordered files whose parquet
-        # min/max term stats prune term lookups (the word2byte analog).
-        # persist first: repartitionByRange runs a boundary-SAMPLING job
-        # that would otherwise re-execute the whole analysis pipeline
-        # (extract+tokenize+stem UDFs) a second time
-        from pyspark import StorageLevel
-        post = post.persist(StorageLevel.MEMORY_AND_DISK)
+        ).withColumn(
+            "block_id",
+            (F.col("doc_id") / F.lit(block_span)).cast("long"))
+        # Range-partition on (bucket, term, block_id) before the
+        # partitionBy write. Four birds: (1) without a pre-partition,
+        # every task writes into every bucket dir — file count scales as
+        # tasks x buckets and commit overhead WORSENS with more cores;
+        # (2) a plain hash repartition(buckets) makes one task per
+        # bucket, and Zipf head-term buckets become stragglers that cap
+        # scaling — range sampling balances them, and block_id lets one
+        # huge term split across tasks in doc-partitioned-block units
+        # (the skew handling of the north rule: a key's rows are bounded
+        # by block occupancy ≤ block_span); (3) sortWithinPartitions
+        # gives term-ordered files whose parquet min/max term stats prune
+        # term lookups (the word2byte analog); (4) equal (bucket, term,
+        # block_id) keys land whole in ONE partition, so the segment
+        # encode is a shuffle-free consecutive-run scan of these same
+        # partitions (SEG.encode_sorted).
+        # persist pre-exchange too: repartitionByRange runs a boundary-
+        # SAMPLING job that would otherwise re-execute the whole analysis
+        # pipeline (extract+tokenize+stem UDFs) a second time
+        post_cache = post.persist(StorageLevel.MEMORY_AND_DISK)
+        parts = max(2 * spark.sparkContext.defaultParallelism, buckets)
+        sorted_post = post_cache \
+            .repartitionByRange(parts, "bucket", "term", "block_id") \
+            .sortWithinPartitions("bucket", "term", "block_id", "doc_id") \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        # block_id is derivable (doc_id // block_span) — keep the staged
+        # files free of it so readers of postings_stage see the plain
+        # postings schema
         try:
-            parts = max(2 * spark.sparkContext.defaultParallelism, buckets)
-            post.repartitionByRange(parts, "bucket", "term", "doc_id") \
-                .sortWithinPartitions("bucket", "term", "doc_id") \
-                .write.mode("overwrite").partitionBy("bucket").parquet(stage_dir)
-            n = post.count()  # cache hit — no parquet re-list/re-read job
+            sorted_post.drop("block_id").write.mode("overwrite") \
+                .partitionBy("bucket").parquet(stage_dir)
+            n = sorted_post.count()  # cache hit — no parquet re-read job
+        except BaseException:
+            sorted_post.unpersist()
+            raise
         finally:
-            post.unpersist()
+            post_cache.unpersist()   # its rows live on in sorted_post
+            post_cache = None
         _record(index_dir, "postings_stage", rows=n,
                 duration_sec=round(time.perf_counter() - t0, 3))
 
@@ -135,7 +170,7 @@ def build_durable_index(
             # from the staged postings avoids a SECOND full tokenization
             # pass; docs that produced no tokens are re-added with dl=0
             t0 = time.perf_counter()
-            st = spark.read.parquet(stage_dir)
+            st = _staged()
             ds = st.select("doc_id", "dl").distinct()
             empties = docs.select("doc_id").join(
                 ds.select("doc_id"), "doc_id", "left_anti"
@@ -163,8 +198,7 @@ def build_durable_index(
         if _done(index_dir, "term_stats"):
             return
         t0 = time.perf_counter()
-        st = spark.read.parquet(stage_dir)
-        P.term_stats(st).write.mode("overwrite") \
+        P.term_stats(_staged()).write.mode("overwrite") \
             .parquet(os.path.join(index_dir, "term_stats"))
         _record(index_dir, "term_stats",
                 duration_sec=round(time.perf_counter() - t0, 3))
@@ -183,13 +217,66 @@ def build_durable_index(
         with open(os.path.join(index_dir, "stats.json")) as f:
             n = json.load(f)["n_docs"]
         vsm_norms_frame(
-            spark.read.parquet(stage_dir),
+            _staged(),
             spark.read.parquet(os.path.join(index_dir, "term_stats")), n,
         ).write.mode("overwrite").parquet(os.path.join(index_dir, "vsm_norms"))
         _record(index_dir, "vsm_norms",
                 duration_sec=round(time.perf_counter() - t0, 3))
 
-    staged = spark.read.parquet(stage_dir)
+    def _staged() -> DataFrame:
+        # the live sorted exchange when this session just produced it
+        # (cache hit, plain postings schema), else the staged parquet
+        if sorted_post is not None:
+            return sorted_post.drop("block_id")
+        return spark.read.parquet(stage_dir)
+
+    def _build_segments_fused() -> None:
+        if _done(index_dir, "segments"):
+            return
+        t0 = time.perf_counter()
+        if sorted_post is not None:
+            src = sorted_post
+        else:
+            # resume: the consecutive-run invariant must be
+            # re-established — parquet re-reads split/coalesce files
+            # arbitrarily, so pay one fresh exchange
+            parts = max(2 * spark.sparkContext.defaultParallelism, buckets)
+            src = spark.read.parquet(stage_dir).withColumn(
+                "block_id",
+                (F.col("doc_id") / F.lit(block_span)).cast("long")) \
+                .repartitionByRange(parts, "bucket", "term", "block_id") \
+                .sortWithinPartitions("bucket", "term", "block_id", "doc_id")
+        seg = SEG.encode_sorted(src, positional=positional) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        out = os.path.join(index_dir, "segments")
+        try:
+            # encode partitions each cover a narrow contiguous (bucket,
+            # term) range, so this write touches 1-2 bucket dirs per task
+            # and files stay term-sorted for min/max pruning
+            seg.sortWithinPartitions("bucket", "term", "block_id") \
+                .write.mode("overwrite").partitionBy("bucket").parquet(out)
+            # per-BUCKET lineage from the persisted frame (cache hit) —
+            # identical rows to the files just written, no re-read job
+            lin = seg.groupBy("bucket").agg(
+                F.count("*").alias("blocks"),
+                F.sum("n_docs").alias("postings"),
+                F.sum(F.length("payload")).alias("payload_bytes"),
+                F.sum(F.crc32(F.col("payload"))).alias("checksum"),
+            ).collect()
+        finally:
+            seg.unpersist()
+        per_bucket = {str(r["bucket"]): {
+            "blocks": r["blocks"], "postings": int(r["postings"] or 0),
+            "payload_bytes": int(r["payload_bytes"] or 0),
+            "checksum": int(r["checksum"] or 0)} for r in lin}
+        _record(index_dir, "segments",
+                blocks=sum(r["blocks"] for r in lin),
+                postings=sum(int(r["postings"] or 0) for r in lin),
+                payload_bytes=sum(int(r["payload_bytes"] or 0) for r in lin),
+                checksum=sum(int(r["checksum"] or 0) for r in lin),
+                bucket_lineage=per_bucket,
+                duration_sec=round(time.perf_counter() - t0, 3))
+
     per_shard = math.ceil(buckets / shards)
 
     def _build_shard(k: int) -> None:
@@ -198,7 +285,8 @@ def build_durable_index(
             return
         t0 = time.perf_counter()
         lo, hi = k * per_shard, min((k + 1) * per_shard, buckets)
-        part = staged.filter((F.col("bucket") >= lo) & (F.col("bucket") < hi))
+        part = _staged().filter(
+            (F.col("bucket") >= lo) & (F.col("bucket") < hi))
         seg = SEG.encode_segments(part, buckets=buckets, block_span=block_span,
                                   positional=positional)
         out = os.path.join(index_dir, "segments", f"shard={k}")
@@ -225,23 +313,36 @@ def build_durable_index(
                 checksum=int(lineage["checksum"] or 0),
                 duration_sec=round(time.perf_counter() - t0, 3))
 
-    # All post-stage steps depend only on the staged postings and are
-    # mutually independent: submit stats + shards concurrently so the
-    # scheduler backfills one job's commit/tail with another's tasks
-    # (Spark FIFO interleaves jobs from multiple submitter threads).
-    # Failures propagate; completed steps keep their manifests (resume).
-    from concurrent.futures import ThreadPoolExecutor
+    try:
+        if shards > 1:
+            # bounded-rework sharded path: stats + shards concurrently so
+            # the scheduler backfills one job's commit/tail with another's
+            # tasks (Spark FIFO interleaves jobs from multiple submitter
+            # threads). Failures propagate; completed steps keep their
+            # manifests (resume).
+            from concurrent.futures import ThreadPoolExecutor
 
-    tasks = [(_build_doc_stats, ()), (_build_term_stats, ())] + [
-        (_build_shard, (k,)) for k in range(shards)
-    ]
-    workers = min(6, len(tasks))
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        futures = [pool.submit(fn, *args) for fn, args in tasks]
-        for f in futures:
-            f.result()
+            tasks = [(_build_doc_stats, ()), (_build_term_stats, ())] + [
+                (_build_shard, (k,)) for k in range(shards)
+            ]
+            workers = min(6, len(tasks))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                futures = [pool.submit(fn, *args) for fn, args in tasks]
+                for f in futures:
+                    f.result()
+        else:
+            # fused path: each of these jobs saturates the cluster on its
+            # own (the encode is a map-only scan of the cached exchange),
+            # so they run serially — measured on 2 vs 8 cores, concurrent
+            # submission only added contention here
+            _build_segments_fused()
+            _build_doc_stats()
+            _build_term_stats()
 
-    _build_vsm_norms()  # needs stats.json + term_stats from the pool
+        _build_vsm_norms()  # needs stats.json + term_stats from above
+    finally:
+        if sorted_post is not None:
+            sorted_post.unpersist()
     _record(index_dir, "build_complete", shards=shards, buckets=buckets)
     return index_dir
 
@@ -252,7 +353,7 @@ def compact_streaming_index(
     out_dir: str,
     conf: AnalyzerConfig = AnalyzerConfig.full(),
     block_span: int = SEG.DEFAULT_BLOCK_SPAN,
-    shards: int = 8,
+    shards: int = 1,
 ) -> str:
     """Re-encode a streaming index's (batch, bucket)-staged postings into
     the durable segment layout — the job that completes the streaming

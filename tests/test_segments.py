@@ -171,3 +171,77 @@ def test_resume_rejects_changed_build_config(spark, corpus_sdf, tmp_path):
     # same config: resume is a clean no-op
     catalog.build_durable_index(spark, corpus_sdf.limit(30), d, shards=2,
                                 buckets=8, block_span=64)
+
+
+def test_fused_build_matches_sharded(spark, corpus_sdf, tmp_path, index_dir):
+    """shards=1 (fused single-exchange encode, SEG.encode_sorted) must
+    produce byte-identical segment blocks to the per-shard
+    encode_segments path, per-bucket lineage, and an identical resumed
+    rebuild after losing the segments step."""
+    d = str(tmp_path / "fused")
+    catalog.build_durable_index(spark, corpus_sdf, d, shards=1, buckets=16)
+
+    key = (lambda r: (r.term, r.block_id))
+    val = (lambda r: (r.n_docs, r.min_doc_id, r.max_doc_id, r.block_max_tf,
+                      r.bucket, bytes(r.payload), bytes(r.pos_payload)))
+    fused = {key(r): val(r) for r in
+             spark.read.parquet(os.path.join(d, "segments")).collect()}
+    sharded = {key(r): val(r) for r in
+               spark.read.parquet(os.path.join(index_dir, "segments")).collect()}
+    assert fused == sharded and fused
+
+    # per-bucket lineage with totals and checksums
+    rows = {r["step"]: r for r in catalog.lineage_rows(d)}
+    seg_row = rows["segments"]
+    assert seg_row["blocks"] == len(fused)
+    assert seg_row["payload_bytes"] > 0 and seg_row["checksum"] > 0
+    per_bucket = seg_row["bucket_lineage"]
+    assert sum(b["blocks"] for b in per_bucket.values()) == len(fused)
+
+    # kill after the stage: lose segments data + manifest, resume rebuilds
+    # identically through the staged-parquet re-exchange path
+    os.remove(catalog._manifest_path(d, "segments"))
+    os.remove(catalog._manifest_path(d, "build_complete"))
+    shutil.rmtree(os.path.join(d, "segments"))
+    catalog.build_durable_index(spark, corpus_sdf, d, shards=1, buckets=16)
+    resumed = {key(r): val(r) for r in
+               spark.read.parquet(os.path.join(d, "segments")).collect()}
+    assert resumed == fused
+
+    # end to end: identical ranking through the loaded index
+    f_idx = catalog.load_index(spark, d, documents=corpus_sdf)
+    s_idx = catalog.load_index(spark, index_dir, documents=corpus_sdf)
+    got = [(r.doc_id, round(r.score, 9))
+           for r in S.search_freetext(f_idx, "market price growth", k=30).collect()]
+    want = [(r.doc_id, round(r.score, 9))
+            for r in S.search_freetext(s_idx, "market price growth", k=30).collect()]
+    assert got == want and got
+
+
+def test_encode_sorted_equals_encode_segments(spark, built_index):
+    """The shuffle-free consecutive-run encoder over a range-partitioned,
+    sorted frame emits exactly the blocks of the groupBy encoder —
+    including groups that straddle Arrow batch boundaries (forced tiny
+    batches)."""
+    from pyspark.sql import functions as F
+
+    post = built_index.postings.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(8)).cast("int")
+    ).withColumn("block_id", (F.col("doc_id") / F.lit(64)).cast("long"))
+    sorted_post = post.repartitionByRange(4, "bucket", "term", "block_id") \
+        .sortWithinPartitions("bucket", "term", "block_id", "doc_id")
+
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {(r.term, r.block_id): (r.n_docs, bytes(r.payload),
+                                      bytes(r.pos_payload))
+               for r in SEG.encode_sorted(sorted_post).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old_batch)
+    want = {(r.term, r.block_id): (r.n_docs, bytes(r.payload),
+                                   bytes(r.pos_payload))
+            for r in SEG.encode_segments(
+                built_index.postings, buckets=8, block_span=64).collect()}
+    assert got == want and got

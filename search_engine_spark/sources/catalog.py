@@ -617,3 +617,107 @@ class SegmentIndex(InvertedIndex):
 def load_index(spark: SparkSession, index_dir: str,
                documents: DataFrame | None = None) -> SegmentIndex:
     return SegmentIndex(spark, index_dir, documents)
+
+
+def merge_indexes(spark: SparkSession, index_dirs: list[str],
+                  out_dir: str, shards: int = 1) -> str:
+    """Merge N durable segment indexes into one — the engine's analog of
+    the reference's 2-way external index merge
+    (/root/reference/indexing/index_merging/index_merging.py:4-64, which
+    zips two term-sorted postings files line by line). Spark-native
+    N-way form: the inputs' staged postings tables are unioned and laid
+    out by ONE range exchange; corpus-global statistics (df, cf, n_docs,
+    avgdl, VSM norms) are recomputed over the union, so the merged index
+    is bit-identical to an index built over the union of the corpora
+    (test-gated). Runs through ``build_durable_index``'s own manifest
+    steps, so a killed merge resumes like a killed build.
+
+    Requirements validated up front: every input finished building
+    (build_complete manifest), all inputs share the same analyzer /
+    buckets / block_span / positional config (mixing analyzers would mix
+    token vocabularies; mixing block spans breaks WAND's block-range
+    invariant), and doc_id sets are pairwise DISJOINT (doc-partitioned
+    blocks assume one posting per (term, doc_id); merging re-crawled
+    corpora needs a dedup/re-id pass first — see sources.corpus
+    with_dense_doc_ids / operators.dedup).
+    """
+    if len(index_dirs) < 2:
+        raise ValueError("merge_indexes needs at least two input indexes")
+    if os.path.abspath(out_dir) in {os.path.abspath(d) for d in index_dirs}:
+        raise ValueError("merge output must be a NEW directory, not an input")
+
+    configs = []
+    for d in index_dirs:
+        if not _done(d, "build_complete"):
+            raise ValueError(f"{d} is not a completed index "
+                             "(no build_complete manifest)")
+        with open(_manifest_path(d, "build_config")) as f:
+            configs.append(json.load(f)["config"])
+    base = {k: v for k, v in configs[0].items() if k != "shards"}
+    for d, c in zip(index_dirs[1:], configs[1:]):
+        got = {k: v for k, v in c.items() if k != "shards"}
+        if got != base:
+            raise ValueError(
+                f"cannot merge indexes with different build configs: "
+                f"{index_dirs[0]} has {base}, {d} has {got}")
+
+    a = base["analyzer"]
+    conf = AnalyzerConfig(lowercase=a["lowercase"],
+                          remove_stopwords=a["remove_stopwords"],
+                          stem=a["stem"])
+    buckets, block_span = base["buckets"], base["block_span"]
+    positional = base["positional"]
+
+    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+
+    # doc_id disjointness: one aggregation over the (small) doc_stats
+    # tables, NOT the postings — exact, and cheap relative to the merge
+    from functools import reduce
+
+    doc_stats = [spark.read.parquet(os.path.join(d, "doc_stats"))
+                 for d in index_dirs]
+    all_ids = reduce(lambda x, y: x.unionByName(y),
+                     [ds.select("doc_id") for ds in doc_stats])
+    dup = all_ids.groupBy("doc_id").count().filter(F.col("count") > 1)
+    clash = dup.limit(5).collect()
+    if clash:
+        raise ValueError(
+            "doc_id sets overlap across inputs (e.g. "
+            f"{[r['doc_id'] for r in clash]}) — re-id or dedup before "
+            "merging (doc-partitioned blocks assume one posting per "
+            "(term, doc_id))")
+
+    if not _done(out_dir, "doc_stats"):
+        t0 = time.perf_counter()
+        reduce(lambda x, y: x.unionByName(y), doc_stats) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(out_dir, "doc_stats"))
+        _record(out_dir, "doc_stats", merged_from=len(index_dirs),
+                duration_sec=round(time.perf_counter() - t0, 3))
+
+    stage_out = os.path.join(out_dir, "postings_stage")
+    if not _done(out_dir, "postings_stage"):
+        t0 = time.perf_counter()
+        staged = reduce(
+            lambda x, y: x.unionByName(y),
+            [spark.read.parquet(os.path.join(d, "postings_stage"))
+             for d in index_dirs])
+        parts = max(2 * spark.sparkContext.defaultParallelism, buckets)
+        staged.repartitionByRange(parts, "bucket", "term", "doc_id") \
+            .sortWithinPartitions("bucket", "term", "doc_id") \
+            .write.mode("overwrite").partitionBy("bucket").parquet(stage_out)
+        _record(out_dir, "postings_stage",
+                sources=[os.path.abspath(d) for d in index_dirs],
+                duration_sec=round(time.perf_counter() - t0, 3))
+
+    # segments / term_stats / stats.json / vsm_norms run through the
+    # normal build with its resumable manifests; docs is only read on
+    # the (pre-recorded, skipped) doc_stats derivation path
+    build_durable_index(
+        spark, docs=None, index_dir=out_dir, conf=conf, buckets=buckets,
+        block_span=block_span, shards=shards, positional=positional,
+        resume=True,
+    )
+    _record(out_dir, "merged_from",
+            sources=[os.path.abspath(d) for d in index_dirs])
+    return out_dir

@@ -245,3 +245,66 @@ def test_encode_sorted_equals_encode_segments(spark, built_index):
             for r in SEG.encode_segments(
                 built_index.postings, buckets=8, block_span=64).collect()}
     assert got == want and got
+
+
+def test_merge_indexes_equals_full_build(spark, corpus_sdf, tmp_path):
+    """merge_indexes(A, B) must be bit-identical (segments, stats,
+    rankings) to one index built over A ∪ B — the engine's analog of the
+    reference's external index merge, gated on real artifacts."""
+    ids = sorted(r.doc_id for r in corpus_sdf.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    half_a = corpus_sdf.filter(F.col("doc_id") < cut)
+    half_b = corpus_sdf.filter(F.col("doc_id") >= cut)
+
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    dfull, dm = str(tmp_path / "full"), str(tmp_path / "merged")
+    catalog.build_durable_index(spark, half_a, da, buckets=16)
+    catalog.build_durable_index(spark, half_b, db, buckets=16)
+    catalog.build_durable_index(spark, corpus_sdf, dfull, buckets=16)
+    catalog.merge_indexes(spark, [da, db], dm)
+
+    key = (lambda r: (r.term, r.block_id))
+    val = (lambda r: (r.n_docs, r.min_doc_id, r.max_doc_id, r.block_max_tf,
+                      r.bucket, bytes(r.payload), bytes(r.pos_payload)))
+    merged = {key(r): val(r) for r in
+              spark.read.parquet(os.path.join(dm, "segments")).collect()}
+    full = {key(r): val(r) for r in
+            spark.read.parquet(os.path.join(dfull, "segments")).collect()}
+    assert merged == full and merged
+
+    with open(os.path.join(dm, "stats.json")) as f:
+        sm = json.load(f)
+    with open(os.path.join(dfull, "stats.json")) as f:
+        sf = json.load(f)
+    assert {k: sm[k] for k in ("n_docs", "total_len", "avgdl")} == \
+           {k: sf[k] for k in ("n_docs", "total_len", "avgdl")}
+
+    mi = catalog.load_index(spark, dm)
+    fi = catalog.load_index(spark, dfull)
+    for model in ("bm25", "vsm"):
+        fn = (S.search_freetext if model == "bm25"
+              else __import__("search_engine_spark.operators.search",
+                              fromlist=["search_vsm"]).search_vsm)
+        got = [(r.doc_id, round(r.score, 9))
+               for r in fn(mi, "market price growth", k=30).collect()]
+        want = [(r.doc_id, round(r.score, 9))
+                for r in fn(fi, "market price growth", k=30).collect()]
+        assert got == want and got, model
+
+
+def test_merge_indexes_validations(spark, corpus_sdf, tmp_path):
+    """Overlapping doc_ids and mismatched build configs must refuse."""
+    import pytest as _pt
+
+    d1, d2, d3 = (str(tmp_path / n) for n in ("i1", "i2", "i3"))
+    sub = corpus_sdf.limit(40)
+    catalog.build_durable_index(spark, sub, d1, buckets=8)
+    catalog.build_durable_index(spark, sub, d2, buckets=8)  # same ids
+    with _pt.raises(ValueError, match="overlap"):
+        catalog.merge_indexes(spark, [d1, d2], str(tmp_path / "out1"))
+
+    other = corpus_sdf.filter(~F.col("doc_id").isin(
+        [r.doc_id for r in sub.select("doc_id").collect()])).limit(40)
+    catalog.build_durable_index(spark, other, d3, buckets=16)  # diff config
+    with _pt.raises(ValueError, match="different build config"):
+        catalog.merge_indexes(spark, [d1, d3], str(tmp_path / "out2"))

@@ -158,6 +158,13 @@ def search_wand(index, query: str, k: int = 100,
 
     n = index.stats["n_docs"]
     avgdl = index.stats["avgdl"]
+    # live-docs mask (tombstoned deletes): same stale global stats as the
+    # relational path (df/n_docs refresh at vacuum), same candidate
+    # exclusion — the two paths stay rank-identical under deletes
+    deleted = (index.deleted_ids() if hasattr(index, "deleted_ids")
+               else frozenset())
+    del_arr = (np.fromiter(deleted, dtype=np.int64, count=len(deleted))
+               if deleted else None)
     cap = (WAND_AUTO_CAP if max_blocks_per_term == "auto"
            else max_blocks_per_term)
     mini = index.mini_index(terms, cap=cap)
@@ -197,6 +204,12 @@ def search_wand(index, query: str, k: int = 100,
                     "needs self-contained blocks — build the index from "
                     "postings that include dl (the durable build does), or "
                     "use the relational scoring path")
+            if del_arr is not None:
+                live = ~np.isin(docs, del_arr)
+                if not live.all():
+                    docs, tfs, dls = docs[live], tfs[live], dls[live]
+                    if not len(docs):
+                        continue
             tfs = tfs.astype(np.float64)
             norm = k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
             w = q_tf[blk.term] * idf[blk.term] * tfs * (k1 + 1.0) / (tfs + norm)

@@ -480,6 +480,23 @@ class SegmentIndex(InvertedIndex):
         if _done(index_dir, "vsm_norms"):
             self._vsm_norms = spark.read.parquet(
                 os.path.join(index_dir, "vsm_norms"))
+        # Lucene-style live-docs: committed tombstone batches exclude
+        # deleted docs from every query path NOW; postings vacuum (and
+        # stats refresh) happens at merge_indexes. None when no deletes.
+        self._tombstones = load_tombstones(spark, index_dir)
+        self._deleted_set: frozenset[int] | None = None
+
+    def deleted_ids(self) -> frozenset[int]:
+        """Driver-side live-docs set for the WAND kernel (the per-segment
+        deleted-docs bitmap of segment-file engines). Collected once per
+        index handle; tombstone volumes large enough to strain the driver
+        are the signal to vacuum via merge_indexes."""
+        if self._tombstones is None:
+            return frozenset()
+        if self._deleted_set is None:
+            self._deleted_set = frozenset(
+                r["doc_id"] for r in self._tombstones.collect())
+        return self._deleted_set
 
     def _buckets_for(self, terms: list[str]) -> list[int]:
         # must equal pmod(xxhash64(term), buckets): computed driver-side
@@ -501,7 +518,14 @@ class SegmentIndex(InvertedIndex):
             F.col("bucket").isin(self._buckets_for(terms))
             & F.col("term").isin(terms)
         )
-        return SEG.decode_segments(blocks, positional=positional)
+        decoded = SEG.decode_segments(blocks, positional=positional)
+        if self._tombstones is not None:
+            # broadcast anti-join: every relational query path goes
+            # through lookup(), so this one exclusion covers free-text,
+            # phrase, boolean, proximity, VSM and LM scoring
+            decoded = decoded.join(F.broadcast(self._tombstones),
+                                   "doc_id", "left_anti")
+        return decoded
 
     def mini_index(self, terms: list[str], cap: int | None = None,
                    ) -> dict[str, tuple[int, list]]:
@@ -619,6 +643,74 @@ def load_index(spark: SparkSession, index_dir: str,
     return SegmentIndex(spark, index_dir, documents)
 
 
+def _tombstone_batches(index_dir: str) -> list[int]:
+    """Batch ids of COMMITTED tombstone batches (manifest-gated, like
+    vsm_norms: a delete killed mid-write leaves no manifest row and its
+    partial parquet is ignored)."""
+    mdir = os.path.join(index_dir, "manifest")
+    out = []
+    for name in os.listdir(mdir) if os.path.isdir(mdir) else []:
+        if name.startswith("tombstones_") and name.endswith(".json"):
+            out.append(int(name[len("tombstones_"):-len(".json")]))
+    return sorted(out)
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> dict:
+    """Tombstone documents in a completed index — Lucene-style logical
+    deletion: queries exclude the docs IMMEDIATELY (SegmentIndex applies
+    the tombstone set in lookup() and the WAND kernel), while the
+    physical postings stay on disk until a ``merge_indexes`` pass (which
+    also vacuums a single index) drops them and recomputes corpus stats.
+
+    Until that vacuum, corpus-global statistics (df, n_docs, avgdl) are
+    STALE-BY-DESIGN — exactly the trade every segment-file engine makes
+    (deleted docs still count toward idf until segments merge). Both the
+    relational and WAND paths score with the same stale stats, so they
+    stay rank-identical to each other (test-gated).
+
+    ``doc_ids``: a DataFrame with a doc_id column, or an iterable of
+    ints. Each call commits one immutable tombstone batch (parquet +
+    manifest row with count/checksum); batches accumulate and readers
+    union them, so deletes are resumable and append-only like every
+    other build artifact.
+    """
+    if not _done(index_dir, "build_complete"):
+        raise ValueError(f"{index_dir} is not a completed index — "
+                         "tombstones against a mid-build index would race "
+                         "the builder's own manifests")
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select("doc_id").distinct()
+    else:
+        ids_list = sorted({int(i) for i in doc_ids})
+        if not ids_list:
+            raise ValueError("delete_docs called with no doc_ids")
+        ids = spark.createDataFrame([(i,) for i in ids_list],
+                                    "doc_id long")
+    batches = _tombstone_batches(index_dir)
+    nxt = (batches[-1] + 1) if batches else 0
+    out = os.path.join(index_dir, "tombstones", f"batch={nxt}")
+    agg = ids.agg(F.count("*").alias("n"),
+                  F.sum(F.crc32(F.col("doc_id").cast("string")))
+                  .alias("checksum")).collect()[0]
+    if not agg["n"]:
+        raise ValueError("delete_docs called with no doc_ids")
+    ids.write.mode("overwrite").parquet(out)
+    _record(index_dir, f"tombstones_{nxt}", batch=nxt, rows=agg["n"],
+            checksum=int(agg["checksum"] or 0))
+    return {"batch": nxt, "rows": agg["n"]}
+
+
+def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Union of all committed tombstone batches (doc_id, distinct), or
+    None when the index has none."""
+    batches = _tombstone_batches(index_dir)
+    if not batches:
+        return None
+    paths = [os.path.join(index_dir, "tombstones", f"batch={b}")
+             for b in batches]
+    return spark.read.parquet(*paths).select("doc_id").distinct()
+
+
 def merge_indexes(spark: SparkSession, index_dirs: list[str],
                   out_dir: str, shards: int = 1) -> str:
     """Merge N durable segment indexes into one — the engine's analog of
@@ -632,17 +724,25 @@ def merge_indexes(spark: SparkSession, index_dirs: list[str],
     (test-gated). Runs through ``build_durable_index``'s own manifest
     steps, so a killed merge resumes like a killed build.
 
+    Tombstoned deletes (``delete_docs``) are applied PHYSICALLY here:
+    dead postings and doc_stats rows are dropped before the exchange and
+    the corpus-global stats (df, cf, n_docs, avgdl, VSM norms) are
+    recomputed over the LIVE union — so ``merge_indexes([one_index],
+    out)`` is the vacuum operation, and the output carries no
+    tombstones. Test-gated identical to a fresh build over the live docs.
+
     Requirements validated up front: every input finished building
     (build_complete manifest), all inputs share the same analyzer /
     buckets / block_span / positional config (mixing analyzers would mix
     token vocabularies; mixing block spans breaks WAND's block-range
-    invariant), and doc_id sets are pairwise DISJOINT (doc-partitioned
-    blocks assume one posting per (term, doc_id); merging re-crawled
-    corpora needs a dedup/re-id pass first — see sources.corpus
-    with_dense_doc_ids / operators.dedup).
+    invariant), and LIVE doc_id sets are pairwise DISJOINT
+    (doc-partitioned blocks assume one posting per (term, doc_id);
+    merging re-crawled corpora needs a dedup/re-id pass first — see
+    sources.corpus with_dense_doc_ids / operators.dedup).
     """
-    if len(index_dirs) < 2:
-        raise ValueError("merge_indexes needs at least two input indexes")
+    if len(index_dirs) < 1:
+        raise ValueError("merge_indexes needs at least one input index "
+                         "(one input = tombstone vacuum / layout rebuild)")
     if os.path.abspath(out_dir) in {os.path.abspath(d) for d in index_dirs}:
         raise ValueError("merge output must be a NEW directory, not an input")
 
@@ -670,11 +770,23 @@ def merge_indexes(spark: SparkSession, index_dirs: list[str],
 
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
 
-    # doc_id disjointness: one aggregation over the (small) doc_stats
-    # tables, NOT the postings — exact, and cheap relative to the merge
+    # tombstones of every input, applied physically below (the vacuum)
     from functools import reduce
 
-    doc_stats = [spark.read.parquet(os.path.join(d, "doc_stats"))
+    tombs = [load_tombstones(spark, d) for d in index_dirs]
+    live_tombs = [t for t in tombs if t is not None]
+    all_tombs = (reduce(lambda x, y: x.unionByName(y), live_tombs)
+                 .distinct() if live_tombs else None)
+
+    def drop_dead(df: DataFrame) -> DataFrame:
+        if all_tombs is None:
+            return df
+        return df.join(F.broadcast(all_tombs), "doc_id", "left_anti")
+
+    # LIVE doc_id disjointness: one aggregation over the (small)
+    # doc_stats tables, NOT the postings — exact, and cheap relative to
+    # the merge
+    doc_stats = [drop_dead(spark.read.parquet(os.path.join(d, "doc_stats")))
                  for d in index_dirs]
     all_ids = reduce(lambda x, y: x.unionByName(y),
                      [ds.select("doc_id") for ds in doc_stats])
@@ -698,10 +810,10 @@ def merge_indexes(spark: SparkSession, index_dirs: list[str],
     stage_out = os.path.join(out_dir, "postings_stage")
     if not _done(out_dir, "postings_stage"):
         t0 = time.perf_counter()
-        staged = reduce(
+        staged = drop_dead(reduce(
             lambda x, y: x.unionByName(y),
             [spark.read.parquet(os.path.join(d, "postings_stage"))
-             for d in index_dirs])
+             for d in index_dirs]))
         parts = max(2 * spark.sparkContext.defaultParallelism, buckets)
         staged.repartitionByRange(parts, "bucket", "term", "doc_id") \
             .sortWithinPartitions("bucket", "term", "doc_id") \
@@ -719,5 +831,7 @@ def merge_indexes(spark: SparkSession, index_dirs: list[str],
         resume=True,
     )
     _record(out_dir, "merged_from",
-            sources=[os.path.abspath(d) for d in index_dirs])
+            sources=[os.path.abspath(d) for d in index_dirs],
+            tombstone_batches_applied=sum(
+                len(_tombstone_batches(d)) for d in index_dirs))
     return out_dir

@@ -1,0 +1,102 @@
+"""Tombstone deletes: logical exclusion on every query path, WAND /
+relational rank-identity under deletes, physical vacuum via
+merge_indexes, and the append-only batch commit semantics."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import search as S
+from search_engine_spark.operators import wand as W
+from search_engine_spark.sources import catalog
+
+
+@pytest.fixture()
+def live_index(spark, corpus_sdf, tmp_path):
+    d = str(tmp_path / "idx")
+    catalog.build_durable_index(spark, corpus_sdf, d, buckets=16)
+    return d
+
+
+def _top(idx, q="market price growth", k=25):
+    return [(r.doc_id, round(r.score, 9))
+            for r in S.search_freetext(idx, q, k=k).collect()]
+
+
+def test_deletes_exclude_from_every_query_path(spark, corpus_sdf,
+                                               live_index):
+    idx = catalog.load_index(spark, live_index)
+    before = _top(idx)
+    assert before
+    victims = [before[0][0], before[2][0]]
+    out = catalog.delete_docs(spark, live_index, victims)
+    assert out["rows"] == 2
+
+    idx = catalog.load_index(spark, live_index)  # fresh handle sees them
+    got_ids = [d for d, _ in _top(idx)]
+    assert not set(victims) & set(got_ids)
+    # scores of survivors unchanged (stale-stats-by-design: df/avgdl
+    # refresh only at vacuum)
+    survivors = [(d, s) for d, s in before if d not in victims]
+    assert _top(idx)[: len(survivors)] == survivors[:25]
+
+    # WAND path excludes them too, and stays rank-identical to the
+    # relational path under deletes
+    wand_hits = W.search_wand(idx, "market price growth", k=25)
+    assert not set(victims) & {d for d, _ in wand_hits}
+    rel = _top(idx, k=25)
+    assert [(d, round(s, 9)) for d, s in wand_hits] == rel
+
+    # phrase/positional path goes through the same lookup
+    pos = idx.lookup(["market"], positional=True)
+    assert pos.filter(F.col("doc_id").isin(victims)).count() == 0
+
+
+def test_delete_batches_accumulate(spark, live_index):
+    idx = catalog.load_index(spark, live_index)
+    ids = [r.doc_id for r in idx.doc_stats.limit(4).collect()]
+    b0 = catalog.delete_docs(spark, live_index, ids[:2])
+    b1 = catalog.delete_docs(spark, live_index, ids[2:])
+    assert (b0["batch"], b1["batch"]) == (0, 1)
+    tombs = catalog.load_tombstones(spark, live_index)
+    assert sorted(r.doc_id for r in tombs.collect()) == sorted(ids)
+    with pytest.raises(ValueError, match="no doc_ids"):
+        catalog.delete_docs(spark, live_index, [])
+
+
+def test_vacuum_equals_fresh_build_over_live_docs(spark, corpus_sdf,
+                                                  live_index, tmp_path):
+    idx = catalog.load_index(spark, live_index)
+    victims = [r.doc_id for r in idx.doc_stats.limit(5).collect()]
+    catalog.delete_docs(spark, live_index, victims)
+
+    vac = str(tmp_path / "vacuumed")
+    catalog.merge_indexes(spark, [live_index], vac)
+
+    fresh = str(tmp_path / "fresh")
+    catalog.build_durable_index(
+        spark, corpus_sdf.filter(~F.col("doc_id").isin(victims)), fresh,
+        buckets=16)
+
+    key = (lambda r: (r.term, r.block_id))
+    val = (lambda r: (r.n_docs, bytes(r.payload), bytes(r.pos_payload)))
+    got = {key(r): val(r) for r in
+           spark.read.parquet(os.path.join(vac, "segments")).collect()}
+    want = {key(r): val(r) for r in
+            spark.read.parquet(os.path.join(fresh, "segments")).collect()}
+    assert got == want and got
+
+    # stats recomputed over live docs; no tombstones carried forward
+    vi = catalog.load_index(spark, vac)
+    fi = catalog.load_index(spark, fresh)
+    assert vi.stats == fi.stats
+    assert catalog.load_tombstones(spark, vac) is None
+    assert _top(vi) == _top(fi)
+
+
+def test_delete_on_incomplete_index_refuses(spark, tmp_path):
+    d = str(tmp_path / "notbuilt")
+    os.makedirs(os.path.join(d, "manifest"))
+    with pytest.raises(ValueError, match="not a completed index"):
+        catalog.delete_docs(spark, d, [1])

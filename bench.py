@@ -109,8 +109,10 @@ def main() -> None:
         prepared = w.select(
             "doc_id", make_extract_text_udf()(F.col("html")).alias("text")
         )
+        # default fused build (shards=1): one range exchange, shuffle-free
+        # consecutive-run segment encode — the path production uses
         catalog.build_durable_index(
-            spark, prepared, os.path.join(seg_dir, "idx"), shards=4,
+            spark, prepared, os.path.join(seg_dir, "idx"),
             block_span=4096,
         )
         return catalog.load_index(spark, os.path.join(seg_dir, "idx"))

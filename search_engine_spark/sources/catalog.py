@@ -835,3 +835,95 @@ def merge_indexes(spark: SparkSession, index_dirs: list[str],
             tombstone_batches_applied=sum(
                 len(_tombstone_batches(d)) for d in index_dirs))
     return out_dir
+
+
+def refresh_index(spark: SparkSession, index_dir: str,
+                  main_docs: DataFrame, new_docs: DataFrame,
+                  out_dir: str, url_col: str = "url") -> dict:
+    """Crawl-refresh upsert: absorb a re-crawl batch into a completed
+    index — the web-scale lifecycle a Common-Crawl-style corpus needs
+    (every crawl re-fetches a fraction of known urls and discovers new
+    ones; reference has no analog — it rebuilds from scratch).
+
+    Composition of three existing primitives, each resumable:
+
+    1. ``delete_docs``: main-index docs whose url reappears in the batch
+       are tombstoned (url is the document identity, per input_hint);
+       the LIVE index stops serving the stale versions immediately;
+    2. a DELTA durable index is built over the batch under
+       ``<out_dir>.delta``, with the main index's own recorded build
+       config (mixing analyzers is refused by merge anyway) and dense
+       doc_ids starting above the main index's max (block ids never
+       collide, so merged doc-partitioned blocks stay well-formed);
+    3. ``merge_indexes([main, delta], out_dir)``: tombstones vacuum
+       physically and corpus-global stats (df, cf, n_docs, avgdl, VSM
+       norms) recompute over the live union.
+
+    The result is query-identical (url, score) to a from-scratch build
+    over (main_docs − re-crawled urls) ∪ new_docs — test-gated in
+    tests/test_refresh.py. Only the delta postings are tokenized and
+    encoded from text; the surviving main postings move through one
+    layout exchange, so refresh cost scales with |batch| + |index|
+    bytes, not with re-analyzing the corpus.
+
+    ``main_docs`` must be the documents table the main index was built
+    from (the index dir stores stats, not text); ``new_docs`` must have
+    one row per url (a crawl batch with internal re-fetches needs a
+    latest-wins cut first — refused here, not guessed). Returns
+    ``{"out_dir", "docs_out", "n_stale", "n_new"}`` where ``docs_out``
+    is the refreshed documents DataFrame (live main rows + batch rows,
+    ids aligned with the merged index) for the caller to persist.
+    """
+    cfg_path = os.path.join(index_dir, "manifest", "build_config.json")
+    if not os.path.exists(cfg_path):
+        raise ValueError(f"{index_dir} has no recorded build config — "
+                         "not a durable index built here")
+    with open(cfg_path) as f:
+        cfg = json.load(f)["config"]
+    conf = AnalyzerConfig(**cfg["analyzer"])
+
+    n_batch = new_docs.count()
+    n_urls = new_docs.select(url_col).distinct().count()
+    if n_batch != n_urls:
+        raise ValueError(
+            f"new_docs has {n_batch} rows over {n_urls} distinct urls — "
+            "a refresh batch must be one row per url (apply a "
+            "latest-wins cut, e.g. max(warc_ts) per url, first)")
+
+    def _live(docs: DataFrame) -> DataFrame:
+        t = load_tombstones(spark, index_dir)
+        if t is None:
+            return docs
+        return docs.join(F.broadcast(t), "doc_id", "left_anti")
+
+    # stale = current LIVE docs whose url is re-crawled in this batch
+    # (previously tombstoned ids are already dead; re-tombstoning them
+    # would be harmless but inflates batch rows)
+    stale = (_live(main_docs)
+             .join(new_docs.select(url_col).distinct(), url_col)
+             .select("doc_id"))
+    # count distributes; the id set itself never moves driver-side
+    # (delete_docs takes the DataFrame) — stale can be batch-sized
+    n_stale = stale.count()
+    if n_stale:
+        delete_docs(spark, index_dir, stale)
+
+    start = spark.read.parquet(os.path.join(index_dir, "doc_stats")) \
+        .agg(F.max("doc_id").alias("m")).collect()[0]["m"] + 1
+
+    from .corpus import with_dense_doc_ids
+
+    delta_docs = with_dense_doc_ids(new_docs.drop("doc_id"), start=start)
+    delta_dir = out_dir.rstrip("/") + ".delta"
+    build_durable_index(
+        spark, delta_docs, delta_dir, conf=conf, buckets=cfg["buckets"],
+        block_span=cfg["block_span"], shards=cfg["shards"],
+        positional=cfg["positional"])
+
+    merge_indexes(spark, [index_dir, delta_dir], out_dir,
+                  shards=cfg["shards"])
+
+    docs_out = _live(main_docs).unionByName(delta_docs,
+                                            allowMissingColumns=True)
+    return {"out_dir": out_dir, "docs_out": docs_out,
+            "n_stale": n_stale, "n_new": n_batch}

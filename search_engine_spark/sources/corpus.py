@@ -163,7 +163,35 @@ def with_dense_doc_ids(docs: DataFrame, start: int = 1,
     # SAME materialized layout, so per-partition counts can never drift
     # from the rows the numbering pass sees (re-evaluated lineage makes
     # no such guarantee for nondeterministic upstreams)
-    with_pid = docs.withColumn("_pid", F.spark_partition_id())
+    # The partition id is STAMPED INTO THE DATA by a pandas UDF before
+    # the eager checkpoint, then read back as a column. Neither of the
+    # two tempting shortcuts survives every plan shape:
+    #   * a spark_partition_id() COLUMN pre-checkpoint gets folded
+    #     driver-side to constant 0 by ConvertToLocalRelation when the
+    #     input is a local relation (createDataFrame) — every partition
+    #     then numbers from the same base and ids collide;
+    #   * TaskContext.partitionId() AT NUMBERING TIME reports the index
+    #     within whatever stage-final RDD the numbering got fused into —
+    #     a downstream union() shifts those indices, desynchronizing
+    #     them from the count pass.
+    # A mapInPandas is opaque to constant folding, and the eager
+    # checkpoint materializes the stamp in a job with no downstream
+    # operators, so the stamped value is the checkpoint RDD's own
+    # partition index — stable data from then on.
+    from pyspark import TaskContext
+
+    pid_schema = StructType(
+        [f for f in docs.schema.fields] + [StructField("_pid", LongType())]
+    )
+
+    def stamp(batches):
+        pid = TaskContext.get().partitionId()
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_pid"] = pid
+            yield pdf
+
+    with_pid = docs.mapInPandas(stamp, pid_schema)
     if reliable_checkpoint:
         with_pid = with_pid.checkpoint(eager=True)
     else:
@@ -183,7 +211,8 @@ def with_dense_doc_ids(docs: DataFrame, start: int = 1,
     )
 
     def number(batches):
-        # mapInPandas runs per partition; batches arrive in order
+        # the stamped _pid is per-partition constant: every batch of one
+        # mapInPandas call carries the same value
         local = {"base": None, "seen": 0}
         for pdf in batches:
             if local["base"] is None:

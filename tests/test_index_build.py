@@ -83,3 +83,31 @@ def test_dense_ids_reliable_checkpoint_identity(spark, tmp_path):
          C.with_dense_doc_ids(web, reliable_checkpoint=True)
          .select("url", "doc_id").collect()}
     assert a == b and len(a) == 200
+
+
+def test_dense_ids_local_relation_and_union(spark):
+    """Two regressions pinned at once: (1) a createDataFrame input (a
+    Catalyst LocalRelation — ConvertToLocalRelation used to fold the
+    partition-id stamp to constant 0, colliding every partition's ids);
+    (2) consuming the numbered frame through a downstream union (stage
+    partition indices shift, which desynced a TaskContext-at-numbering
+    variant). Ids must stay dense/unique in both shapes."""
+    import numpy as np
+
+    from search_engine_spark.sources import corpus as C
+    from search_engine_spark.sources.corpus import _gen_rows
+
+    local = spark.createDataFrame(_gen_rows(np.arange(37)))
+    ids = sorted(r.doc_id for r in
+                 C.with_dense_doc_ids(local, start=101)
+                 .select("doc_id").collect())
+    assert ids == list(range(101, 138))
+
+    numbered = C.with_dense_doc_ids(local, start=1000)
+    other = spark.createDataFrame(_gen_rows(np.arange(500, 520))) \
+        .withColumn("doc_id", F.monotonically_increasing_id())
+    through_union = other.select("doc_id").unionByName(
+        numbered.select("doc_id"))
+    got = sorted(r.doc_id for r in through_union.collect()
+                 if r.doc_id >= 1000)
+    assert got == list(range(1000, 1037))

@@ -27,6 +27,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 LOAD1_AT_START = round(os.getloadavg()[0], 2)
 
+# Shuffle/scratch to tmpfs when available — same protocol as
+# scripts/scaling_bench.py (BENCH/BASELINE.md "Scaling investigation"):
+# this sandbox's virtual disk throttles in multi-minute bursts (measured
+# 13 MB/s vs 550 MB/s minutes apart), which buries engine time under
+# I/O stalls no real cluster has (executor shuffle goes to local NVMe).
+# An explicit SPARK_LOCAL_DIRS in the environment still wins.
+if os.path.isdir("/dev/shm"):
+    _shm = os.path.join("/dev/shm", "bench_local")
+    os.makedirs(_shm, exist_ok=True)
+    os.environ.setdefault("SPARK_LOCAL_DIRS", _shm)
+    os.environ.setdefault("TMPDIR", "/dev/shm")
+
 
 def main() -> None:
     from pyspark.sql import functions as F
@@ -71,8 +83,10 @@ def main() -> None:
     # synthetic-data generator.
     from search_engine_spark.functions.analyzer import make_extract_text_udf
 
-    web_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".bench_tmp", f"web_{n_web}")
+    scratch = ("/dev/shm" if os.path.isdir("/dev/shm")
+               else os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".bench_tmp"))
+    web_dir = os.path.join(scratch, "bench_web", f"web_{n_web}")
 
     def web_gen():
         if not os.path.exists(os.path.join(web_dir, "_SUCCESS")):

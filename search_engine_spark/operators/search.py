@@ -355,6 +355,11 @@ def search_vsm_tokens(index: InvertedIndex, toks: list[str],
     # (1+log10 tf_q)·log10(N/df). Query-tf literals ride in as a map.
     qtf_map = F.create_map(*[F.lit(x) for t, c in q_tf.items()
                              for x in (t, int(c))])
+    # qnorm rides IN the same |q|-row broadcast frame via an
+    # unpartitioned window (|q| rows — trivial) instead of a second
+    # broadcast + crossJoin: one fewer Spark job per serving query
+    from pyspark.sql import Window
+
     wq_f = F.broadcast(
         index.term_stats.filter(F.col("term").isin(terms))
         .select(
@@ -362,9 +367,11 @@ def search_vsm_tokens(index: InvertedIndex, toks: list[str],
             ((1.0 + F.log10(qtf_map[F.col("term")].cast("double")))
              * F.log10(F.lit(float(n)) / F.col("df"))).alias("w_q"),
         )
-    )
-    qn = F.broadcast(
-        wq_f.agg(F.sqrt(F.sum(F.col("w_q") * F.col("w_q"))).alias("qnorm"))
+        .withColumn(
+            "qnorm",
+            F.sqrt(F.sum(F.col("w_q") * F.col("w_q"))
+                   .over(Window.partitionBy())),
+        )
     )
     matched = index.lookup(terms).select("term", "doc_id", "tf")
     if adaptive:
@@ -379,13 +386,14 @@ def search_vsm_tokens(index: InvertedIndex, toks: list[str],
         matched.join(wq_f, "term")
         .withColumn("w_d", scoring.vsm_doc_weight(n))
         .groupBy("doc_id")
-        .agg(F.sum(F.col("w_d") * F.col("w_q")).alias("dot"))
+        .agg(F.sum(F.col("w_d") * F.col("w_q")).alias("dot"),
+             F.max("qnorm").alias("qnorm"))
     )
     # a doc whose every term weight clamps to 0 has dnorm=0 AND dot=0, and
     # an all-(df==N)-terms query has qnorm=0: pin both cosines to 0
     # instead of 0/0 (ANSI mode would throw). All-zero scores under topk's
     # (score desc, doc_id asc) reproduce the old qnorm==0 doc-id ordering.
-    scored = dot.join(vsm_doc_norms(index), "doc_id").crossJoin(qn).select(
+    scored = dot.join(vsm_doc_norms(index), "doc_id").select(
         "doc_id",
         F.when((F.col("dnorm") > 0) & (F.col("qnorm") > 0),
                F.col("dot") / (F.col("dnorm") * F.col("qnorm")))

@@ -163,35 +163,41 @@ def with_dense_doc_ids(docs: DataFrame, start: int = 1,
     # SAME materialized layout, so per-partition counts can never drift
     # from the rows the numbering pass sees (re-evaluated lineage makes
     # no such guarantee for nondeterministic upstreams)
-    # The partition id is STAMPED INTO THE DATA by a pandas UDF before
-    # the eager checkpoint, then read back as a column. Neither of the
-    # two tempting shortcuts survives every plan shape:
-    #   * a spark_partition_id() COLUMN pre-checkpoint gets folded
-    #     driver-side to constant 0 by ConvertToLocalRelation when the
-    #     input is a local relation (createDataFrame) — every partition
-    #     then numbers from the same base and ids collide;
-    #   * TaskContext.partitionId() AT NUMBERING TIME reports the index
-    #     within whatever stage-final RDD the numbering got fused into —
-    #     a downstream union() shifts those indices, desynchronizing
-    #     them from the count pass.
-    # A mapInPandas is opaque to constant folding, and the eager
-    # checkpoint materializes the stamp in a job with no downstream
-    # operators, so the stamped value is the checkpoint RDD's own
-    # partition index — stable data from then on.
-    from pyspark import TaskContext
+    # The partition id is STAMPED INTO THE DATA before the eager
+    # checkpoint, then read back as a column — materialized data can't
+    # be desynchronized by downstream plan shapes (a union() shifts
+    # stage partition indices, so TaskContext.partitionId() AT NUMBERING
+    # TIME is not safe). The stamp itself is evaluated during the
+    # checkpoint job, whose final RDD IS the pinned layout, so any
+    # runtime partition-index source is consistent — the one failure
+    # mode is Catalyst's ConvertToLocalRelation folding a
+    # spark_partition_id() column DRIVER-SIDE to constant 0 when the
+    # whole input collapses to a LocalRelation (createDataFrame inputs:
+    # every partition then numbers from the same base and ids collide).
+    # That collapse is exactly what isLocal() reports, and such inputs
+    # are driver-resident (tiny) by construction — they take a pandas-
+    # UDF stamp (opaque to constant folding); everything else keeps the
+    # zero-Python JVM column, so real corpus builds pay ONE Python pass
+    # (the numbering), not two.
+    if docs.isLocal():
+        from pyspark import TaskContext
 
-    pid_schema = StructType(
-        [f for f in docs.schema.fields] + [StructField("_pid", LongType())]
-    )
+        pid_schema = StructType(
+            [f for f in docs.schema.fields]
+            + [StructField("_pid", LongType())]
+        )
 
-    def stamp(batches):
-        pid = TaskContext.get().partitionId()
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["_pid"] = pid
-            yield pdf
+        def stamp(batches):
+            pid = TaskContext.get().partitionId()
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["_pid"] = pid
+                yield pdf
 
-    with_pid = docs.mapInPandas(stamp, pid_schema)
+        with_pid = docs.mapInPandas(stamp, pid_schema)
+    else:
+        with_pid = docs.withColumn(
+            "_pid", F.spark_partition_id().cast("long"))
     if reliable_checkpoint:
         with_pid = with_pid.checkpoint(eager=True)
     else:

@@ -390,6 +390,26 @@ def q_ivf_topk_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_pq_refine_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end-to-end (per-subspace k-means fit →
+    code assign → JVM-side ADC lookup-table scan → exact refine): with
+    refine >= table size the exact re-rank covers every ADC candidate, so
+    the result must equal the straight SQL cosine top-k — gating the
+    fit/assign/ADC/refine plumbing the way ivf_topk_identity gates IVF.
+    The ADC approximation itself is pytest-gated (exact-representability
+    identity + recall bound, tests/test_pipeline_ops.py)."""
+    from search_engine_spark.operators import similarity
+    from search_engine_spark.sources.corpus import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 2).collect()[0].embedding]
+    books = similarity.pq_fit(emb, m=8, ksub=16, iters=5)
+    coded = similarity.pq_assign(emb, books)
+    out = similarity.pq_topk(coded, books, q, k=10, refine=emb.count())
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (emails/IPv4/phones) — the scrubbed text column is
     value-hashed against DuckDB applying the same RE2-safe patterns, so
@@ -757,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "knn_join": q_knn_join,
         "ivf_topk_identity": q_ivf_topk_identity,
+        "pq_refine_identity": q_pq_refine_identity,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "mixture_rebalance": q_mixture_rebalance,
@@ -1181,6 +1202,20 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
                            CAST(embedding AS DOUBLE[]),
                            (SELECT CAST(embedding AS DOUBLE[])
                             FROM embeddings WHERE vec_id = 1)), 6) AS c6
+                FROM embeddings
+                ORDER BY c6 DESC, vec_id ASC LIMIT 10
+            )
+        """,
+        # identical semantics against the vec_id=2 query vector: the
+        # engine routes through PQ fit→assign→ADC→refine with refine =
+        # table size, which must degenerate to brute force
+        "pq_refine_identity": """
+            SELECT vec_id, ROUND(c6, 4) AS cosine FROM (
+                SELECT vec_id,
+                       ROUND(list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]),
+                           (SELECT CAST(embedding AS DOUBLE[])
+                            FROM embeddings WHERE vec_id = 2)), 6) AS c6
                 FROM embeddings
                 ORDER BY c6 DESC, vec_id ASC LIMIT 10
             )

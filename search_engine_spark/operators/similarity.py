@@ -277,3 +277,134 @@ def embedding_pairs_exact(embeddings: DataFrame, threshold: float = 0.4,
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-ANN path next to LSH and IVF.
+# Vectors are split into m subspaces; each subvector is replaced by the id
+# of its nearest subspace centroid (one small int), so a dim-float vector
+# compresses to m bytes-ish of codes (e.g. 64 floats → 8 codes = 32×
+# smaller). Query-time ADC (asymmetric distance computation) scores a doc
+# from its codes alone via per-subspace lookup tables — the scan touches
+# only the code column, never the vectors. At 10^12 scale that is the
+# difference between scanning 4 TB of codes and 300 TB of raw vectors;
+# pair with IVF cells for partition pruning on top.
+# ---------------------------------------------------------------------------
+
+def pq_fit(embeddings: DataFrame, m: int = 8, ksub: int = 16,
+           iters: int = 10, sample: int = 10_000,
+           vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
+    """Driver-side per-subspace Lloyd's k-means on a deterministic sample
+    (first ``sample`` rows by id, same sketch protocol as ivf_fit) →
+    (m, ksub, dim/m) float64 codebooks. dim must divide evenly by m.
+
+    Determinism: ordered sample + first-ksub init per subspace, no RNG —
+    two fits over the same table are bit-identical (pytest-gated), which
+    the resume story relies on (a re-run re-derives the same codebooks
+    instead of persisting them)."""
+    rows = (embeddings.orderBy(id_col).limit(sample)
+            .select(vec_col).collect())
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    sub = x.reshape(n, m, dsub)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = sub[:, j, :]
+        cent = xs[:ksub].copy()
+        if len(cent) < ksub:  # tiny tables: pad by repeating the sample
+            reps = -(-ksub // max(len(cent), 1))
+            cent = np.tile(cent, (reps, 1))[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_assign(embeddings: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding") -> DataFrame:
+    """Add ``code: array<int>`` (m nearest-subspace-centroid ids). The
+    batch is quantized as one numpy einsum per subspace — no per-row
+    Python. Write the coded table WITHOUT the vector column for the
+    compressed scan path (keep vectors in a separate table for refine)."""
+    books = codebooks.copy()
+    m, ksub, dsub = books.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def codes(vecs: pd.Series) -> pd.Series:
+        xs = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(xs) == 0:
+            return pd.Series([], dtype=object)
+        sub = xs.reshape(len(xs), m, dsub)
+        out = np.empty((len(xs), m), dtype=np.int32)
+        for j in range(m):
+            # ||x-c||² argmin == (||c||² - 2x·c) argmin: one (B,ksub) GEMM
+            # per subspace instead of a (B,ksub,dsub) broadcast tensor
+            cn = (books[j] ** 2).sum(axis=1)
+            out[:, j] = (cn[None, :] - 2.0 * sub[:, j, :] @ books[j].T
+                         ).argmin(axis=1)
+        return pd.Series(list(out))
+
+    return embeddings.withColumn("code", codes(F.col(vec_col)))
+
+
+def _pq_lut_col(lut: np.ndarray):
+    """(m, ksub) numpy table → array<array<double>> literal column."""
+    return F.array(*[
+        F.array(*[F.lit(float(v)) for v in row]) for row in lut
+    ])
+
+
+def pq_topk(coded: DataFrame, codebooks: np.ndarray, qvec: list[float],
+            k: int = 10, refine: int | None = None,
+            vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """ADC top-k over PQ codes: approx cosine(q, doc) from the code array
+    alone via literal lookup tables — dot(q, recon) = Σⱼ LUT[j][codeⱼ] and
+    |recon|² = Σⱼ NLUT[j][codeⱼ] — evaluated as pure JVM array expressions
+    (element_at over a literal array<array<double>>), no Python in the
+    scan, single TakeOrderedAndProject.
+
+    ``refine=R`` re-scores the top R ADC candidates with exact cosine
+    (requires ``vec_col`` on the frame) and returns the exact top-k of
+    those — the standard PQ+refine serving shape; refine ≥ table size
+    degenerates to exact brute force (the identity the driver gate pins).
+    """
+    import math
+
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(qvec, dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError(f"query dim {q.shape[0]} != codebook dim {m * dsub}")
+    qsub = q.reshape(m, dsub)
+    # per-subspace tables: dot(q_j, c) and |c|² for every centroid
+    lut = np.einsum("jd,jkd->jk", qsub, codebooks)
+    nlut = (codebooks ** 2).sum(axis=2)
+    qnorm = math.sqrt(float((q * q).sum()))
+
+    dot_c = _pq_lut_col(lut)
+    nrm_c = _pq_lut_col(nlut)
+    js = F.sequence(F.lit(1), F.lit(m))
+    pick = lambda tbl, j: F.element_at(F.element_at(tbl, j),
+                                       F.element_at(F.col("code"), j) + 1)
+    dot = F.aggregate(js, F.lit(0.0), lambda acc, j: acc + pick(dot_c, j))
+    rn2 = F.aggregate(js, F.lit(0.0), lambda acc, j: acc + pick(nrm_c, j))
+    adc = dot / (F.sqrt(rn2) * F.lit(qnorm))
+
+    scored = coded.withColumn("adc_cosine", F.round(adc, 6))
+    if refine is None:
+        return (scored
+                .select(F.col(id_col).alias("vec_id"), "adc_cosine")
+                .orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
+                .limit(k))
+    cand = (scored
+            .orderBy(F.desc("adc_cosine"), F.asc(id_col))
+            .limit(refine)
+            .drop("adc_cosine"))
+    return cosine_topk(cand, qvec, k, vec_col, id_col)

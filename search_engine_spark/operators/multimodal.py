@@ -1,13 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata (task brief).
 
-The decode step is STUBBED — no image/audio libraries exist in this
-container — behind ``decoder=`` hooks: the default raises
+Decoding is pluggable via ``decoder=`` hooks. Two formats are REAL,
+implemented pure-numpy/stdlib because no media libraries exist in this
+container: 24-bit uncompressed BMP (``bmp_encode``/``bmp_decode``, the
+image path) and 16-bit PCM RIFF/WAV (``wav_encode``/``wav_decode``, the
+audio path — real signal features and resampling run end-to-end on it).
+Every other format stays a declared stub: the default decoder raises
 NotImplementedError; ``fake_image_decoder``/``fake_audio_decoder`` are
 deterministic stand-ins so the Spark-side plumbing (schema, mapInPandas
-batch shape, partition sizing, UDF signatures) is real and tested. On a
-cluster with Pillow/ffmpeg installed, swap the decoder callable; nothing
-else changes.
+batch shape, partition sizing, UDF signatures) is tested regardless. On
+a cluster with Pillow/ffmpeg installed, swap the decoder callable;
+nothing else changes.
 
 Scale notes: binary payloads never shuffle — feature extraction is a
 narrow mapInPandas directly after the scan; only the small feature
@@ -216,3 +220,173 @@ def resize_images(media: DataFrame, target_w: int = 32, target_h: int = 32,
             yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAV/PCM audio: the one audio container expressible without external
+# libraries (RIFF framing + 16-bit PCM is pure struct/numpy), making the
+# audio half of the multimodal surface REAL the same way the BMP codec
+# made the image half real: synthesize → decode → feature-extract →
+# resample round-trips run end-to-end in tests, and a cluster with
+# soundfile/ffmpeg swaps the decoder callable for other formats.
+# ---------------------------------------------------------------------------
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """float array in [-1, 1] (n,) mono or (n, ch) → 16-bit PCM WAV bytes."""
+    import struct
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    n_ch = pcm.shape[1]
+    byte_rate = sample_rate * n_ch * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, n_ch, sample_rate,
+                      byte_rate, n_ch * 2, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def wav_decode(payload: bytes, kind: str = "audio"):
+    """16-bit PCM WAV bytes → ((n, ch) float64 in [-1, 1), sample_rate).
+    Walks RIFF chunks (tolerates extras like LIST/fact before data)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n_ch, rate, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only 16-bit PCM supported (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if n_ch is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    pcm = np.frombuffer(data, dtype="<i2")
+    pcm = pcm[: (len(pcm) // n_ch) * n_ch].reshape(-1, n_ch)
+    return pcm.astype(np.float64) / 32768.0, int(rate)
+
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("rms", DoubleType()),
+    StructField("zcr_hz", DoubleType()),          # zero crossings / second
+    StructField("spectral_centroid_hz", DoubleType()),
+    StructField("peak", DoubleType()),
+])
+
+
+def audio_features(media: DataFrame,
+                   decoder: Callable = wav_decode) -> DataFrame:
+    """audio rows → per-clip signal features, computed with numpy on the
+    mono mix inside a narrow mapInPandas (payloads never shuffle; only
+    the 7 scalars proceed downstream). For a pure tone at f Hz:
+    zcr_hz ≈ 2f and spectral_centroid_hz ≈ f — the sanity anchors the
+    tests pin. Sized for Arrow batching like extract_features."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "audio":
+                    continue
+                x, rate = decoder(r.payload if r.payload is not None else b"",
+                                  r.kind)
+                mono = np.asarray(x, dtype=np.float64).mean(axis=1)
+                n = len(mono)
+                if n == 0:
+                    rows.append({"media_id": r.media_id, "sample_rate": rate,
+                                 "n_samples": 0, "rms": 0.0, "zcr_hz": 0.0,
+                                 "spectral_centroid_hz": 0.0, "peak": 0.0})
+                    continue
+                crossings = int(np.count_nonzero(
+                    np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                mag = np.abs(np.fft.rfft(mono))
+                freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                msum = float(mag.sum())
+                rows.append({
+                    "media_id": r.media_id, "sample_rate": rate,
+                    "n_samples": n,
+                    "rms": float(np.sqrt((mono ** 2).mean())),
+                    "zcr_hz": crossings * rate / max(n - 1, 1),
+                    "spectral_centroid_hz":
+                        float((freqs * mag).sum() / msum) if msum else 0.0,
+                    "peak": float(np.abs(mono).max()),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_FEATURE_SCHEMA.fields])
+
+    return (media.select("media_id", "kind", "payload")
+            .mapInPandas(run, AUDIO_FEATURE_SCHEMA))
+
+
+def resample_audio(media: DataFrame, target_hz: int = 8_000,
+                   decoder: Callable = wav_decode,
+                   encoder: Callable = wav_encode) -> DataFrame:
+    """Linear-interpolation resample of audio payloads to ``target_hz``,
+    re-encoded as 16-bit PCM WAV — the audio analog of resize_images
+    (narrow mapInPandas, duration preserved, metadata updated)."""
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "audio":
+                    continue
+                x, rate = decoder(r.payload if r.payload is not None else b"",
+                                  r.kind)
+                x = np.asarray(x, dtype=np.float64)
+                n = x.shape[0]
+                new_n = max(int(round(n * target_hz / rate)), 1)
+                t_new = np.arange(new_n) * (rate / target_hz)
+                t_old = np.arange(n, dtype=np.float64)
+                y = np.stack([np.interp(t_new, t_old, x[:, c])
+                              for c in range(x.shape[1])], axis=1)
+                out.append({
+                    "media_id": r.media_id, "kind": r.kind, "mime": r.mime,
+                    "payload": encoder(y, target_hz),
+                    "width": r.width, "height": r.height,
+                    "duration_ms": int(round(new_n * 1000 / target_hz)),
+                })
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             MEDIA_SCHEMA.fields])
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synthesize_audio_media(spark, n: int = 32, sample_rate: int = 16_000,
+                           partitions: int = 4) -> DataFrame:
+    """Deterministic REAL-WAV media table: clip i is a pure sine at
+    (220 + 20·i) Hz plus a faint second harmonic, 0.25-1.0 s long —
+    known ground-truth frequencies for the feature tests."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                f0 = 220.0 + 20.0 * i
+                dur = 0.25 + (i % 4) * 0.25
+                t = np.arange(int(sample_rate * dur)) / sample_rate
+                x = (0.6 * np.sin(2 * np.pi * f0 * t)
+                     + 0.05 * np.sin(2 * np.pi * 2 * f0 * t))
+                rows.append({
+                    "media_id": i, "kind": "audio", "mime": "audio/wav",
+                    "payload": wav_encode(x, sample_rate),
+                    "width": 0, "height": 0,
+                    "duration_ms": int(dur * 1000),
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(
+        gen, MEDIA_SCHEMA)

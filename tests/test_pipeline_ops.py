@@ -649,3 +649,75 @@ def test_pq_adc_scan_is_jvm_only(spark, emb, tmp_path):
     txt = df._jdf.queryExecution().explainString(mode)
     assert "EvalPython" not in txt  # no BatchEvalPython / ArrowEvalPython
     assert "TakeOrderedAndProject" in txt
+
+
+# ---------------------------------------------------------------------------
+# WAV/PCM audio (multimodal.wav_* / audio_features / resample_audio)
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_exact():
+    rng = np.random.default_rng(3)
+    pcm = rng.integers(-32768, 32768, size=(1000, 2)).astype(np.int64)
+    x = pcm / 32768.0
+    decoded, rate = multimodal.wav_decode(multimodal.wav_encode(x, 22050))
+    assert rate == 22050
+    assert decoded.shape == (1000, 2)
+    assert np.array_equal(np.round(decoded * 32768.0).astype(np.int64), pcm)
+
+
+def test_wav_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        multimodal.wav_decode(b"not a wav at all")
+
+
+def test_audio_features_pure_tone(spark):
+    """440 Hz sine at 16 kHz: zero-crossing rate ≈ 2f, spectral centroid
+    ≈ f (leakage + the faint 2nd harmonic push it slightly up), rms ≈
+    a/√2 — the physics anchors that make the features trustworthy."""
+    sr = 16_000
+    t = np.arange(sr) / sr
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    from pyspark.sql import Row
+    media = spark.createDataFrame(
+        [Row(media_id=0, kind="audio", mime="audio/wav",
+             payload=bytearray(multimodal.wav_encode(x, sr)),
+             width=0, height=0, duration_ms=1000)],
+        multimodal.MEDIA_SCHEMA)
+    f = multimodal.audio_features(media).collect()[0]
+    assert f.sample_rate == sr and f.n_samples == sr
+    assert f.zcr_hz / 2 == pytest.approx(440.0, abs=2.0)
+    assert f.spectral_centroid_hz == pytest.approx(440.0, abs=25.0)
+    assert f.rms == pytest.approx(0.5 / np.sqrt(2), abs=1e-3)
+    assert f.peak == pytest.approx(0.5, abs=1e-3)
+
+
+def test_audio_features_over_synthesized_table(spark):
+    media = multimodal.synthesize_audio_media(spark, 16)
+    feats = {r.media_id: r for r in multimodal.audio_features(media).collect()}
+    assert len(feats) == 16
+    for i, r in feats.items():
+        want = 220.0 + 20.0 * i
+        assert r.zcr_hz / 2 == pytest.approx(want, rel=0.02), i
+        assert r.peak <= 0.66
+
+
+def test_resample_audio_preserves_signal(spark):
+    media = multimodal.synthesize_audio_media(spark, 6, sample_rate=16_000)
+    down = multimodal.resample_audio(media, target_hz=8_000)
+    orig = {r.media_id: r for r in media.collect()}
+    feats = {r.media_id: r for r in multimodal.audio_features(down).collect()}
+    for i, r in feats.items():
+        assert r.sample_rate == 8_000
+        # duration preserved within one sample
+        assert r.n_samples == pytest.approx(
+            orig[i].duration_ms * 8, abs=8)
+        # tone survives downsampling (all tones < 4 kHz Nyquist)
+        assert r.zcr_hz / 2 == pytest.approx(220.0 + 20.0 * i, rel=0.03)
+
+
+def test_audio_features_skip_non_audio(spark):
+    media = multimodal.synthesize_media(spark, 30)  # random-byte payloads
+    only_audio = multimodal.synthesize_audio_media(spark, 5)
+    both = media.filter(F.col("kind") != "audio").unionByName(only_audio)
+    out = multimodal.audio_features(both).collect()
+    assert {r.media_id for r in out} == set(range(5))

@@ -390,6 +390,18 @@ def q_ivf_topk_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_bpe_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed stage of BPE tokenizer training (operators/bpe.py
+    word_counts → deterministic top cap): corpus-wide pre-token
+    frequencies, heaviest 100. The driver-side merge loop on top of this
+    table is gated in pytest against an independent reference trainer
+    (not SQL-expressible — iterative)."""
+    from search_engine_spark.operators import bpe
+
+    return (bpe.word_counts(_docs(spark, sf_dir))
+            .orderBy(F.desc("cnt"), F.asc("word")).limit(100))
+
+
 def q_pq_refine_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN end-to-end (per-subspace k-means fit →
     code assign → JVM-side ADC lookup-table scan → exact refine): with
@@ -778,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "ivf_topk_identity": q_ivf_topk_identity,
         "pq_refine_identity": q_pq_refine_identity,
+        "bpe_top_words": q_bpe_top_words,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "mixture_rebalance": q_mixture_rebalance,
@@ -1206,6 +1219,10 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
                 ORDER BY c6 DESC, vec_id ASC LIMIT 10
             )
         """,
+        # mirrors bpe.word_counts + the deterministic top-100 cap; the
+        # pretoken regex is shared with bpe_pretokens (one source of
+        # truth, RE2-safe on both engines)
+        "bpe_top_words": _bpe_top_words_sql(),
         # identical semantics against the vec_id=2 query vector: the
         # engine routes through PQ fit→assign→ADC→refine with refine =
         # table size, which must degenerate to brute force
@@ -1473,6 +1490,21 @@ def _doc_keywords_sql() -> str:
 
     return doc_keywords_oracle_sql(
         n_docs_sql="SELECT COUNT(*) FROM documents", m=3, tok_sql=_TOK)
+
+
+def _bpe_top_words_sql() -> str:
+    from search_engine_spark.operators.textquality import BPE_PRETOKEN_RE
+
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return rf"""
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(regexp_extract_all(COALESCE(text, ''),
+                '{pat}')) AS word
+            FROM documents
+        ) WHERE NOT regexp_matches(word, '^[ \t\n\r]+$')
+        GROUP BY word
+        ORDER BY cnt DESC, word ASC LIMIT 100
+    """
 
 
 def _bpe_pretokens_sql() -> str:

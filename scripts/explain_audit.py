@@ -415,6 +415,30 @@ def main() -> int:
         ],
     )
 
+    # 13. PQ ADC serving scan: once codes are materialized, scoring is
+    # literal lookup tables + element_at — pure JVM, no Python eval, one
+    # TakeOrderedAndProject, and the scan reads ONLY (id, code) — the
+    # raw vector column must be pruned out of the compressed path
+    from search_engine_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = SIM.pq_fit(emb, m=8, ksub=16, iters=3)
+    pq_dir = tempfile.mkdtemp(prefix="audit_pq_")
+    SIM.pq_assign(emb, books).write.parquet(os.path.join(pq_dir, "coded"))
+    coded = spark.read.parquet(os.path.join(pq_dir, "coded"))
+    qv = [float(x) for x in emb.limit(1).collect()[0].embedding]
+    p13 = plan_of(SIM.pq_topk(coded, books, qv, 10))
+    check(
+        "PQ ADC compressed ANN scan", p13,
+        [
+            ("no Python UDF in the serving scan",
+             r"BatchEvalPython|ArrowEvalPython", False),
+            ("top-k is TakeOrderedAndProject", r"TakeOrderedAndProject", True),
+            ("vector column pruned from ReadSchema",
+             r"ReadSchema:[^\n]*embedding", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -194,8 +194,8 @@ def main() -> None:
 
     # -- phase 4: training-data pipeline ops (first-class per task brief) ---
     from search_engine_spark.operators import (corpusstats, decontam, dedup,
-                                               graph, hosts, packing,
-                                               sampling, similarity,
+                                               graph, hosts, multimodal,
+                                               packing, sampling, similarity,
                                                textquality, urls)
 
     docs = corpus.read_documents(spark, sf_dir)
@@ -245,7 +245,29 @@ def main() -> None:
         "p_top_bigrams": lambda: corpusstats.top_ngrams(docs, n=2, k=50)
         .count(),
         "p_anchor_fielded": lambda: _anchor_fielded(docs, n_docs),
+        # compressed-ANN serving: codebook fit + code assign + JVM ADC
+        # scan + exact refine (the pq_refine_identity path, end-to-end)
+        "p_pq_refine": lambda: _pq_refine(emb, qvec),
+        # BPE trainer: distributed word counts -> capped table -> driver
+        # merge loop -> learned-merges token bill back over the corpus
+        "p_bpe_train": lambda: _bpe_train(docs),
+        # real-WAV multimodal: synthesize 256 PCM clips, decode + signal
+        # features in one narrow mapInPandas
+        "p_audio_features": lambda: multimodal.audio_features(
+            multimodal.synthesize_audio_media(spark, 256, partitions=cpus)
+        ).count(),
     }
+    def _pq_refine(emb_df, qv):
+        books = similarity.pq_fit(emb_df, m=8, ksub=16, iters=5)
+        coded = similarity.pq_assign(emb_df, books)
+        return similarity.pq_topk(coded, books, qv, 10, refine=100).count()
+
+    def _bpe_train(docs_df):
+        from search_engine_spark.operators import bpe
+
+        merges, _ = bpe.learn_bpe(docs_df, n_merges=50, max_words=20_000)
+        return bpe.bpe_token_count(docs_df, merges) \
+            .agg(F.sum("n_bpe_tokens")).count()
     def _anchor_fielded(docs_df, n):
         from search_engine_spark.operators import search as S
 

@@ -390,6 +390,19 @@ def q_ivf_topk_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup): cluster
+    the embedding space, drop any vector whose cell holds a lower-id
+    neighbor at cosine >= threshold. With n_centroids=1 the cell covers
+    the table, so the survivor set must equal the exact pairwise SQL rule
+    — the clustered path's recall is pytest-gated separately."""
+    from search_engine_spark.operators import similarity
+    from search_engine_spark.sources.corpus import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.4, n_centroids=1)
+
+
 def q_bpe_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed stage of BPE tokenizer training (operators/bpe.py
     word_counts → deterministic top cap): corpus-wide pre-token
@@ -791,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_identity": q_ivf_topk_identity,
         "pq_refine_identity": q_pq_refine_identity,
         "bpe_top_words": q_bpe_top_words,
+        "semdedup_survivors": q_semdedup_survivors,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "mixture_rebalance": q_mixture_rebalance,
@@ -1223,6 +1237,19 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
         # pretoken regex is shared with bpe_pretokens (one source of
         # truth, RE2-safe on both engines)
         "bpe_top_words": _bpe_top_words_sql(),
+        # the n_centroids=1 identity: survivor iff no lower-id vector sits
+        # at round-6 cosine >= 0.4 (same rounding-then-threshold contract
+        # as near_dup_pairs)
+        "semdedup_survivors": """
+            SELECT e.vec_id FROM embeddings e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings o
+                WHERE o.vec_id < e.vec_id
+                  AND ROUND(list_cosine_similarity(
+                          CAST(o.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])), 6) >= 0.4
+            )
+        """,
         # identical semantics against the vec_id=2 query vector: the
         # engine routes through PQ fit→assign→ADC→refine with refine =
         # table size, which must degenerate to brute force

@@ -408,3 +408,44 @@ def pq_topk(coded: DataFrame, codebooks: np.ndarray, qvec: list[float],
             .limit(refine)
             .drop("adc_cosine"))
     return cosine_topk(cand, qvec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): k-means-cluster the embedding space,
+# then prune near-duplicates WITHIN each cluster — the O(n²) pairwise
+# cosine becomes per-cell co-partitioned self-joins bounded by cluster
+# size, the standard trick for pruning semantically redundant web docs
+# before LLM training. Cross-cell near-dups are the accepted
+# approximation (raise n_centroids to shrink cells, not recall);
+# n_centroids=1 degenerates to the exact pairwise rule, which is the
+# SQL-expressible identity the driver gate pins.
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
+                   n_centroids: int = 16, iters: int = 5,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """→ (vec_id) survivors. Drop rule (deterministic, mirrors the
+    exact-pair oracle): a vector is dropped iff some LOWER-id vector in
+    its cell has cosine ≥ threshold with it — every ε-neighborhood keeps
+    its smallest id. Cosines round to 6dp before the threshold like
+    embedding_pairs_exact, so engine and oracle cut identically."""
+    cent = ivf_fit(embeddings, n_centroids=n_centroids, iters=iters,
+                   vec_col=vec_col, id_col=id_col)
+    assigned = ivf_assign(embeddings, cent, vec_col)
+    a = assigned.select(F.col(id_col).alias("id_a"), "cell",
+                        F.col(vec_col).cast("array<double>").alias("vec_a"))
+    b = assigned.select(F.col(id_col).alias("id_b"), "cell",
+                        F.col(vec_col).cast("array<double>").alias("vec_b"))
+    dot = F.aggregate(F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (_norm(F.col("vec_a")) * _norm(F.col("vec_b")))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cos, 6) >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .dropDuplicates([id_col])
+    )
+    return (embeddings.select(id_col)
+            .join(dropped, id_col, "left_anti"))

@@ -721,3 +721,45 @@ def test_audio_features_skip_non_audio(spark):
     both = media.filter(F.col("kind") != "audio").unionByName(only_audio)
     out = multimodal.audio_features(both).collect()
     assert {r.media_id for r in out} == set(range(5))
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (similarity.semantic_dedup)
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_single_cell_is_exact(spark, emb):
+    """n_centroids=1 must equal the brute-force rule: drop iff a lower-id
+    vector sits at cosine >= threshold (derived here from the exact pair
+    join — the same identity the driver gate pins in SQL)."""
+    pairs = similarity.embedding_pairs_exact(emb, threshold=0.4).collect()
+    dropped = {p.id_b for p in pairs}
+    want = {r.vec_id for r in emb.collect()} - dropped
+    got = {r.vec_id
+           for r in similarity.semantic_dedup(emb, threshold=0.4,
+                                              n_centroids=1).collect()}
+    assert got == want
+    assert 0 < len(got) < emb.count()  # the threshold actually bites
+
+
+def test_semantic_dedup_clustered_drops_planted(spark, emb):
+    """Jittered copies of 20 vectors land in the original's cell nearly
+    always (cosine ~1 → same nearest centroid unless the pair straddles a
+    boundary); the clustered path must drop almost all of them and never
+    drop an id with no >=threshold neighbor."""
+    rng = np.random.default_rng(11)
+    base = emb.filter(F.col("vec_id") < 20).collect()
+    from pyspark.sql import Row
+    dups = [Row(vec_id=3000 + r.vec_id,
+                embedding=[float(x) for x in
+                           np.asarray(r.embedding) + rng.normal(0, 0.005, 64)],
+                label=r.label)
+            for r in base]
+    both = emb.unionByName(spark.createDataFrame(dups, emb.schema))
+    survivors = {r.vec_id
+                 for r in similarity.semantic_dedup(both, threshold=0.9,
+                                                    n_centroids=8).collect()}
+    planted_dropped = sum(1 for r in base if 3000 + r.vec_id not in survivors)
+    assert planted_dropped >= 18      # ≥90% of planted copies pruned
+    assert all(r.vec_id in survivors for r in base)  # originals kept
+    # no organic pair in this table reaches 0.9 — nothing else dropped
+    assert len(survivors) >= emb.count()

@@ -390,6 +390,20 @@ def q_ivf_topk_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_rm3_alpha1_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (search.search_rm3) at alpha=1:
+    the interpolation keeps only the original unnormalized query-tf
+    weights and drops zero-weight expansion terms before pass 2, so the
+    result must equal plain BM25 top-k EXACTLY — the same oracle as
+    bm25_topk. Expansion behavior (alpha<1) is pytest-gated on a corpus
+    with planted co-occurrence structure (tests/test_rm3.py)."""
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    agg = S.search_rm3(idx, _BM25_QUERY_TERMS, k=None, alpha=1.0)
+    agg = agg.select("doc_id", F.round("score", 4).alias("score"))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
+
+
 def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (similarity.semantic_dedup): cluster
     the embedding space, drop any vector whose cell holds a lower-id
@@ -805,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_refine_identity": q_pq_refine_identity,
         "bpe_top_words": q_bpe_top_words,
         "semdedup_survivors": q_semdedup_survivors,
+        "rm3_alpha1_identity": q_rm3_alpha1_identity,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "mixture_rebalance": q_mixture_rebalance,
@@ -840,6 +855,9 @@ def oracle_sql() -> dict[str, str]:
     # the WAND serving path must reproduce EXACTLY the relational BM25
     # oracle — same query terms, same formula, same rounding/tie-break
     sql["wand_bm25_identity"] = sql["bm25_topk"]
+    # RM3 at alpha=1 must reproduce plain BM25 exactly (zero-weight
+    # expansion terms dropped, unnormalized q_tf) — same oracle
+    sql["rm3_alpha1_identity"] = sql["bm25_topk"]
     return sql
 
 

@@ -438,6 +438,73 @@ def rerank(topk_df: DataFrame, documents: DataFrame, query_terms: list[str],
     return topk(boosted.select("doc_id", score.alias("score")), k)
 
 
+def search_rm3(index: InvertedIndex, toks: list[str], k: int | None = 100,
+               fb_docs: int = 10, fb_terms: int = 10,
+               alpha: float = 0.6) -> DataFrame:
+    """Pseudo-relevance-feedback expansion (RM3-style) over BM25:
+    retrieve, mine expansion terms from the top ``fb_docs`` documents,
+    re-retrieve with an interpolated weighted query.
+
+    Stage shape (and why it scales): pass 1 is a normal top-k; the
+    feedback model is built from the HYDRATED TEXT of the fb_docs hits
+    (a broadcast join + driver-side analyze of ≤ fb_docs documents —
+    O(k) driver work like the adaptive-tier counts, NOT a postings
+    rescan: filtering the term-partitioned postings by doc_id would
+    full-scan the index per query); pass 2 is one weighted scoring pass
+    over original + expansion terms.
+
+    Relevance model: rm1(t) = Σ_D s_D·tf(t,D)/|D| over the feedback
+    docs, s_D = score_D/Σscore (scores shifted to ≥0 first — LM scores
+    are negative). Final term weight α·q_tf(t) + (1−α)·S·rm1(t), with
+    S = Σq_tf — UNNORMALIZED q_tf, so ``alpha=1`` reproduces the plain
+    BM25 scores EXACTLY (zero-weight expansion terms are dropped before
+    pass 2, so no 0-score docs leak into the tail either) — the
+    identity the driver gate pins. Expansion terms come pre-analyzed
+    (they are index vocabulary read back through the same analyzer).
+    """
+    from ..functions.analyzer import analyze
+
+    if index.documents is None:
+        raise ValueError("RM3 needs the documents table on the index "
+                         "handle (feedback docs are re-read as text)")
+    q_tf: dict[str, float] = {}
+    for t in toks:
+        q_tf[t] = q_tf.get(t, 0.0) + 1.0
+    weights = dict(q_tf) if alpha >= 1.0 else None
+    if weights is None:
+        first = search_freetext_tokens(index, toks, k=fb_docs)
+        fb = (F.broadcast(first).join(index.documents, "doc_id")
+              .select("doc_id", "score", "text").collect())
+        weights = {t: alpha * w for t, w in q_tf.items()}
+        if fb:
+            base = min(r.score for r in fb)
+            shifted = [(r, r.score - base + 1e-9) for r in fb]
+            total_s = sum(s for _, s in shifted)
+            rm1: dict[str, float] = {}
+            for r, s in shifted:
+                dtoks = analyze(r.text or "", index.analyzer)
+                if not dtoks:
+                    continue
+                sd, dl = s / total_s, float(len(dtoks))
+                tf_d: dict[str, int] = {}
+                for t in dtoks:
+                    tf_d[t] = tf_d.get(t, 0) + 1
+                for t, tf in tf_d.items():
+                    rm1[t] = rm1.get(t, 0.0) + sd * tf / dl
+            top = sorted(rm1.items(), key=lambda kv: (-kv[1], kv[0]))
+            scale = (1.0 - alpha) * sum(q_tf.values())
+            for t, w in top[:fb_terms]:
+                weights[t] = weights.get(t, 0.0) + scale * w
+    terms = sorted(t for t, w in weights.items() if w > 0)
+    if not terms:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double")
+    scored = _scored_frame(index, terms, "bm25", weights)
+    agg = scored.groupBy("doc_id").agg(F.sum("weight").alias("score"))
+    k = effective_k(index, k)
+    return agg if k is None else topk(agg, k)
+
+
 def hydrate(topk_df: DataFrame, documents: DataFrame) -> DataFrame:
     """Top-k article hydration = broadcast hash join (S10; replaces the
     reference's Postgres in_bulk at helpers.py:176-179)."""

@@ -5,7 +5,8 @@ spark-submit --py-files dist/engine.zip jobs/query_topk.py \
     [--model bm25|bm25-reference|vsm|lm-dirichlet|lm-pyp] \
     [--wand] [--date-start 2022-01-01 --date-end 2022-01-31] \
     [--documents /data/documents_parquet] \
-    [--prior /data/ranks [--prior-lam 0.3]]
+    [--prior /data/ranks [--prior-lam 0.3]] \
+    [--rm3-alpha 0.6 [--rm3-fb-docs 10 --rm3-fb-terms 10]]
 
 Prints one JSON line per hit: {"rank", "doc_id", "score"}.
 --wand uses the Block-Max WAND kernel (BM25 only); default is the
@@ -48,7 +49,21 @@ def main() -> None:
                     help="(node, rank) parquet (jobs/pagerank.py output): "
                          "blend the static prior into ranked queries")
     ap.add_argument("--prior-lam", type=float, default=0.3)
+    ap.add_argument("--rm3-alpha", type=float, default=None,
+                    help="enable RM3 pseudo-relevance feedback: weight of "
+                         "the original query in [0,1] (plain free-text "
+                         "bm25 only; 1.0 = no expansion)")
+    ap.add_argument("--rm3-fb-docs", type=int, default=10)
+    ap.add_argument("--rm3-fb-terms", type=int, default=10)
     args = ap.parse_args()
+    if args.rm3_alpha is not None:
+        if args.wand:
+            ap.error("--rm3-alpha needs the relational path; drop --wand")
+        if not args.documents:
+            ap.error("--rm3-alpha needs --documents (feedback docs are "
+                     "re-read as text)")
+        if not 0.0 <= args.rm3_alpha <= 1.0:
+            ap.error("--rm3-alpha must be in [0, 1]")
     if args.wand and args.prior:
         ap.error("--wand scores pure BM25 (the kernel has no prior "
                  "mixture); drop --wand to use --prior")
@@ -108,6 +123,8 @@ def main() -> None:
             spellchecker=checker, symbols=symbols,
             abbreviations=abbreviations,
             prior=prior, prior_lam=args.prior_lam,
+            rm3_alpha=args.rm3_alpha, rm3_fb_docs=args.rm3_fb_docs,
+            rm3_fb_terms=args.rm3_fb_terms,
         )
         hits = [(r.doc_id, r.score) for r in df.collect()]
 

@@ -44,7 +44,8 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             spellchecker=None, symbols: frozenset[str] = frozenset(),
             abbreviations: dict[str, str] | None = None,
             prior: DataFrame | None = None, prior_lam: float = 0.3,
-            ) -> DataFrame:
+            rm3_alpha: float | None = None, rm3_fb_docs: int = 10,
+            rm3_fb_terms: int = 10) -> DataFrame:
     """→ (doc_id, score) for ranked kinds; (doc_id, score=0.0) for
     proximity/boolean kinds (reference returns those unranked).
 
@@ -98,6 +99,10 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
         # (pruning) and falls back to the warc_ts pushdown filter
         cand = date_candidates(index.documents, date_start, date_end)
 
+    if rm3_alpha is not None and not isinstance(plan, planner.FreeTextPlan):
+        raise ValueError("RM3 supports plain free-text queries only "
+                         "(no phrases/boolean/proximity)")
+
     if isinstance(plan, planner.ProximityPlan):
         docs = PH.proximity_docs(index, plan.t1, plan.t2, plan.k)
         if cand is not None:
@@ -132,6 +137,28 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             docs.select("doc_id", F.lit(0.0).alias("score"))
             .orderBy("doc_id").limit(B.BOOLEAN_RESULT_CUT)
         )
+
+    # RM3 expansion (search.search_rm3) applies to PLAIN free-text BM25
+    # only; every unsupported combination is refused explicitly (the
+    # --wand guard style) rather than silently ignoring the expansion:
+    # phrase/boolean/proximity plans have no bag-of-words weight vector
+    # to interpolate, other models define no RM3 weighting here, and a
+    # date filter would need the feedback pass restricted too
+    if rm3_alpha is not None:
+        if plan.phrases or not plan.terms:
+            raise ValueError("RM3 supports plain free-text queries only "
+                             "(no phrases/boolean/proximity)")
+        if model != "bm25":
+            raise ValueError(f"RM3 is defined over bm25 here, not {model!r}")
+        if cand is not None:
+            raise ValueError("RM3 with a date filter is not supported — "
+                             "drop the range or the expansion")
+        scored = search_mod.search_rm3(
+            index, plan.terms, k=None, fb_docs=rm3_fb_docs,
+            fb_terms=rm3_fb_terms, alpha=rm3_alpha)
+        if prior is not None:
+            scored = search_mod.blend_doc_prior(scored, prior, lam=prior_lam)
+        return scored if k is None else topk(scored, k)
 
     # free text (with optional embedded phrases) — inner frames are
     # UNRANKED (k=None): a per-frame top-k with k=n_docs would be a full

@@ -70,3 +70,26 @@ def test_rm3_requires_documents(spark, toy_idx):
     bare = dataclasses.replace(toy_idx, documents=None)
     with pytest.raises(ValueError, match="documents"):
         S.search_rm3(bare, ["orchard"], alpha=0.5)
+
+
+def test_executor_rm3_end_to_end(spark, toy_idx):
+    from search_engine_spark.operators import executor
+
+    out = {r.doc_id for r in
+           executor.execute(toy_idx, "orchard", k=6,
+                            rm3_alpha=0.5, rm3_fb_docs=3,
+                            rm3_fb_terms=5).collect()}
+    assert 4 in out and {1, 2, 3}.issubset(out)
+
+
+def test_executor_rm3_refusals(spark, toy_idx):
+    from datetime import date
+
+    from search_engine_spark.operators import executor
+
+    with pytest.raises(ValueError, match="free-text"):
+        executor.execute(toy_idx, '"orchard harvest"', rm3_alpha=0.5)
+    with pytest.raises(ValueError, match="free-text"):
+        executor.execute(toy_idx, "orchard AND cider", rm3_alpha=0.5)
+    with pytest.raises(ValueError, match="bm25"):
+        executor.execute(toy_idx, "orchard", rm3_alpha=0.5, model="vsm")

@@ -390,6 +390,16 @@ def q_ivf_topk_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram corpus-LM quality (textquality.bigram_logprob,
+    λ=0.8): the KenLM-filter stand-in one modeling step up from
+    unigram_logprob, value-hashed against DuckDB recomputing the same
+    p = λ·cb/hist + (1−λ)·cf/N per bigram position."""
+    from search_engine_spark.operators import textquality
+
+    return textquality.bigram_logprob(_docs(spark, sf_dir))
+
+
 def q_rm3_alpha1_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (search.search_rm3) at alpha=1:
     the interpolation keeps only the original unnormalized query-tf
@@ -820,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_top_words": q_bpe_top_words,
         "semdedup_survivors": q_semdedup_survivors,
         "rm3_alpha1_identity": q_rm3_alpha1_identity,
+        "bigram_logprob": q_bigram_logprob,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "mixture_rebalance": q_mixture_rebalance,
@@ -1398,6 +1409,42 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
                   FROM t JOIN cf USING (tok) GROUP BY t.doc_id)
             SELECT doc.doc_id,
                    COALESCE(d.n_tokens, 0) AS n_tokens,
+                   COALESCE(d.bits_per_token, 0.0) AS bits_per_token
+            FROM documents doc LEFT JOIN d USING (doc_id)
+        """,
+        # interpolated bigram LM (λ=0.8): bigrams from 1-based inclusive
+        # list slicing, history counts from the bigram table itself
+        # (NOT unigram cf — final tokens are no one's history), unigram
+        # interpolation over the same whitespace tokenization as above
+        "bigram_logprob": r"""
+            WITH w AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                  lower(COALESCE(text, '')), '\s+'),
+                                  x -> x != '') AS toks
+                       FROM documents),
+            t AS (SELECT doc_id, unnest(toks) AS tok FROM w),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(
+                              generate_series(1, greatest(len(toks) - 1, 0)),
+                              i -> toks[i] || ' ' || toks[i + 1])) AS gram
+                   FROM w),
+            cb AS (SELECT gram, COUNT(*) AS c FROM bg GROUP BY gram),
+            hist AS (SELECT split_part(gram, ' ', 1) AS w1, COUNT(*) AS c
+                     FROM bg GROUP BY 1),
+            cf AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+            d AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                         ROUND(AVG(-log2(
+                             0.8 * cb.c / hist.c
+                             + 0.2 * cf.c / (SELECT n FROM tot))), 6)
+                             AS bits_per_token
+                  FROM bg
+                  JOIN cb USING (gram)
+                  JOIN hist ON split_part(bg.gram, ' ', 1) = hist.w1
+                  JOIN cf ON split_part(bg.gram, ' ', 2) = cf.tok
+                  GROUP BY bg.doc_id)
+            SELECT doc.doc_id,
+                   COALESCE(d.n_bigrams, 0) AS n_bigrams,
                    COALESCE(d.bits_per_token, 0.0) AS bits_per_token
             FROM documents doc LEFT JOIN d USING (doc_id)
         """,

@@ -415,3 +415,84 @@ def bpe_pretoken_oracle_sql(table: str = "documents") -> str:
                    AS BIGINT) AS n_pretokens
         FROM {table}
     """
+
+
+def bigram_logprob(docs: DataFrame, lam: float = 0.8,
+                   text_col: str = "text") -> DataFrame:
+    """Interpolated-bigram corpus-LM quality signal →
+    (doc_id, n_bigrams, bits_per_token) — one modeling step up from
+    unigram_logprob toward the KenLM filter CCNet actually runs:
+
+        p(wᵢ | wᵢ₋₁) = λ·c(wᵢ₋₁wᵢ)/hist(wᵢ₋₁) + (1−λ)·cf(wᵢ)/N
+
+    with hist(w) = count of bigrams whose FIRST token is w (the true
+    history count — c(w) would overcount docs' final tokens), all counts
+    from THIS corpus. ``bits_per_token`` = mean −log₂p over the doc's
+    bigram positions; docs with <2 tokens get 0.0.
+
+    What a SELF-trained bigram LM can and cannot separate (pytest pins
+    all three): repetitive boilerplate → near-zero bits (its bigrams
+    repeat); rare continuations of COMMON histories (e.g. normal prose
+    wandering into nonsense after a stopword) → high bits, a signal the
+    unigram model underweights; hapax-token soup → LOW bigram bits,
+    because a singleton history makes its one continuation look
+    deterministic (cb/hist = 1/1) — self-scoring can never find its own
+    singletons surprising. Soup is unigram_logprob's job (its cf/N term
+    explodes there); run BOTH and filter on the pair, which is exactly
+    the split CCNet resolves with an externally-trained KenLM that
+    cannot ship in this sandbox.
+
+    Plan shape: bigrams are built JVM-side from the token array
+    (zip_with over two slices — no positional self-join), then three
+    vocab-sized count aggs (bigram, history, unigram) join back onto the
+    exploded bigram stream; AQE broadcasts the count sides for
+    real-world vocabularies. Same two-scan trade as unigram_logprob."""
+    toks_arr = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    base = docs.select("doc_id", toks_arr.alias("_toks"))
+    n = F.size("_toks")
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("_toks", F.lit(1), F.greatest(n - 1, F.lit(0))),
+                F.slice("_toks", F.lit(2), F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("gram"),
+    )
+    toks = base.select(F.explode("_toks").alias("tok"))
+    cb = grams.groupBy("gram").agg(F.count("*").alias("_cb"))
+    hist = (grams
+            .select(F.substring_index("gram", " ", 1).alias("_w1h"))
+            .groupBy("_w1h").agg(F.count("*").alias("_ch")))
+    cf = toks.groupBy("tok").agg(F.count("*").alias("_cf"))
+    total = toks.agg(F.count("*").cast("double").alias("_n"))
+    p = (F.lit(lam) * F.col("_cb") / F.col("_ch")
+         + F.lit(1.0 - lam) * F.col("_cf") / F.col("_n"))
+    scored = (
+        grams
+        .withColumn("_w1", F.substring_index("gram", " ", 1))
+        .withColumn("_w2", F.substring_index("gram", " ", -1))
+        .join(cb, "gram")
+        .join(hist, F.col("_w1") == F.col("_w1h"))
+        .join(cf, F.col("_w2") == F.col("tok"))
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast(LongType()).alias("n_bigrams"),
+            F.round(F.avg(-F.log2(p)), 6).alias("bits_per_token"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("bits_per_token"), F.lit(0.0))
+            .alias("bits_per_token"),
+        )
+    )

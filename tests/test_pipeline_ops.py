@@ -763,3 +763,64 @@ def test_semantic_dedup_clustered_drops_planted(spark, emb):
     assert all(r.vec_id in survivors for r in base)  # originals kept
     # no organic pair in this table reaches 0.9 — nothing else dropped
     assert len(survivors) >= emb.count()
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """λ=0.8 interpolated bigram bits, hand-derived: corpus tokens
+    a×5 b×3 c×1 x×1 (N=10); bigrams 'a b'×2,'b a','a a','b c','c a';
+    histories a=3, b=2, c=1."""
+    rows = [(1, "a b a b"), (2, "a a"), (3, "x"), (4, None), (5, "b c a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.bits_per_token)
+           for r in textquality.bigram_logprob(df, lam=0.8).collect()}
+
+    def p(cb, ch, cf):
+        return 0.8 * cb / ch + 0.2 * cf / 10
+
+    d1 = [p(2, 3, 3), p(1, 2, 5), p(2, 3, 3)]       # a b, b a, a b
+    d2 = [p(1, 3, 5)]                                # a a
+    d5 = [p(1, 2, 1), p(1, 1, 5)]                    # b c, c a
+    want = {
+        1: (3, round(float(np.mean([-math.log2(x) for x in d1])), 6)),
+        2: (1, round(-math.log2(d2[0]), 6)),
+        3: (0, 0.0),
+        4: (0, 0.0),
+        5: (2, round(float(np.mean([-math.log2(x) for x in d5])), 6)),
+    }
+    assert got == want
+
+
+def test_bigram_logprob_signal_shape(spark, docs):
+    """Pins what a SELF-trained bigram LM separates (docstring contract):
+    boilerplate ≈ 0 bits; rare continuations of a COMMON history are
+    expensive; hapax soup is CHEAP here (singleton histories look
+    deterministic) but explodes under unigram_logprob — the pair is the
+    filter."""
+    from pyspark.sql import Row
+
+    # find a genuinely common token to use as the shared history
+    head_tok = (docs.select(F.explode(F.split(F.lower("text"), r"\s+"))
+                            .alias("t"))
+                .groupBy("t").count().orderBy(F.desc("count"))
+                .first().t)
+    extra = [
+        Row(doc_id=900001, text=("click here subscribe now " * 30).strip(),
+            lang="en", source="x", n_chars=1),
+        Row(doc_id=900002,
+            text=" ".join(f"{head_tok} qznovel{i}" for i in range(40)),
+            lang="en", source="x", n_chars=1),
+        Row(doc_id=900003,
+            text=" ".join(f"qz{i}visoup{i * 7}" for i in range(60)),
+            lang="en", source="x", n_chars=1),
+    ]
+    both = docs.unionByName(spark.createDataFrame(extra, docs.schema))
+    bg = {r.doc_id: r.bits_per_token
+          for r in textquality.bigram_logprob(both).collect()
+          if r.doc_id >= 900001}
+    un = {r.doc_id: r.bits_per_token
+          for r in textquality.unigram_logprob(both).collect()
+          if r.doc_id >= 900001}
+    assert bg[900001] < 2.0                    # boilerplate: cheap bigrams
+    assert bg[900002] > bg[900001] + 3.0       # common-history novelty: dear
+    assert bg[900003] < 4.0                    # hapax soup: self-LM blind...
+    assert un[900003] > un[900001] + 3.0       # ...but unigram catches it

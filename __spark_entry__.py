@@ -390,6 +390,17 @@ def q_ivf_topk_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints (dedup.winnow_fingerprints, k=5
+    w=4): per-doc distinct window-min gram hashes — value-hashed against
+    DuckDB recomputing md5 k-gram hashes and lexicographic window
+    minima. The overlap-pair join and its selection guarantee (shared
+    runs >= w+k−1 always share a fingerprint) are pytest-gated."""
+    from search_engine_spark.operators import dedup
+
+    return dedup.winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram corpus-LM quality (textquality.bigram_logprob,
     λ=0.8): the KenLM-filter stand-in one modeling step up from
@@ -831,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_survivors": q_semdedup_survivors,
         "rm3_alpha1_identity": q_rm3_alpha1_identity,
         "bigram_logprob": q_bigram_logprob,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "mixture_rebalance": q_mixture_rebalance,
@@ -1411,6 +1423,28 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
                    COALESCE(d.n_tokens, 0) AS n_tokens,
                    COALESCE(d.bits_per_token, 0.0) AS bits_per_token
             FROM documents doc LEFT JOIN d USING (doc_id)
+        """,
+        # winnowing: k=5 gram hashes (decontam's md5-16 contract, and
+        # toks[i:i+4] is DuckDB's inclusive 5-element slice), w=4
+        # window minima are lexicographic == numeric on the hex prefix
+        "winnow_fingerprints": r"""
+            WITH w AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                  lower(COALESCE(text, '')), '\s+'),
+                                  x -> x != '') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         list_transform(
+                             generate_series(1, greatest(len(toks) - 4, 0)),
+                             i -> substr(md5(array_to_string(
+                                 toks[i:i+4], ' ')), 1, 16)) AS hs
+                  FROM w WHERE len(toks) >= 8),
+            f AS (SELECT doc_id,
+                         unnest(list_distinct(list_transform(
+                             generate_series(1, greatest(len(hs) - 3, 0)),
+                             j -> list_min(hs[j:j+3])))) AS fp
+                  FROM g)
+            SELECT doc_id, fp FROM f
         """,
         # interpolated bigram LM (λ=0.8): bigrams from 1-based inclusive
         # list slicing, history counts from the bigram table itself

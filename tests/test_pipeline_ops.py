@@ -824,3 +824,55 @@ def test_bigram_logprob_signal_shape(spark, docs):
     assert bg[900002] > bg[900001] + 3.0       # common-history novelty: dear
     assert bg[900003] < 4.0                    # hapax soup: self-LM blind...
     assert un[900003] > un[900001] + 3.0       # ...but unigram catches it
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (dedup.winnow_fingerprints / winnow_overlap_pairs)
+# ---------------------------------------------------------------------------
+
+def test_winnowing_guarantee_on_shared_passage(spark):
+    """The MOSS selection guarantee: two docs sharing a token run of
+    length >= w+k-1 (= 8 at k=5,w=4) MUST share a fingerprint, however
+    the surrounding text differs."""
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "intro words before anything " + passage + " closing remarks"),
+        (2, "completely different framing text " + passage + " and more"),
+        (3, "no overlap here at all just unrelated filler tokens running"),
+    ]
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b): r.shared
+             for r in dedup.winnow_overlap_pairs(docs_df,
+                                                 min_shared=1).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnowing_no_false_pairs_on_distinct_text(spark):
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(6)]
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.winnow_overlap_pairs(docs_df, min_shared=1).count() == 0
+
+
+def test_winnowing_short_docs_yield_nothing(spark):
+    rows = [(1, "only seven tokens here not quite enough"),  # 7 < k+w-1
+            (2, None), (3, "")]
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.winnow_fingerprints(docs_df).count() == 0
+
+
+def test_winnowing_max_df_drops_boilerplate(spark):
+    """A passage present in EVERY doc is boilerplate: with max_df below
+    the doc count its fingerprints are dropped and no pairs emerge; with
+    a permissive max_df the clique appears."""
+    boiler = "all rights reserved contact us terms of service apply here"
+    rows = [(i, f"unique lead {i} tokens q{i}z " + boiler) for i in range(8)]
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    strict = dedup.winnow_overlap_pairs(docs_df, min_shared=1, max_df=4)
+    # boundary windows (unique prefix meets boilerplate) legitimately
+    # select the boilerplate min only in the subset of docs whose unique
+    # boundary hash is larger — a few low-df fps survive; the full
+    # 28-pair boilerplate clique must NOT
+    assert strict.count() <= 6
+    loose = dedup.winnow_overlap_pairs(docs_df, min_shared=1, max_df=50)
+    assert loose.count() == 8 * 7 // 2

@@ -256,7 +256,23 @@ def main() -> None:
         "p_audio_features": lambda: multimodal.audio_features(
             multimodal.synthesize_audio_media(spark, 256, partitions=cpus)
         ).count(),
+        # SemDeDup: IVF cells + per-cell near-dup pruning
+        "p_semdedup": lambda: similarity.semantic_dedup(
+            emb, threshold=0.9, n_centroids=8).count(),
+        # winnowing passage-reuse pairs (fingerprint + bounded fp join)
+        "p_winnow_pairs": lambda: dedup.winnow_overlap_pairs(
+            docs, min_shared=2).count(),
+        # self-trained interpolated bigram LM over the corpus
+        "p_bigram_lm": lambda: textquality.bigram_logprob(docs)
+        .agg(F.avg("bits_per_token")).count(),
+        # RM3 expanded query (pass 1 + feedback + weighted pass 2)
+        "p_rm3_query": lambda: _rm3(idx),
     }
+    def _rm3(idx_):
+        from search_engine_spark.operators import search as S2
+
+        return S2.search_rm3(idx_, ["market", "price"], k=100,
+                             alpha=0.6).count()
     def _pq_refine(emb_df, qv):
         books = similarity.pq_fit(emb_df, m=8, ksub=16, iters=5)
         coded = similarity.pq_assign(emb_df, books)

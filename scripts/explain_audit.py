@@ -439,6 +439,47 @@ def main() -> int:
         ],
     )
 
+    # 14. bigram corpus-LM: all-JVM (array-slice bigrams, no Python), the
+    # 1-row total broadcast, count sides joined without a cartesian
+    from search_engine_spark.operators import textquality as TQ3
+
+    p14 = plan_of(TQ3.bigram_logprob(docs))
+    check(
+        "Bigram corpus-LM (JVM-only)", p14,
+        [
+            ("no Python UDF", r"BatchEvalPython|ArrowEvalPython", False),
+            ("1-row total arrives via broadcast", r"BroadcastExchange", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
+    # 15. winnowing pair join: the max_df cut must be a partial-agged
+    # count before the exchange, and the fp self-join is a hash join,
+    # never a cartesian/nested-loop over docs
+    from search_engine_spark.operators import dedup as DD
+
+    p15 = plan_of(DD.winnow_overlap_pairs(docs, min_shared=2))
+    check(
+        "Winnowing overlap pairs (bounded fp join)", p15,
+        [
+            ("fp df-cut partial-aggregates before exchange",
+             r"partial_count", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+            ("no BroadcastNestedLoopJoin", r"BroadcastNestedLoopJoin", False),
+        ],
+    )
+
+    # 16. semantic dedup: per-cell self-join (hash join on cell), vectors
+    # cast once, anti-join returns survivors — no cartesian anywhere
+    p16 = plan_of(SIM.semantic_dedup(emb, threshold=0.4, n_centroids=8))
+    check(
+        "Semantic dedup (per-cell join)", p16,
+        [
+            ("no CartesianProduct", r"CartesianProduct", False),
+            ("survivors via anti-join", r"LeftAnti", True),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -7,7 +7,7 @@ Endpoint parity (reference search/retrieval/urls.py:8-11, views.py):
     GET /results?query=...[&date_start=YYYY-MM-DD&date_end=...]
                 [&model=bm25|bm25-reference|vsm|lm-dirichlet|lm-pyp]
                 [&k=100][&wand=1][&snippets=1]
-                [&collapse_host=N]               → first-execution path
+                [&collapse_host=N][&rm3=0.6]     → first-execution path
                                                    (spellcheck ON,
                                                    views.py:27-97;
                                                    collapse_host caps
@@ -104,7 +104,8 @@ def create_server(index, port: int = 0, spellchecker=None,
     def run_query(query: str, k: int, model: str, ds, de,
                   first_execution: bool, use_wand: bool,
                   want_snippets: bool = False,
-                  collapse_host: int = 0) -> dict:
+                  collapse_host: int = 0,
+                  rm3_alpha: float | None = None) -> dict:
         t0 = time.perf_counter()
         if not 1 <= k <= MAX_K:
             # negative k raises deep inside Spark's limit() (a 500), and
@@ -127,6 +128,12 @@ def create_server(index, port: int = 0, spellchecker=None,
             if doc_hosts is None:
                 raise ValueError(
                     "collapse_host requires --documents with a url column")
+        if rm3_alpha is not None:
+            if use_wand:
+                raise ValueError(
+                    "rm3 requires the relational path (wand=0)")
+            if not 0.0 <= rm3_alpha <= 1.0:
+                raise ValueError(f"rm3 must be in [0, 1], got {rm3_alpha}")
         if (ds is None) != (de is None):
             # a half-open range would be silently dropped by the executor
             # (it filters only when BOTH bounds are set) — reject instead
@@ -180,14 +187,16 @@ def create_server(index, port: int = 0, spellchecker=None,
                 # would under-fill the page when a host dominates it
                 df = executor.execute(index, executed, k=None, model=model,
                                       date_start=ds, date_end=de,
-                                      prior=prior, prior_lam=prior_lam)
+                                      prior=prior, prior_lam=prior_lam,
+                                      rm3_alpha=rm3_alpha)
                 div = serp.diversify_by_host(
                     df, doc_hosts, per_host=collapse_host, k=k)
                 hits = [(r.doc_id, r.score) for r in div.collect()]
             else:
                 df = executor.execute(index, executed, k=k, model=model,
                                       date_start=ds, date_end=de,
-                                      prior=prior, prior_lam=prior_lam)
+                                      prior=prior, prior_lam=prior_lam,
+                                      rm3_alpha=rm3_alpha)
                 hits = [(r.doc_id, r.score) for r in df.collect()]
         snips: dict[int, str] = {}
         if want_snippets and hits:
@@ -273,7 +282,9 @@ def create_server(index, port: int = 0, spellchecker=None,
                         use_wand=q.get("wand", ["0"])[0] == "1",
                         want_snippets=q.get("snippets", ["0"])[0] == "1",
                         collapse_host=int(
-                            q.get("collapse_host", ["0"])[0])))
+                            q.get("collapse_host", ["0"])[0]),
+                        rm3_alpha=(float(q["rm3"][0])
+                                   if "rm3" in q else None)))
                 elif parts[0] == "complete":
                     q = parse_qs(u.query)
                     prefix = q.get("prefix", [None])[0]

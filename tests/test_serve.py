@@ -272,3 +272,29 @@ def test_collapse_host_wand_rejected(server):
     status, body = _err(server + "/results?query=market&collapse_host=1&wand=1")
     assert status == 400
     assert "relational" in body["error"]
+
+
+def test_rm3_through_results(server):
+    """rm3=<alpha> routes through executor.execute(rm3_alpha=...): at
+    alpha=1 the response must equal the plain request exactly (the
+    identity the driver gate pins), and alpha<1 still returns a full
+    well-formed page."""
+    _, plain = _get(server + "/results?query=market%20price&k=10")
+    _, same = _get(server + "/results?query=market%20price&k=10&rm3=1.0")
+    assert same["results"] == plain["results"]
+    _, exp = _get(server + "/results?query=market%20price&k=10&rm3=0.5")
+    assert exp["number_of_results"] >= plain["number_of_results"]
+    assert all("doc_id" in r and "score" in r for r in exp["results"])
+
+
+def test_rm3_validation_as_400(server):
+    for bad in ("rm3=1.5&", "rm3=-0.1&", "rm3=0.5&wand=1&",
+                "rm3=0.5&model=vsm&",
+                "rm3=0.5&date_start=2022-01-01&date_end=2022-01-31&"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server + f"/results?query=market&k=5&{bad}")
+        assert e.value.code == 400, bad
+    # boolean + rm3 refused by the executor guard
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server + "/results?query=market%20AND%20price&k=5&rm3=0.5")
+    assert e.value.code == 400

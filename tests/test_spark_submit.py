@@ -167,3 +167,38 @@ def test_jobs_ship_via_py_files(tmp_path):
     hits = [json.loads(line) for line in q.stdout.splitlines()
             if line.startswith("{")]
     assert hits and all({"rank", "doc_id", "score"} <= set(h) for h in hits)
+
+
+def test_train_tokenizer_job_roundtrip(tmp_path):
+    """jobs/train_tokenizer.py writes merges.json + applied counts, and
+    load_merges round-trips into bpe_token_count's input shape with the
+    same results as an in-process train."""
+    import sys
+
+    out = str(tmp_path / "tok")
+    p = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "jobs", "train_tokenizer.py"),
+         "--documents", "/root/testdata/sf0.001/documents.parquet",
+         "--out", out, "--n-merges", "25", "--max-words", "5000",
+         "--apply", str(tmp_path / "counts")],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    lines = [json.loads(x) for x in p.stdout.strip().splitlines()
+             if x.startswith("{")]
+    assert lines[0]["n_merges"] == 25
+    assert lines[0]["dropped_mass"] == 0.0
+
+    sys.path.insert(0, ROOT)
+    from jobs.train_tokenizer import load_merges
+
+    merges = load_merges(os.path.join(out, "merges.json"))
+    assert len(merges) == 25
+    assert all(isinstance(m, tuple) and len(m) == 2 for m in merges)
+    with open(os.path.join(out, "merges.json")) as f:
+        assert json.load(f)["n_docs"] == 500
+    import duckdb
+
+    n, = duckdb.sql(
+        f"SELECT count(*) FROM '{tmp_path}/counts/*.parquet'").fetchone()
+    assert n == 500

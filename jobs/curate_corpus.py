@@ -60,6 +60,13 @@ def main() -> None:
     ap.add_argument("--max-top-bigram-frac", type=float, default=None,
                     help="drop docs whose most frequent bigram exceeds "
                          "this fraction of all bigrams")
+    ap.add_argument("--max-bigram-bits", type=float, default=None,
+                    help="drop docs above this mean bigram-LM bits/token "
+                         "(catches rare continuations of common "
+                         "histories; pair with --max-bits-per-token)")
+    ap.add_argument("--winnow-min-shared", type=int, default=None,
+                    help="passage-reuse dedup: drop docs sharing >= N "
+                         "winnowing fingerprints with a lower-id doc")
     ap.add_argument("--max-bits-per-token", type=float, default=None,
                     help="CCNet-style corpus-LM filter: drop docs whose "
                          "mean -log2 p(token) under the corpus unigram "
@@ -125,6 +132,8 @@ def main() -> None:
         max_dup_line_ratio=args.max_dup_line_ratio,
         max_top_bigram_frac=args.max_top_bigram_frac,
         max_bits_per_token=args.max_bits_per_token,
+        max_bigram_bits=args.max_bigram_bits,
+        winnow_min_shared=args.winnow_min_shared,
         url_dedup=args.url_dedup,
         blocked_domains=_parse_blocked(args.blocked_domains),
         dedup_line_min_docs=args.dedup_lines_min_docs,

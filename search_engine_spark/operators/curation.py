@@ -51,6 +51,8 @@ def curate(
     max_dup_line_ratio: float | None = None,
     max_top_bigram_frac: float | None = None,
     max_bits_per_token: float | None = None,
+    max_bigram_bits: float | None = None,
+    winnow_min_shared: int | None = None,
     url_dedup: bool = False,
     blocked_domains: list[str] | None = None,
     dedup_line_min_docs: int | None = None,
@@ -86,6 +88,16 @@ def curate(
     line removal (textquality.dedup_lines) BEFORE the text-derived
     filters, so language/quality/LM signals see boilerplate-free text —
     the row count is unchanged (it rewrites text, never drops docs).
+    ``max_bigram_bits`` adds the self-trained bigram-LM filter
+    (textquality.bigram_logprob) next to the unigram one: it catches
+    rare CONTINUATIONS of common histories (prose wandering into
+    nonsense), which the unigram model underweights — run both bounds
+    for the full CCNet-style split (the bigram op's docstring pins what
+    self-scoring can and cannot separate).
+    ``winnow_min_shared`` enables passage-reuse dedup after MinHash:
+    docs sharing >= that many winnowing fingerprints with a LOWER-id
+    doc are dropped (dedup.winnow_overlap_pairs) — catches long quoted
+    passages that whole-document Jaccard misses.
     ``eval_docs`` enables benchmark decontamination as the LAST stage
     (it runs on the fewest surviving docs there, and dedup cannot
     resurrect a contaminated text): any doc sharing a word
@@ -187,6 +199,15 @@ def curate(
         )
         cur = cur.join(keep, "doc_id", "left_semi")
         checkpoint("lm_quality")
+    if max_bigram_bits is not None:
+        keep = (
+            textquality.bigram_logprob(cur, text_col=text_col)
+            .filter(F.col("bits_per_token")
+                    <= F.lit(float(max_bigram_bits)))
+            .select("doc_id")
+        )
+        cur = cur.join(keep, "doc_id", "left_semi")
+        checkpoint("bigram_lm_quality")
     survivors = dedup.exact_dedup(cur, text_col).select("doc_id")
     cur = cur.join(survivors, "doc_id", "left_semi")
     checkpoint("exact_dedup")
@@ -195,6 +216,14 @@ def curate(
                                    threshold=minhash_threshold)
         cur = cur.join(surv, "doc_id", "left_semi")
         checkpoint("near_dedup")
+    if winnow_min_shared is not None:
+        pairs = dedup.winnow_overlap_pairs(cur, min_shared=winnow_min_shared,
+                                           text_col=text_col)
+        # keep-lowest-id: a doc dies iff a lower-id doc shares enough
+        # fingerprints (doc_b of a pair is always the higher id)
+        dead = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        cur = cur.join(dead, "doc_id", "left_anti")
+        checkpoint("winnow_dedup")
     if eval_docs is not None:
         cur = decontam.decontaminate(cur, eval_docs, n=decontam_n,
                                      text_col=text_col)

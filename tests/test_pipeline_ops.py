@@ -876,3 +876,42 @@ def test_winnowing_max_df_drops_boilerplate(spark):
     assert strict.count() <= 6
     loose = dedup.winnow_overlap_pairs(docs_df, min_shared=1, max_df=50)
     assert loose.count() == 8 * 7 // 2
+
+
+def test_curation_winnow_and_bigram_stages(spark):
+    """The round-3 stages: winnow_min_shared drops a doc quoting a long
+    passage from a lower-id doc (whole-doc Jaccard would miss it), and
+    max_bigram_bits drops prose wandering into rare continuations of a
+    common history while keeping normal text."""
+    from search_engine_spark.operators import curation
+
+    passage = ("the market price growth report is strong and the outlook "
+               "for the economy is good with many new trade deals")
+    filler = " ".join(f"unrelated filler about topic {w} today"
+                      for w in ("alpha", "beta", "gamma"))
+    rows = [
+        (1, passage + " plus original analysis following the report"),
+        # quotes the full passage inside OTHERWISE different text:
+        (2, filler + " " + passage + " with commentary appended here"),
+        (3, "a normal document about cooking pasta with tomatoes garlic "
+            "and olive oil for a family dinner tonight at home"),
+    ]
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    cur, funnel = curation.curate(
+        docs_df, languages=None, min_tokens=1,
+        winnow_min_shared=2, collect_funnel=True)
+    assert sorted(r.doc_id for r in cur.collect()) == [1, 3]
+    assert {f["stage"] for f in funnel} >= {"winnow_dedup"}
+
+    # bigram filter: doc with common-history rare continuations dies
+    head = "the"
+    rows2 = [
+        (1, " ".join(f"{head} market report" for _ in range(10))),
+        (2, " ".join(f"{head} qznovel{i}" for i in range(30))),
+    ]
+    d2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    cur2, funnel2 = curation.curate(
+        d2, languages=None, min_tokens=1, max_bigram_bits=2.0)
+    assert [r.doc_id for r in cur2.collect()] == [1]
+    assert any(f["stage"] == "bigram_lm_quality" for f in funnel2)
+    curation.release_caches()

@@ -390,6 +390,21 @@ def q_ivf_topk_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (graph.hits, 5 iterations, L2 half-step
+    normalization) over the same deterministic synthetic link graph as
+    the pagerank entry — value-hashed against the mutual reinforcement
+    unrolled as a DuckDB CTE chain (graph.hits_oracle_sql, shared edge
+    formula)."""
+    from search_engine_spark.operators import graph
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    out = graph.hits(graph.synth_edges(docs.select("doc_id"), n), n_iter=5)
+    return out.select("node", F.round("hub", 6).alias("hub"),
+                      F.round("authority", 6).alias("authority"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints (dedup.winnow_fingerprints, k=5
     w=4): per-doc distinct window-min gram hashes — value-hashed against
@@ -843,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm3_alpha1_identity": q_rm3_alpha1_identity,
         "bigram_logprob": q_bigram_logprob,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "hits_scores": q_hits_scores,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "mixture_rebalance": q_mixture_rebalance,
@@ -1486,6 +1502,9 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
         # the power iteration unrolled as one CTE chain per iteration
         # (graph.pagerank_oracle_sql — shared formula/damping/iterations)
         "pagerank": _pagerank_sql(),
+        # HITS over the same synthetic graph, mutual reinforcement
+        # unrolled (graph.hits_oracle_sql — shared edge formula)
+        "hits_scores": _hits_sql(),
         # host-level entries: URL synth shared via _SYNTH_URL_SQL, host/
         # domain/canonical expressions generated by the same builders the
         # engine columns come from (hosts.oracle_*_sql, urls.oracle_*)
@@ -1818,6 +1837,12 @@ def _pagerank_sql() -> str:
     from search_engine_spark.operators.graph import pagerank_oracle_sql
 
     return pagerank_oracle_sql(n_iter=5)
+
+
+def _hits_sql() -> str:
+    from search_engine_spark.operators.graph import hits_oracle_sql
+
+    return hits_oracle_sql(n_iter=5)
 
 
 def _pii_scrub_sql() -> str:

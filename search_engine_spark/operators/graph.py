@@ -345,3 +345,136 @@ def pagerank_oracle_sql(n_iter: int = 5, damping: float = 0.85,
     parts_sql = ",\n".join(parts)
     return (f"WITH {parts_sql}\n"
             f"SELECT node, ROUND(rank, 6) AS rank FROM {final}")
+
+
+def hits(edges: DataFrame, n_iter: int = 5,
+         src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) → (node, hub, authority)
+    after ``n_iter`` mutual-reinforcement iterations with L2
+    normalization per half-step (the classic formulation): authority =
+    normalized in-link hub mass, hub = normalized out-link authority
+    mass. Complements PageRank on the same link graph: PageRank ranks
+    global endorsement, HITS separates directories (hubs) from
+    destinations (authorities).
+
+    Same plan shape as pagerank: ONE persisted distinct-edge frame
+    reused by every iteration's two joins; normalization is a 1-row
+    aggregate broadcast back (never a shuffle of the score frame);
+    duplicate edges count once. Nodes with no in-links hold authority 0
+    (resp. hubs 0 for no out-links); scores start at 1 (the per-step
+    normalization makes the start scale irrelevant)."""
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0: {n_iter}")
+    release_caches()
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst")).distinct().persist())
+    _PERSISTED.add(e)
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    _PERSISTED.add(nodes)
+    if nodes.count() == 0:
+        return nodes.select("node", F.lit(0.0).alias("hub"),
+                            F.lit(0.0).alias("authority"))
+
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auths = nodes.select("node", F.lit(1.0).alias("authority"))
+    for _ in range(n_iter):
+        # each half-step references its predecessor TWICE (mass join +
+        # norm aggregate), so an unmaterialized chain grows the logical
+        # plan 4x per iteration — persist+count pins every half-step to
+        # a node-count-sized cache (the per-iteration checkpoint any
+        # distributed HITS needs; same discipline as pagerank's
+        # lineage truncation, applied every step because of the double
+        # reference)
+        raw_a = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("_ra"))
+        ).persist()  # referenced twice within the half-step (mass + norm)
+        _PERSISTED.add(raw_a)
+        a_norm = raw_a.agg(
+            F.sqrt(F.sum(F.col("_ra") * F.col("_ra"))).alias("_n"))
+        auths = (
+            nodes.join(raw_a, "node", "left")
+            .crossJoin(F.broadcast(a_norm))
+            .select("node",
+                    F.coalesce(F.col("_ra") / F.col("_n"), F.lit(0.0))
+                    .alias("authority"))
+        )
+        auths = auths.localCheckpoint(eager=True)
+        raw_h = (
+            e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("_rh"))
+        ).persist()  # referenced twice within the half-step (mass + norm)
+        _PERSISTED.add(raw_h)
+        h_norm = raw_h.agg(
+            F.sqrt(F.sum(F.col("_rh") * F.col("_rh"))).alias("_n"))
+        hubs = (
+            nodes.join(raw_h, "node", "left")
+            .crossJoin(F.broadcast(h_norm))
+            .select("node",
+                    F.coalesce(F.col("_rh") / F.col("_n"), F.lit(0.0))
+                    .alias("hub"))
+        )
+        # localCheckpoint (not persist): the double reference makes the
+        # LOGICAL plan grow ~4x per iteration, and caching does not stop
+        # the analyzer from walking that tree — checkpointing pins each
+        # half-step to its materialized RDD, same as pagerank:112
+        hubs = hubs.localCheckpoint(eager=True)
+    return (nodes.join(hubs, "node", "left")
+            .join(auths, "node", "left")
+            .select("node",
+                    F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                    F.coalesce("authority", F.lit(0.0)).alias("authority")))
+
+
+def hits_oracle_sql(n_iter: int = 5, fanout: int = 3) -> str:
+    """DuckDB oracle for hits(synth_edges(documents)) — the mutual
+    reinforcement unrolled as one CTE pair per iteration with the same
+    L2 half-step normalization (shared edge formula with the pagerank
+    oracle)."""
+    if n_iter < 1:
+        raise ValueError("hits_oracle_sql needs n_iter >= 1")
+    # CTE discipline: DuckDB INLINES CTEs — a sub-CTE referenced twice
+    # is evaluated twice, and a per-iteration double reference compounds
+    # to 2^iters. Each half-step below references its predecessor ONCE
+    # (the L2 norm comes from a SUM(..) OVER () window in the same
+    # subquery, not a second scalar-subquery scan), keeping the unrolled
+    # chain linear like the pagerank oracle.
+    parts = [
+        "nn AS (SELECT COUNT(*) AS n FROM documents)",
+        f"""e AS (SELECT DISTINCT doc_id AS src,
+                       (doc_id * doc_id * 13 + j * 31 + 7)
+                           % (SELECT n FROM nn) AS dst
+                FROM documents, generate_series(1, {fanout}) AS t(j))""",
+        """nodes AS (SELECT src AS node FROM e
+                   UNION SELECT dst FROM e)""",
+        "h0 AS (SELECT node, 1.0 AS hub FROM nodes)",
+    ]
+    for i in range(n_iter):
+        hp, hn = f"h{i}", f"h{i + 1}"
+        parts.append(f"""a{i} AS (
+            SELECT nodes.node, COALESCE(t.ra / t.nrm, 0) AS authority
+            FROM nodes LEFT JOIN (
+                SELECT node, ra, sqrt(SUM(ra * ra) OVER ()) AS nrm
+                FROM (SELECT e.dst AS node, SUM({hp}.hub) AS ra
+                      FROM e JOIN {hp} ON e.src = {hp}.node
+                      GROUP BY e.dst)
+            ) t USING (node))""")
+        parts.append(f"""{hn} AS (
+            SELECT nodes.node, COALESCE(t.rh / t.nrm, 0) AS hub
+            FROM nodes LEFT JOIN (
+                SELECT node, rh, sqrt(SUM(rh * rh) OVER ()) AS nrm
+                FROM (SELECT e.src AS node, SUM(a{i}.authority) AS rh
+                      FROM e JOIN a{i} ON e.dst = a{i}.node
+                      GROUP BY e.src)
+            ) t USING (node))""")
+    parts_sql = ",\n".join(parts)
+    last = n_iter - 1
+    return (f"WITH {parts_sql}\n"
+            f"SELECT nodes.node, ROUND(h{n_iter}.hub, 6) AS hub,"
+            f" ROUND(a{last}.authority, 6) AS authority\n"
+            f"FROM nodes LEFT JOIN h{n_iter} USING (node)"
+            f" LEFT JOIN a{last} USING (node)")

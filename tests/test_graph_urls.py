@@ -377,3 +377,49 @@ def test_connected_components_matches_recursive_oracle(spark):
     """).fetchall())
     assert got == want
     graph.release_caches()
+
+
+def test_hits_matches_numpy(spark):
+    """5-iteration HITS == the same mutual reinforcement run in numpy
+    (L2 half-step normalization), on a small asymmetric graph with a
+    pure hub (no in-links) and a pure authority (no out-links)."""
+    import numpy as np
+
+    edges = [(0, 2), (0, 3), (1, 2), (2, 3), (3, 2), (4, 2)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub, r.authority)
+           for r in graph.hits(edf, n_iter=5).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(nodes))
+    for _ in range(5):
+        a = A.T @ h
+        a = a / np.linalg.norm(a)
+        h = A @ a
+        h = h / np.linalg.norm(h)
+    for n in nodes:
+        assert got[n][0] == pytest.approx(h[idx[n]], abs=1e-9), n
+        assert got[n][1] == pytest.approx(a[idx[n]], abs=1e-9), n
+    # structural sanity: node 0 (two out-links) is the top hub; node 2
+    # (four in-links) is the top authority; pure-hub node 0 has
+    # authority 0; node 4 has hub > 0 but authority 0
+    assert max(got, key=lambda n: got[n][0]) == 0
+    assert max(got, key=lambda n: got[n][1]) == 2
+    assert got[0][1] == 0.0 and got[4][1] == 0.0
+
+
+def test_hits_guards_and_duplicate_edges(spark):
+    import pytest as _pytest
+
+    edf = spark.createDataFrame([(0, 1), (0, 1), (1, 0)],
+                                "src long, dst long")
+    out = {r.node: (r.hub, r.authority)
+           for r in graph.hits(edf, n_iter=3).collect()}
+    # duplicate edge counts once: perfectly symmetric 2-cycle
+    assert out[0][0] == _pytest.approx(out[1][1], abs=1e-12)
+    with _pytest.raises(ValueError):
+        graph.hits(edf, n_iter=-1)

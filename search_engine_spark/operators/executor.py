@@ -145,9 +145,14 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
     # to interpolate, other models define no RM3 weighting here, and a
     # date filter would need the feedback pass restricted too
     if rm3_alpha is not None:
-        if plan.phrases or not plan.terms:
+        if plan.phrases:
             raise ValueError("RM3 supports plain free-text queries only "
                              "(no phrases/boolean/proximity)")
+        if not plan.terms:
+            # all tokens analyzed away (stopwords/OOV punctuation): the
+            # plain path returns an empty frame here, and RM3 must be
+            # an identity on it — raising would break alpha=1 == plain
+            return spark.createDataFrame([], "doc_id long, score double")
         if model != "bm25":
             raise ValueError(f"RM3 is defined over bm25 here, not {model!r}")
         if cand is not None:

@@ -103,3 +103,39 @@ def test_fuzz_model_phrase_parity(built_index, oracle_index, q, model):
     assert [d for d, _ in got] == [d for d, _ in want], (q, model)
     for (_, gs), (_, ws) in zip(got, want):
         assert gs == pytest.approx(ws, abs=1e-9), (q, model)
+
+
+def _gen_freetext(seed: int = 626, n: int = 12) -> list[str]:
+    rng = np.random.default_rng(seed)
+    pool = _WORDS + _JUNK
+    return [" ".join(pool[int(i)] for i in
+                     rng.integers(0, len(pool), int(rng.integers(1, 5))))
+            for _ in range(n)]
+
+
+@pytest.mark.parametrize("q", _gen_freetext())
+def test_fuzz_rm3_alpha1_identity(built_index, q):
+    """Property form of the RM3 driver gate: for ANY free-text query
+    (incl. OOV/stopword junk), alpha=1 must reproduce the plain BM25
+    result EXACTLY — scores included, empty results included."""
+    plain = [(r.doc_id, r.score)
+             for r in executor.execute(built_index, q, k=50).collect()]
+    rm3 = [(r.doc_id, r.score)
+           for r in executor.execute(built_index, q, k=50,
+                                     rm3_alpha=1.0).collect()]
+    assert rm3 == plain, q
+
+
+@pytest.mark.parametrize("q", _gen_freetext(seed=727, n=6))
+def test_fuzz_rm3_expanded_is_wellformed(built_index, q):
+    """alpha<1 on arbitrary queries: never crashes, returns a ranked
+    frame with finite scores, and never returns FEWER hits than the
+    plain query (expansion only widens the candidate set)."""
+    import math as _m
+
+    plain_n = executor.execute(built_index, q, k=50).count()
+    rows = executor.execute(built_index, q, k=50, rm3_alpha=0.5).collect()
+    assert len(rows) >= min(plain_n, 50), q
+    assert all(_m.isfinite(r.score) for r in rows), q
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True), q

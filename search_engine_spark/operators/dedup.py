@@ -432,8 +432,10 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
     with DuckDB's list_min for the driver oracle). Token/gram hashing
     runs in one Arrow pUDF per batch — the same measured ~10× win over
     Catalyst HOF md5 chains as decontam/simhash. Docs with fewer than
-    k + w − 1 tokens yield no rows."""
-    ws = re.compile(r"\s+")
+    k + w − 1 tokens yield no rows. ``re.ASCII`` pins ``\\s`` to the
+    RE2/DuckDB ASCII class (decontam.py:55 convention) so unicode
+    whitespace (NBSP etc.) splits identically engine-vs-oracle."""
+    ws = re.compile(r"\s+", re.ASCII)
 
     @F.pandas_udf(ArrayType(StringType()))
     def fps(text: pd.Series) -> pd.Series:

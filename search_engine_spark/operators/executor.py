@@ -142,25 +142,31 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
     # only; every unsupported combination is refused explicitly (the
     # --wand guard style) rather than silently ignoring the expansion:
     # phrase/boolean/proximity plans have no bag-of-words weight vector
-    # to interpolate, other models define no RM3 weighting here, and a
-    # date filter would need the feedback pass restricted too
+    # to interpolate and other models define no RM3 weighting here. A
+    # date range IS supported: both RM3 passes restrict to the date
+    # candidates (feedback docs drawn from in-range docs only).
+    # Refusals come BEFORE the empty-terms early return, so e.g.
+    # rm3+model='vsm' on a stopword-only query still raises instead of
+    # silently returning empty (the documented contract).
     if rm3_alpha is not None:
         if plan.phrases:
             raise ValueError("RM3 supports plain free-text queries only "
                              "(no phrases/boolean/proximity)")
+        if model != "bm25":
+            raise ValueError(f"RM3 is defined over bm25 here, not {model!r}")
+        if adaptive:
+            raise ValueError(
+                "RM3 does not compose with adaptive candidate tiers — "
+                "the expansion terms would re-derive different tiers; "
+                "drop one of the two flags")
         if not plan.terms:
             # all tokens analyzed away (stopwords/OOV punctuation): the
             # plain path returns an empty frame here, and RM3 must be
             # an identity on it — raising would break alpha=1 == plain
             return spark.createDataFrame([], "doc_id long, score double")
-        if model != "bm25":
-            raise ValueError(f"RM3 is defined over bm25 here, not {model!r}")
-        if cand is not None:
-            raise ValueError("RM3 with a date filter is not supported — "
-                             "drop the range or the expansion")
         scored = search_mod.search_rm3(
             index, plan.terms, k=None, fb_docs=rm3_fb_docs,
-            fb_terms=rm3_fb_terms, alpha=rm3_alpha)
+            fb_terms=rm3_fb_terms, alpha=rm3_alpha, candidates=cand)
         if prior is not None:
             scored = search_mod.blend_doc_prior(scored, prior, lam=prior_lam)
         return scored if k is None else topk(scored, k)

@@ -440,7 +440,8 @@ def rerank(topk_df: DataFrame, documents: DataFrame, query_terms: list[str],
 
 def search_rm3(index: InvertedIndex, toks: list[str], k: int | None = 100,
                fb_docs: int = 10, fb_terms: int = 10,
-               alpha: float = 0.6) -> DataFrame:
+               alpha: float = 0.6,
+               candidates: DataFrame | None = None) -> DataFrame:
     """Pseudo-relevance-feedback expansion (RM3-style) over BM25:
     retrieve, mine expansion terms from the top ``fb_docs`` documents,
     re-retrieve with an interpolated weighted query.
@@ -461,6 +462,17 @@ def search_rm3(index: InvertedIndex, toks: list[str], k: int | None = 100,
     pass 2, so no 0-score docs leak into the tail either) — the
     identity the driver gate pins. Expansion terms come pre-analyzed
     (they are index vocabulary read back through the same analyzer).
+
+    Score→mass shift: raw scores are shifted by ``−min + span/|fb|``
+    (span = max−min; 1.0 when all scores tie, i.e. uniform mass) so the
+    LOWEST-scoring feedback doc still contributes a floor of mass
+    proportional to the score spread — a plain ``−min`` shift would
+    zero it out, silently reducing fb_docs to fb_docs−1.
+
+    ``candidates`` (a doc_id frame, canonically the executor's date
+    candidates) restricts BOTH passes: pass-1 feedback docs are drawn
+    from the candidate set and pass-2 scoring is semi-joined to it, so
+    RM3 composes with date filtering instead of refusing it.
     """
     from ..functions.analyzer import analyze
 
@@ -472,13 +484,16 @@ def search_rm3(index: InvertedIndex, toks: list[str], k: int | None = 100,
         q_tf[t] = q_tf.get(t, 0.0) + 1.0
     weights = dict(q_tf) if alpha >= 1.0 else None
     if weights is None:
-        first = search_freetext_tokens(index, toks, k=fb_docs)
+        first = search_freetext_tokens(index, toks, k=fb_docs,
+                                       candidates=candidates)
         fb = (F.broadcast(first).join(index.documents, "doc_id")
               .select("doc_id", "score", "text").collect())
         weights = {t: alpha * w for t, w in q_tf.items()}
         if fb:
             base = min(r.score for r in fb)
-            shifted = [(r, r.score - base + 1e-9) for r in fb]
+            span = max(r.score for r in fb) - base
+            floor = span / len(fb) if span > 0 else 1.0
+            shifted = [(r, r.score - base + floor) for r in fb]
             total_s = sum(s for _, s in shifted)
             rm1: dict[str, float] = {}
             for r, s in shifted:
@@ -500,6 +515,8 @@ def search_rm3(index: InvertedIndex, toks: list[str], k: int | None = 100,
         return index.postings.sparkSession.createDataFrame(
             [], "doc_id long, score double")
     scored = _scored_frame(index, terms, "bm25", weights)
+    if candidates is not None:
+        scored = scored.join(candidates, "doc_id", "left_semi")
     agg = scored.groupBy("doc_id").agg(F.sum("weight").alias("score"))
     k = effective_k(index, k)
     return agg if k is None else topk(agg, k)

@@ -375,7 +375,10 @@ def pq_topk(coded: DataFrame, codebooks: np.ndarray, qvec: list[float],
     (requires ``vec_col`` on the frame) and returns the exact top-k of
     those — the standard PQ+refine serving shape; refine ≥ table size
     degenerates to exact brute force (the identity the driver gate pins).
-    """
+
+    Output schema is ``(vec_id, cosine)`` in BOTH modes — with refine the
+    value is the exact cosine, without it the ADC approximation — so
+    callers toggling ``refine`` never break on a column rename."""
     import math
 
     m, ksub, dsub = codebooks.shape
@@ -400,8 +403,9 @@ def pq_topk(coded: DataFrame, codebooks: np.ndarray, qvec: list[float],
     scored = coded.withColumn("adc_cosine", F.round(adc, 6))
     if refine is None:
         return (scored
-                .select(F.col(id_col).alias("vec_id"), "adc_cosine")
-                .orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
+                .select(F.col(id_col).alias("vec_id"),
+                        F.col("adc_cosine").alias("cosine"))
+                .orderBy(F.desc("cosine"), F.asc("vec_id"))
                 .limit(k))
     cand = (scored
             .orderBy(F.desc("adc_cosine"), F.asc(id_col))

@@ -592,7 +592,7 @@ def test_pq_adc_exact_on_representable(spark):
     books = similarity.pq_fit(df, m=4, ksub=16, iters=4, vec_col="embedding")
     coded = similarity.pq_assign(df, books)
     q = [float(x) for x in rows[7].embedding]
-    adc = [(r.vec_id, r.adc_cosine)
+    adc = [(r.vec_id, r.cosine)
            for r in similarity.pq_topk(coded, books, q, k=10).collect()]
     exact = [(r.vec_id, r.cosine)
              for r in similarity.cosine_topk(df, q, 10).collect()]
@@ -876,6 +876,25 @@ def test_winnowing_max_df_drops_boilerplate(spark):
     assert strict.count() <= 6
     loose = dedup.winnow_overlap_pairs(docs_df, min_shared=1, max_df=50)
     assert loose.count() == 8 * 7 // 2
+
+
+def test_winnowing_unicode_whitespace_is_not_a_separator(spark):
+    """\\s is pinned to re.ASCII (decontam contract, round-4 ADVICE fix):
+    NBSP-joined tokens form ONE token, exactly as RE2/DuckDB's ASCII \\s+
+    splits them in the driver oracle — the engine must agree."""
+    import hashlib as _hl
+    import re as _re
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs_df = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    got = sorted(r.fp for r in
+                 dedup.winnow_fingerprints(docs_df, k=5, w=4).collect())
+    toks = [x for x in _re.compile(r"\s+", _re.ASCII).split(base.lower()) if x]
+    assert "beta gamma" in toks  # NBSP did NOT split
+    hs = [_hl.md5(" ".join(toks[i:i + 5]).encode()).hexdigest()[:16]
+          for i in range(len(toks) - 4)]
+    want = sorted({min(hs[j:j + 4]) for j in range(len(hs) - 3)})
+    assert got == want
 
 
 def test_curation_winnow_and_bigram_stages(spark):

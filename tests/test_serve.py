@@ -289,8 +289,7 @@ def test_rm3_through_results(server):
 
 def test_rm3_validation_as_400(server):
     for bad in ("rm3=1.5&", "rm3=-0.1&", "rm3=0.5&wand=1&",
-                "rm3=0.5&model=vsm&",
-                "rm3=0.5&date_start=2022-01-01&date_end=2022-01-31&"):
+                "rm3=0.5&model=vsm&"):
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(server + f"/results?query=market&k=5&{bad}")
         assert e.value.code == 400, bad
@@ -298,3 +297,16 @@ def test_rm3_validation_as_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server + "/results?query=market%20AND%20price&k=5&rm3=0.5")
     assert e.value.code == 400
+
+
+def test_rm3_with_dates_through_results(server):
+    """rm3 composes with a date range (round-4: the refusal was replaced
+    by candidate-restricted feedback): at alpha=1 the response must equal
+    the plain date-filtered request exactly."""
+    dates = "date_start=2021-01-01&date_end=2023-12-31"
+    _, plain = _get(server + f"/results?query=market%20price&k=10&{dates}")
+    _, same = _get(server + f"/results?query=market%20price&k=10&rm3=1.0&{dates}")
+    assert same["results"] == plain["results"]
+    status, exp = _get(server + f"/results?query=market%20price&k=10&rm3=0.5&{dates}")
+    assert status == 200
+    assert all("doc_id" in r and "score" in r for r in exp["results"])

@@ -64,9 +64,6 @@ def main() -> None:
                      "re-read as text)")
         if not 0.0 <= args.rm3_alpha <= 1.0:
             ap.error("--rm3-alpha must be in [0, 1]")
-    if args.wand and args.prior:
-        ap.error("--wand scores pure BM25 (the kernel has no prior "
-                 "mixture); drop --wand to use --prior")
     if args.wand and (args.date_start or args.date_end):
         # WAND scores over ALL blocks; silently post-filtering an
         # unrestricted top-k would return fewer-than-k / wrong-rank
@@ -113,7 +110,11 @@ def main() -> None:
                     # bare terms: search_wand rejects quoted queries
                     query = SP.expand_abbreviations(query, abbreviations,
                                                     quote=False)
-        hits = wand.search_wand(idx, query, k=args.k)
+        # prior blends on the WAND path too (round-4 parity): the kernel
+        # pays one bounded Spark lookup per query for candidate priors
+        prior = spark.read.parquet(args.prior) if args.prior else None
+        hits = wand.search_wand(idx, query, k=args.k,
+                                prior=prior, prior_lam=args.prior_lam)
     else:
         prior = spark.read.parquet(args.prior) if args.prior else None
         df = executor.execute(

@@ -79,9 +79,12 @@ def create_server(index, port: int = 0, spellchecker=None,
     first-execution path AFTER spellcheck; the corrected-vs-original flag
     tracks spellcheck only (the reference's has_term_been_corrected).
     ``prior`` (a (node, rank) DataFrame, e.g. a pagerank artifact)
-    blends the static document prior into every relational-path ranked
-    query (executor.execute(prior=...)); the WAND kernel scores pure
-    BM25, so wand=1 requests ignore it by construction."""
+    blends the static document prior into every ranked query on BOTH
+    paths: the relational path via executor.execute(prior=...) and the
+    WAND kernel via its iterative-deepening blend (round-4: wand=1 used
+    to ignore the prior; now the two paths stay rank-identical with a
+    prior configured — the kernel pays one bounded Spark lookup per
+    query for the candidates' prior rows)."""
     from search_engine_spark.operators import executor, wand
 
     lock = threading.Lock()
@@ -178,7 +181,8 @@ def create_server(index, port: int = 0, spellchecker=None,
                     raise ValueError(
                         "wand=1 does not support date filtering; "
                         "use the relational path")
-                hits = wand.search_wand(index, executed, k=k)
+                hits = wand.search_wand(index, executed, k=k,
+                                        prior=prior, prior_lam=prior_lam)
             elif collapse_host:
                 from search_engine_spark.operators import serp
 

@@ -130,19 +130,40 @@ def lsh_topk(bucketed: DataFrame, qvec: list[float], k: int = 10,
 # The second scale path next to LSH (task brief: "IVF or LSH-bucketed").
 # ---------------------------------------------------------------------------
 
+def _sketch_sample(embeddings: DataFrame, sample: int, id_col: str,
+                   vec_col: str, salt: str) -> DataFrame:
+    """Deterministic CONTENT-HASH sample for driver-side fits: order by
+    md5(id‖salt) (ties → id) and take ``sample`` rows. Under crawl-
+    ordered ids — where the 'first N by id' cut would see one topical
+    slice of the web and the fitted centroids/codebooks would degrade —
+    the hash order is uniform over the table regardless of how ids
+    correlate with content (the sampling.hash_bucket trick), while two
+    fits over the same table remain bit-identical (no RNG).
+
+    The TakeOrderedAndProject over the hash column is O(sample) memory
+    per partition, same cost as the old orderBy(id).limit(sample)."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return (embeddings.select(F.col(id_col), F.col(vec_col))
+            .orderBy(key, F.col(id_col)).limit(sample)
+            .select(vec_col))
+
+
 def ivf_fit(embeddings: DataFrame, n_centroids: int = 16, iters: int = 10,
             sample: int = 10_000, vec_col: str = "embedding",
             id_col: str = "vec_id") -> np.ndarray:
-    """Driver-side Lloyd's k-means on a deterministic sample (first
-    ``sample`` rows by id) → (n_centroids, dim) float64 centroids.
+    """Driver-side Lloyd's k-means on a deterministic content-hash
+    sample (``_sketch_sample``) → (n_centroids, dim) float64 centroids.
 
     At 10^12 scale the sample stays driver-sized (k-means needs only a
     representative sketch) while assignment/search below stay
-    distributed; determinism comes from the ordered sample + fixed init
-    (first k distinct sample points), not an RNG.
+    distributed; determinism comes from the hash-ordered sample + fixed
+    init (first k sample points in hash order), not an RNG. Driver cost
+    bound: the fit collects ≤ sample×dim float64 (10k×128 ≈ 10 MB) and
+    runs Lloyd's in O(iters·sample·k·dim) numpy — the same driver-sketch
+    envelope as the spellchecker's 100k-vocab gate.
     """
-    rows = (embeddings.orderBy(id_col).limit(sample)
-            .select(vec_col).collect())
+    rows = _sketch_sample(embeddings, sample, id_col, vec_col,
+                          "ivf_fit").collect()
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     cent = x[:n_centroids].copy()
     for _ in range(iters):
@@ -294,16 +315,17 @@ def embedding_pairs_exact(embeddings: DataFrame, threshold: float = 0.4,
 def pq_fit(embeddings: DataFrame, m: int = 8, ksub: int = 16,
            iters: int = 10, sample: int = 10_000,
            vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
-    """Driver-side per-subspace Lloyd's k-means on a deterministic sample
-    (first ``sample`` rows by id, same sketch protocol as ivf_fit) →
+    """Driver-side per-subspace Lloyd's k-means on a deterministic
+    content-hash sample (``_sketch_sample``, same protocol as ivf_fit) →
     (m, ksub, dim/m) float64 codebooks. dim must divide evenly by m.
 
-    Determinism: ordered sample + first-ksub init per subspace, no RNG —
-    two fits over the same table are bit-identical (pytest-gated), which
-    the resume story relies on (a re-run re-derives the same codebooks
-    instead of persisting them)."""
-    rows = (embeddings.orderBy(id_col).limit(sample)
-            .select(vec_col).collect())
+    Determinism: hash-ordered sample + first-ksub init per subspace, no
+    RNG — two fits over the same table are bit-identical (pytest-gated),
+    which the resume story relies on (a re-run re-derives the same
+    codebooks instead of persisting them). Driver cost bound: ≤
+    sample×dim float64 collected, O(iters·sample·ksub·dim) numpy."""
+    rows = _sketch_sample(embeddings, sample, id_col, vec_col,
+                          "pq_fit").collect()
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     n, dim = x.shape
     if dim % m:

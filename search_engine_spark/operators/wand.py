@@ -100,6 +100,8 @@ def wand_eligible(plan) -> bool:
 def search_wand(index, query: str, k: int = 100,
                 k1: float = 1.2, b: float = 0.75,
                 max_blocks_per_term: int | None | str = "auto",
+                prior=None, prior_lam: float = 0.3,
+                prior_id_col: str = "node", prior_col: str = "rank",
                 ) -> list[tuple[int, float]]:
     """BM25 top-k over a SegmentIndex via block-max WAND.
 
@@ -130,6 +132,20 @@ def search_wand(index, query: str, k: int = 100,
     indexes. FREE-TEXT queries only: phrase/boolean/proximity shapes
     raise ValueError (the analyzer would strip their operators and
     silently degrade them to bag-of-words) — use executor.execute.
+
+    ``prior`` (a (node, rank) DataFrame, canonically a PageRank
+    artifact) blends the static document prior EXACTLY like the
+    relational path's search.blend_doc_prior — score + lam·ln(prior),
+    absent docs at the 1e-12 floor — via iterative deepening: the kernel
+    takes the exact bm25 top-K′ (K′ starts at 4k), ONE bounded Spark job
+    fetches those K′ docs' priors (broadcast semi-join, O(K′) rows —
+    never the corpus-sized prior frame), and the result is final once
+    the K′-th bm25 score plus the maximum possible prior boost
+    (max(0, lam·ln max_prior), = 0 for probability priors) cannot beat
+    the current blended k-th — otherwise K′ doubles (block fetches are
+    LRU-cached, so only the heap pass repeats). Exact at every cap where
+    the bm25 kernel itself is exact; costs one small Spark lookup per
+    query vs the prior-less warm path's zero.
     """
     if not hasattr(index, "mini_index"):
         raise TypeError(
@@ -181,46 +197,106 @@ def search_wand(index, query: str, k: int = 100,
     for blk in blocks:
         by_range[blk.block_id].append(blk)
 
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    def bm25_topk(capacity: int) -> list[tuple[int, float]]:
+        """The block-max heap pass at a given heap capacity — exact bm25
+        top-``capacity`` over the fetched blocks, pinned tie-break."""
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
 
-    def threshold() -> float:
-        return heap[0][0] if len(heap) >= k else float("-inf")
+        def threshold() -> float:
+            return heap[0][0] if len(heap) >= capacity else float("-inf")
 
-    for block_id in sorted(by_range):
-        grp = by_range[block_id]
-        ub = sum(
-            q_tf[blk.term]
-            * SEG.bm25_upper_bound(dfs[blk.term], n, blk.block_max_tf, k1, b)
-            for blk in grp
-        )
-        if len(heap) >= k and ub < threshold():
-            continue  # skip range without decoding
-        acc: dict[int, float] = defaultdict(float)
-        for blk in grp:
-            docs, tfs, dls = codec.decode_block_full(bytes(blk.payload))
-            if dls is None:
-                raise ValueError(
-                    "segment payloads carry no per-doc lengths (dl): WAND "
-                    "needs self-contained blocks — build the index from "
-                    "postings that include dl (the durable build does), or "
-                    "use the relational scoring path")
-            if del_arr is not None:
-                live = ~np.isin(docs, del_arr)
-                if not live.all():
-                    docs, tfs, dls = docs[live], tfs[live], dls[live]
-                    if not len(docs):
-                        continue
-            tfs = tfs.astype(np.float64)
-            norm = k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
-            w = q_tf[blk.term] * idf[blk.term] * tfs * (k1 + 1.0) / (tfs + norm)
-            for d, s in zip(docs.tolist(), w.tolist()):
-                acc[d] += s
-        for d, s in acc.items():
-            item = (s, -d)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
+        for block_id in sorted(by_range):
+            grp = by_range[block_id]
+            ub = sum(
+                q_tf[blk.term]
+                * SEG.bm25_upper_bound(dfs[blk.term], n, blk.block_max_tf,
+                                       k1, b)
+                for blk in grp
+            )
+            if len(heap) >= capacity and ub < threshold():
+                continue  # skip range without decoding
+            acc: dict[int, float] = defaultdict(float)
+            for blk in grp:
+                docs, tfs, dls = codec.decode_block_full(bytes(blk.payload))
+                if dls is None:
+                    raise ValueError(
+                        "segment payloads carry no per-doc lengths (dl): "
+                        "WAND needs self-contained blocks — build the index "
+                        "from postings that include dl (the durable build "
+                        "does), or use the relational scoring path")
+                if del_arr is not None:
+                    live = ~np.isin(docs, del_arr)
+                    if not live.all():
+                        docs, tfs, dls = docs[live], tfs[live], dls[live]
+                        if not len(docs):
+                            continue
+                tfs_f = tfs.astype(np.float64)
+                norm = k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
+                w = (q_tf[blk.term] * idf[blk.term] * tfs_f * (k1 + 1.0)
+                     / (tfs_f + norm))
+                for d, s in zip(docs.tolist(), w.tolist()):
+                    acc[d] += s
+            for d, s in acc.items():
+                item = (s, -d)
+                if len(heap) < capacity:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
 
-    out = sorted(heap, key=lambda x: (-x[0], -x[1]))
-    return [(-nd, s) for s, nd in out]
+        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        return [(-nd, s) for s, nd in out]
+
+    if prior is None:
+        return bm25_topk(k)
+    return _blend_prior_topk(index, bm25_topk, k, prior, prior_lam,
+                             prior_id_col, prior_col)
+
+
+# the relational path's floor for docs absent from the prior frame
+# (search.blend_doc_prior default_prior) — the two paths MUST share it
+PRIOR_FLOOR = 1e-12
+
+
+def _blend_prior_topk(index, bm25_topk, k: int, prior, lam: float,
+                      id_col: str, prior_col: str) -> list[tuple[int, float]]:
+    """Exact blended top-k from a bm25-exact kernel (see search_wand
+    docstring). Correctness argument: for any doc outside the bm25
+    top-K′, blended ≤ bm25 + C with C = max(0, lam·ln max_prior) (C = 0
+    when priors are probabilities), and its bm25 ≤ the K′-th bm25 score;
+    so once bm25_{K′} + C < blended_{k-th}, no unseen doc can enter the
+    top-k. K′ doubles until that holds or the candidate set is
+    exhausted (fewer than K′ docs returned → everything matching the
+    query has been blended)."""
+    import math
+
+    spark = index.segments.sparkSession
+    p_max = getattr(prior, "_wand_prior_max", None)
+    if p_max is None:
+        p_max = prior.agg(F.max(F.col(prior_col))).collect()[0][0]
+        try:  # memo on the frame: serving reuses one prior frame
+            prior._wand_prior_max = p_max
+        except AttributeError:
+            pass
+    boost = max(0.0, lam * math.log(p_max)) if p_max else 0.0
+    cap = max(4 * k, k)
+    while True:
+        cands = bm25_topk(cap)
+        if not cands:
+            return []
+        ids_df = spark.createDataFrame([(d,) for d, _ in cands],
+                                       "doc_id long")
+        got = (prior.join(F.broadcast(ids_df),
+                          F.col(id_col) == F.col("doc_id"))
+               .select("doc_id", F.col(prior_col).alias("p")).collect())
+        pmap = {r.doc_id: r.p for r in got}
+        blended = sorted(
+            ((d, s + lam * math.log(pmap.get(d, PRIOR_FLOOR)))
+             for d, s in cands),
+            key=lambda x: (-x[1], x[0]))
+        exhausted = len(cands) < cap
+        if exhausted or len(blended) < k:
+            return blended[:k]
+        theta = blended[k - 1][1]
+        if cands[-1][1] + boost < theta:
+            return blended[:k]
+        cap *= 2

@@ -655,7 +655,35 @@ def _tombstone_batches(index_dir: str) -> list[int]:
     return sorted(out)
 
 
-def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> dict:
+def deleted_fraction(spark: SparkSession, index_dir: str) -> float:
+    """Fraction of the index's docs that are tombstoned (0.0 when none).
+    n_docs comes from stats.json — the PRE-vacuum count, which is exactly
+    the population the stale df/idf statistics still describe, so the
+    fraction measures how far the scoring stats have drifted from the
+    live corpus."""
+    t = load_tombstones(spark, index_dir)
+    if t is None:
+        return 0.0
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        n_docs = json.load(f)["n_docs"]
+    return t.count() / max(n_docs, 1)
+
+
+def vacuum_index(spark: SparkSession, index_dir: str, out_dir: str,
+                 shards: int = 1) -> str:
+    """Physically drop tombstoned postings and refresh corpus stats:
+    the single-input ``merge_indexes`` named as the operation it is.
+    The output at ``out_dir`` carries no tombstones and its df/n_docs/
+    avgdl/VSM norms describe only live docs (test-gated identical to a
+    fresh build over the live corpus). Immutable-layout engines vacuum
+    into a NEW directory — the old index stays readable until the caller
+    swaps the serving path, exactly like a segment-file engine's merge."""
+    return merge_indexes(spark, [index_dir], out_dir, shards=shards)
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids,
+                auto_vacuum_threshold: float | None = None,
+                vacuum_out: str | None = None) -> dict:
     """Tombstone documents in a completed index — Lucene-style logical
     deletion: queries exclude the docs IMMEDIATELY (SegmentIndex applies
     the tombstone set in lookup() and the WAND kernel), while the
@@ -673,7 +701,19 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> dict:
     manifest row with count/checksum); batches accumulate and readers
     union them, so deletes are resumable and append-only like every
     other build artifact.
+
+    ``auto_vacuum_threshold``: when set, the post-commit deleted
+    fraction (``deleted_fraction``: tombstones / stats.json n_docs) is
+    checked, and if it EXCEEDS the threshold the vacuum runs immediately
+    into ``vacuum_out`` (required with the threshold; immutable layout →
+    a vacuum is a new directory, the caller swaps serving paths) — the
+    policy that bounds how stale df/idf can drift before a refresh, e.g.
+    0.1 = never serve stats describing >10% dead docs. The returned dict
+    gains ``deleted_fraction`` and, when triggered, ``vacuumed_to``.
     """
+    if (auto_vacuum_threshold is not None) and vacuum_out is None:
+        raise ValueError("auto_vacuum_threshold needs vacuum_out (the "
+                         "vacuumed index is a NEW directory)")
     if not _done(index_dir, "build_complete"):
         raise ValueError(f"{index_dir} is not a completed index — "
                          "tombstones against a mid-build index would race "
@@ -697,7 +737,14 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> dict:
     ids.write.mode("overwrite").parquet(out)
     _record(index_dir, f"tombstones_{nxt}", batch=nxt, rows=agg["n"],
             checksum=int(agg["checksum"] or 0))
-    return {"batch": nxt, "rows": agg["n"]}
+    result = {"batch": nxt, "rows": agg["n"]}
+    if auto_vacuum_threshold is not None:
+        frac = deleted_fraction(spark, index_dir)
+        result["deleted_fraction"] = frac
+        if frac > auto_vacuum_threshold:
+            result["vacuumed_to"] = vacuum_index(spark, index_dir,
+                                                 vacuum_out)
+    return result
 
 
 def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:

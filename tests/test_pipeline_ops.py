@@ -281,6 +281,66 @@ def test_ivf_fit_deterministic(spark, emb):
     assert c1.shape == (4, 64)
 
 
+def _topic_sorted_emb(spark, n_topics=4, per_topic=100, dim=16):
+    """Embeddings whose vec_id ORDER correlates perfectly with content:
+    ids [t·per_topic, (t+1)·per_topic) all belong to topic t — the
+    crawl-ordered-id shape that biases a 'first N rows by id' sketch."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((n_topics, dim)) * 50.0
+    rows = []
+    for t in range(n_topics):
+        for j in range(per_topic):
+            v = centers[t] + rng.normal(0, 0.5, dim)
+            rows.append(Row(vec_id=t * per_topic + j,
+                            embedding=[float(x) for x in v]))
+    return spark.createDataFrame(rows), centers
+
+
+def test_sketch_sample_unbiased_on_topic_sorted_ids(spark):
+    """The round-3 fix: ivf_fit/pq_fit sample by CONTENT HASH of the id,
+    not 'first N rows by id' — on a topic-sorted corpus a 100-row sample
+    out of 400 must cover every topic (the old cut saw only topic 0),
+    and two samples must be identical (determinism contract intact)."""
+    import numpy as np
+
+    df, centers = _topic_sorted_emb(spark)
+    s1 = [r[0] for r in similarity._sketch_sample(
+        df, 100, "vec_id", "embedding", "ivf_fit").collect()]
+    x = np.asarray(s1)
+    topic = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(2).argmin(1)
+    counts = np.bincount(topic, minlength=4)
+    assert (counts > 0).all(), counts
+    # roughly proportional, not just token presence
+    assert (counts >= 10).all(), counts
+    s2 = [r[0] for r in similarity._sketch_sample(
+        df, 100, "vec_id", "embedding", "ivf_fit").collect()]
+    assert s1 == s2
+
+
+def test_ivf_recall_holds_on_topic_sorted_corpus(spark):
+    """End-to-end de-bias check: fit on a 120-row sketch of a 400-row
+    topic-sorted table, query a vector from the LAST topic (which a
+    first-N-by-id sketch never saw), probe 2 of 8 cells — recall@10 must
+    stay high because the hash sketch placed centroids in every topic."""
+    import numpy as np
+
+    df, centers = _topic_sorted_emb(spark)
+    cent = similarity.ivf_fit(df, n_centroids=8, iters=10, sample=120)
+    # at least one fitted centroid lives near EVERY topic center
+    for t in range(4):
+        d = np.sqrt(((cent - centers[t]) ** 2).sum(axis=1)).min()
+        assert d < 25.0, f"no centroid near topic {t} (min dist {d:.1f})"
+    assigned = similarity.ivf_assign(df, cent).cache()
+    q = list(df.filter(F.col("vec_id") == 399).collect()[0].embedding)
+    exact = {r.vec_id for r in similarity.cosine_topk(df, q, 10).collect()}
+    ann = {r.vec_id for r in similarity.ivf_topk(assigned, cent, q, 10,
+                                                 nprobe=2).collect()}
+    assert len(ann & exact) >= 8
+
+
 def test_embedding_near_dups_finds_planted(spark, emb):
     """Plant jittered copies of 20 vectors; banded-LSH near-dup join must
     recover (nearly) all planted pairs and report only true pairs."""
@@ -355,6 +415,80 @@ def test_bmp_codec_roundtrip():
     assert np.array_equal(
         multimodal.bmp_decode(multimodal.bmp_encode(gray)),
         np.repeat(gray[:, :, None], 3, axis=2))
+
+
+def test_png_codec_roundtrip_every_filter():
+    """Round-trip 8-bit gray / gray+alpha / RGB / RGBA through EVERY PNG
+    filter type (0=None 1=Sub 2=Up 3=Average 4=Paeth) — each encoder
+    filter exercises the matching decoder unfilter branch."""
+    rng = np.random.default_rng(7)
+    shapes = [(11, 13), (9, 7, 2), (13, 17, 3), (6, 5, 4)]
+    for shape in shapes:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in range(5):
+            got = multimodal.png_decode(multimodal.png_encode(img, ft))
+            assert np.array_equal(got, img), (shape, ft)
+
+
+def test_png_decode_rejects_unsupported():
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not a PNG"):
+        multimodal.png_decode(b"JFIF not a png")
+    # palette (color type 3) PNG header → declared NotImplementedError
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    payload = (multimodal._PNG_SIG
+               + multimodal._png_chunk(b"IHDR", ihdr)
+               + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+               + multimodal._png_chunk(b"IEND", b""))
+    with _pt.raises(NotImplementedError, match="color=3"):
+        multimodal.png_decode(payload)
+
+
+def test_image_decode_magic_dispatch():
+    """image_decode routes BMP and PNG payloads to the real codecs and
+    keeps unknown formats on the declared stub."""
+    import pytest as _pt
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.image_decode(multimodal.png_encode(img)), img)
+    assert np.array_equal(
+        multimodal.image_decode(multimodal.bmp_encode(img)), img)
+    with _pt.raises(NotImplementedError):
+        multimodal.image_decode(b"\xff\xd8\xff\xe0 jpeg soi marker")
+
+
+def test_multimodal_resize_real_png_raster(spark):
+    """End-to-end resize over ACTUAL PNG payloads through the Spark
+    mapInPandas path, mirroring the BMP raster test: decode (zlib
+    inflate + unfilter) → nearest-neighbor resample → re-encode."""
+    import pandas as pd
+
+    rng = np.random.default_rng(19)
+    imgs = {i: rng.integers(0, 256, size=(24, 36, 3), dtype=np.uint8)
+            for i in range(4)}
+    pdf = pd.DataFrame([{
+        "media_id": i, "kind": "image", "mime": "image/png",
+        "payload": multimodal.png_encode(imgs[i], filter_type=4),
+        "width": 36, "height": 24, "duration_ms": 0,
+    } for i in imgs])
+    media = spark.createDataFrame(pdf, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(media, 12, 8,
+                                   decoder=multimodal.image_decode,
+                                   encoder=multimodal.png_encode).collect()
+    assert len(out) == 4
+    for r in out:
+        src = imgs[r.media_id]
+        got = multimodal.png_decode(bytes(r.payload))
+        ys = np.arange(8) * 24 // 8
+        xs = np.arange(12) * 36 // 12
+        assert np.array_equal(got, src[np.ix_(ys, xs)])
+        assert (r.width, r.height) == (12, 8)
 
 
 def test_multimodal_resize_real_bmp_raster(spark):

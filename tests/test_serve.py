@@ -197,6 +197,15 @@ def test_prior_blend_through_results(spark, corpus_sdf, tmp_path):
         got = [h["doc_id"] for h in body["results"]]
         assert got[0] == base[-1]
         assert set(got) == set(base)
+        # round-4: wand=1 blends the SAME prior (it used to score pure
+        # BM25) — identical page to the relational path
+        status, wbody = _get(
+            f"http://127.0.0.1:{srv.server_address[1]}"
+            "/results?query=market&k=3&wand=1")
+        assert status == 200
+        assert [(h["doc_id"], round(h["score"], 9))
+                for h in wbody["results"]] == \
+            [(h["doc_id"], round(h["score"], 9)) for h in body["results"]]
     finally:
         srv.shutdown()
 

@@ -82,6 +82,28 @@ def test_from_index(built_index):
     assert c.correct("merket") == "market"
 
 
+def test_from_index_cut_is_df_ranked(built_index):
+    """The max_terms truncation keeps the HIGHEST-df terms (ties broken
+    lexicographically), never an arbitrary partition-order subset: at
+    web scale a bare limit() would silently drop head vocabulary from
+    correction candidates while keeping hapax noise."""
+    from pyspark.sql import functions as F
+
+    cut = 25
+    c = SP.VocabularySpellchecker.from_index(built_index, max_terms=cut)
+    want = {r.term: r.df for r in
+            built_index.term_stats.orderBy(F.desc("df"), F.asc("term"))
+            .limit(cut).collect()}
+    assert c.vocab == want
+    # every kept df >= every dropped df (the cut really is by frequency)
+    dropped_max = (built_index.term_stats
+                   .join(built_index.term_stats.orderBy(
+                       F.desc("df"), F.asc("term")).limit(cut)
+                       .select("term"), "term", "left_anti")
+                   .agg(F.max("df")).collect()[0][0])
+    assert dropped_max is not None and min(want.values()) >= dropped_max
+
+
 def test_executor_spellcheck_integration(built_index):
     """First-execution semantics: a misspelled free-text query corrects
     against the index vocabulary and returns the same results as the

@@ -95,6 +95,49 @@ def test_vacuum_equals_fresh_build_over_live_docs(spark, corpus_sdf,
     assert _top(vi) == _top(fi)
 
 
+def test_auto_vacuum_policy(spark, corpus_sdf, live_index, tmp_path):
+    """The deleted-fraction auto-vacuum (round-4): a delete below the
+    threshold only reports the fraction; one that pushes past it runs
+    the vacuum into vacuum_out, whose stats describe live docs only and
+    whose ranking is identical to the tombstone-masked pre-vacuum view
+    (same stale-stats trade both sides until refresh — here we assert
+    the REFRESHED stats, the policy's whole point)."""
+    idx = catalog.load_index(spark, live_index)
+    n = idx.stats["n_docs"]
+    ids = [r.doc_id for r in idx.doc_stats.orderBy("doc_id")
+           .limit(int(n * 0.15) + 1).collect()]
+    vac = str(tmp_path / "auto_vac")
+
+    # first batch: ~5% deleted — below a 0.10 threshold, no vacuum
+    out1 = catalog.delete_docs(spark, live_index, ids[: int(n * 0.05)],
+                               auto_vacuum_threshold=0.10, vacuum_out=vac)
+    assert 0 < out1["deleted_fraction"] <= 0.10
+    assert "vacuumed_to" not in out1 and not os.path.exists(vac)
+
+    # second batch crosses 10% → vacuum fires into vac
+    out2 = catalog.delete_docs(spark, live_index, ids[int(n * 0.05):],
+                               auto_vacuum_threshold=0.10, vacuum_out=vac)
+    assert out2["deleted_fraction"] > 0.10
+    assert out2["vacuumed_to"] == vac
+
+    vi = catalog.load_index(spark, vac)
+    # stats refreshed: n_docs counts live docs only, no tombstones carried
+    assert vi.stats["n_docs"] == n - len(ids)
+    assert catalog.load_tombstones(spark, vac) is None
+    # vacuumed ranking == fresh build over the live corpus (rank+score)
+    fresh = str(tmp_path / "fresh")
+    catalog.build_durable_index(
+        spark, corpus_sdf.filter(~F.col("doc_id").isin(ids)), fresh,
+        buckets=16)
+    assert _top(vi) == _top(catalog.load_index(spark, fresh))
+
+
+def test_auto_vacuum_requires_out_dir(spark, live_index):
+    with pytest.raises(ValueError, match="vacuum_out"):
+        catalog.delete_docs(spark, live_index, [1],
+                            auto_vacuum_threshold=0.1)
+
+
 def test_delete_on_incomplete_index_refuses(spark, tmp_path):
     d = str(tmp_path / "notbuilt")
     os.makedirs(os.path.join(d, "manifest"))

@@ -480,6 +480,84 @@ def main() -> int:
         ],
     )
 
+    # 17. HITS: the double self-reference per half-step makes an
+    # unmaterialized chain grow the LOGICAL plan ~4x per iteration — the
+    # per-half-step localCheckpoint must pin the final plan to
+    # checkpointed RDDs and keep its size CONSTANT in n_iter (measured
+    # 2 vs 4 iterations, not just asserted in prose)
+    h2 = GR.hits(pr_edges, n_iter=2)
+    ph2 = plan_of(h2)
+    GR.release_caches()
+    h4 = GR.hits(pr_edges, n_iter=4)
+    ph4 = plan_of(h4)
+    GR.release_caches()
+    ratio = len(ph4) / max(len(ph2), 1)
+    p17 = (f"-- plan-size growth 2 -> 4 iterations: {len(ph2)} -> "
+           f"{len(ph4)} chars, ratio {ratio:.2f} "
+           "(unmaterialized would be ~16x)\n" + ph4)
+    check(
+        "HITS (checkpointed half-steps, broadcast L2 norm)", p17,
+        [
+            ("final plan reads checkpointed RDDs, not the join chain",
+             r"Scan ExistingRDD", True),
+            ("plan size constant in iteration count (ratio < 3)",
+             r"ratio [0-2]\.", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+            ("no Python UDF", r"BatchEvalPython|ArrowEvalPython", False),
+        ],
+    )
+
+    # 18. connected components: one edges-joins-labels + min-agg per
+    # round, lineage truncated by the periodic checkpoint/persist — the
+    # converged frame must read from materialized storage and carry no
+    # cartesian anywhere
+    cc = GR.connected_components(pr_edges)
+    p18 = plan_of(cc)
+    GR.release_caches()
+    check(
+        "Connected components (hash-min label propagation)", p18,
+        [
+            ("converged labels read from materialized storage",
+             r"InMemoryTableScan|Scan ExistingRDD", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+            ("no Python UDF", r"BatchEvalPython|ArrowEvalPython", False),
+        ],
+    )
+
+    # 19. corpus-wide duplicate-line removal: lines explode narrowly
+    # (Generate), the distinct-doc count partial-aggregates map-side
+    # (the 'Home' skew absorber), boilerplate lines hit the corpus via
+    # an ANTI join of only the above-threshold set, all JVM
+    p19 = plan_of(TQ.dedup_lines(docs, min_docs=2))
+    check(
+        "Duplicate-line removal (3 keyed shuffles)", p19,
+        [
+            ("lines explode narrowly (Generate)", r"\bGenerate\b", True),
+            ("partial aggregation before the count exchange",
+             r"partial_count|partial_first", True),
+            ("boilerplate removed via anti-join", r"LeftAnti", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+            ("no Python UDF", r"BatchEvalPython|ArrowEvalPython", False),
+        ],
+    )
+
+    # 20. per-doc tf-idf keywords: one enrich join + one window RANK
+    # partitioned by doc_id — the window's sort must be partition-local
+    # (billions of tiny per-doc partitions at scale), never a global sort
+    p20 = plan_of(CS.doc_keywords(mem.postings, mem.term_stats,
+                                  mem.stats["n_docs"], m=5))
+    check(
+        "Per-doc tf-idf keywords (per-doc window)", p20,
+        [
+            ("window partitioned by doc_id",
+             r"windowspecdefinition\(doc_id", True),
+            ("no partition-less window",
+             r"windowspecdefinition\((?!doc_id)", False),
+            ("window sort is partition-local (global=false)",
+             r"Sort \[[^\n]*\], true, 0", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -440,6 +440,105 @@ def q_rm3_alpha1_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
 
 
+def q_rm3_dates_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 composed with a date range (round-4: the refusal became
+    candidate-restricted feedback). Dates are synthesized
+    deterministically from doc_id (warc_date = 2022-01-01 + doc_id % 90
+    days) so the oracle can reproduce the candidate set as a pure
+    doc_id predicate; at alpha=1 the result must equal plain BM25
+    restricted to the in-range docs, with GLOBAL df/avgdl (a date
+    filter restricts scoring, never corpus statistics). The alpha<1
+    feedback-restriction behavior is pytest-gated (tests/test_rm3.py)."""
+    from search_engine_spark.operators import executor as EX
+
+    docs = _docs(spark, sf_dir)
+    dated = docs.withColumn(
+        "warc_date",
+        F.date_add(F.lit("2022-01-01").cast("date"),
+                   (F.col("doc_id") % 90).cast("int")))
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    from datetime import date as _d
+
+    cand = EX.date_candidates(dated, _d(2022, 1, 1), _d(2022, 2, 14))
+    agg = S.search_rm3(idx, _BM25_QUERY_TERMS, k=None, alpha=1.0,
+                       candidates=cand)
+    agg = agg.select("doc_id", F.round("score", 4).alias("score"))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
+
+
+def q_wand_prior_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND + static-prior serving parity (round-4: wand used to ignore
+    a configured prior): the kernel's iterative-deepening blend must
+    equal score + 0.3·ln(prior) computed by SQL, with odd docs carrying
+    a deterministic pagerank-shaped probability 1/(doc_id+2) and even
+    docs ABSENT from the prior frame (both paths apply the shared 1e-12
+    floor). k is exhaustive so final selection happens on ROUNDED
+    scores DataFrame-side, as in wand_bm25_identity."""
+    import shutil
+    import tempfile
+
+    from search_engine_spark.operators import wand as W
+    from search_engine_spark.sources import catalog
+
+    docs = _docs(spark, sf_dir)
+    prior = (docs.filter(F.col("doc_id") % 2 == 1)
+             .select(F.col("doc_id").alias("node"),
+                     (F.lit(1.0) / (F.col("doc_id") + 2)).alias("rank")))
+    tmp = tempfile.mkdtemp(prefix="wand_prior_contract_")
+    try:
+        d = tmp + "/idx"
+        catalog.build_durable_index(spark, docs, d, conf=SIMPLE, shards=2,
+                                    buckets=16, block_span=64,
+                                    positional=False)
+        idx = catalog.load_index(spark, d)
+        hits = W.search_wand(idx, " ".join(_BM25_QUERY_TERMS), k=1 << 30,
+                             prior=prior, prior_lam=0.3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    raw = spark.createDataFrame(
+        [(int(doc), float(s)) for doc, s in hits], "doc_id long, raw double")
+    return (raw.select("doc_id", F.round("raw", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
+
+
+def q_vacuum_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone → auto-vacuum → refreshed stats, end to end (round-4
+    policy): deleting every doc_id % 7 == 0 (~14% > the 0.10 threshold)
+    triggers the vacuum at delete commit; BM25 over the VACUUMED index
+    must equal SQL BM25 recomputed over only the live docs — df, n_docs
+    and avgdl all refreshed, the exact property stale-stats serving
+    lacks until vacuum. Result is materialized driver-side so the
+    temporary index directories can be removed eagerly."""
+    import shutil
+    import tempfile
+
+    from search_engine_spark.sources import catalog
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="vacuum_contract_")
+    try:
+        d = tmp + "/idx"
+        vac = tmp + "/vacuumed"
+        catalog.build_durable_index(spark, docs, d, conf=SIMPLE, shards=2,
+                                    buckets=16, block_span=64,
+                                    positional=False)
+        victims = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        out = catalog.delete_docs(spark, d, victims,
+                                  auto_vacuum_threshold=0.10,
+                                  vacuum_out=vac)
+        assert out.get("vacuumed_to") == vac, out
+        idx = catalog.load_index(spark, vac)
+        agg = S.search_freetext_tokens(idx, _BM25_QUERY_TERMS, k=None)
+        rows = (agg.select("doc_id", F.round("score", 4).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
+                .collect())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame([(int(r.doc_id), float(r.score))
+                                  for r in rows],
+                                 "doc_id long, score double")
+
+
 def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (similarity.semantic_dedup): cluster
     the embedding space, drop any vector whose cell holds a lower-id
@@ -881,6 +980,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_lang_counts": q_facet_lang_counts,
         "doc_keywords": q_doc_keywords,
         "top_bigrams_approx": q_top_bigrams_approx,
+        "rm3_dates_identity": q_rm3_dates_identity,
+        "wand_prior_identity": q_wand_prior_identity,
+        "vacuum_identity": q_vacuum_identity,
     }
 
 
@@ -897,6 +999,76 @@ def oracle_sql() -> dict[str, str]:
     # RM3 at alpha=1 must reproduce plain BM25 exactly (zero-weight
     # expansion terms dropped, unnormalized q_tf) — same oracle
     sql["rm3_alpha1_identity"] = sql["bm25_topk"]
+    # RM3 + date range at alpha=1: plain BM25 over the in-range docs
+    # (warc_date = 2022-01-01 + doc_id % 90 days; range covers days
+    # 0..44) with GLOBAL corpus statistics — the date filter restricts
+    # which docs score, never df/avgdl
+    sql["rm3_dates_identity"] = f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        q(term) AS (VALUES {bm25_terms}),
+        w AS (
+            SELECT tf.doc_id,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+            WHERE tf.doc_id % 90 <= 44
+        )
+        SELECT doc_id, ROUND(SUM(wt), 4) AS score
+        FROM w GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 100
+    """
+    # WAND + prior: bm25 + 0.3·ln(prior) with odd docs at 1/(doc_id+2)
+    # and even docs at the shared 1e-12 floor (absent from the frame)
+    sql["wand_prior_identity"] = f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        q(term) AS (VALUES {bm25_terms}),
+        w AS (
+            SELECT tf.doc_id,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        ),
+        bm AS (SELECT doc_id, SUM(wt) AS s FROM w GROUP BY doc_id)
+        SELECT doc_id,
+               ROUND(s + 0.3 * LN(CASE WHEN doc_id % 2 = 1
+                                       THEN 1.0 / (doc_id + 2)
+                                       ELSE 1e-12 END), 4) AS score
+        FROM bm ORDER BY score DESC, doc_id ASC LIMIT 100
+    """
+    # vacuumed index: BM25 with df/n_docs/avgdl RECOMPUTED over live
+    # docs only (doc_id % 7 == 0 tombstoned then physically vacuumed)
+    live_tok = (_TOK + " WHERE doc_id % 7 <> 0")
+    sql["vacuum_identity"] = f"""
+        WITH tok AS ({live_tok}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        q(term) AS (VALUES {bm25_terms}),
+        w AS (
+            SELECT tf.doc_id,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        )
+        SELECT doc_id, ROUND(SUM(wt), 4) AS score
+        FROM w GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 100
+    """
     return sql
 
 

@@ -4,7 +4,9 @@ Runs every ``queries()`` entry at the given sf against its ``oracle_sql()``
 and compares row-count, column names, and an order-insensitive value hash
 (rows sorted, columns sorted by name — mirroring the driver contract).
 
-Usage: python tests/driver_check.py [sf_dir]
+Usage: python tests/driver_check.py [sf_dir] [only_substr]
+(``only_substr`` restricts to entries whose name contains it — for
+iterating on one entry without replaying all of them)
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ def canon(rows, cols):
     return sorted(tuple(norm(r[i]) for i in idx) for r in rows), cols_sorted
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str = "") -> int:
     import duckdb
 
     import __spark_entry__ as E
@@ -39,6 +41,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     qs, oracles = E.queries(), E.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and only not in name:
+            continue
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns

@@ -1,14 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata (task brief).
 
-Decoding is pluggable via ``decoder=`` hooks. Three formats are REAL,
+Decoding is pluggable via ``decoder=`` hooks. Four formats are REAL,
 implemented pure-numpy/stdlib because no media libraries exist in this
 container: 24-bit uncompressed BMP (``bmp_encode``/``bmp_decode``),
 8-bit PNG (``png_encode``/``png_decode``, stdlib zlib + numpy scanline
-unfiltering, all five filter types) and 16-bit PCM RIFF/WAV
+unfiltering, all five filter types), baseline JPEG
+(``jpegcodec.jpeg_encode``/``jpeg_decode`` — sequential DCT, 4:4:4 and
+4:2:0, restart markers) and 16-bit PCM RIFF/WAV
 (``wav_encode``/``wav_decode``, the audio path — real signal features
 and resampling run end-to-end on it). ``image_decode`` magic-dispatches
-BMP/PNG and is the default-able real image decoder.
+BMP/PNG/JPEG and is the default-able real image decoder.
 Every other format stays a declared stub: the default decoder raises
 NotImplementedError; ``fake_image_decoder``/``fake_audio_decoder`` are
 deterministic stand-ins so the Spark-side plumbing (schema, mapInPandas
@@ -263,13 +265,18 @@ def png_decode(payload: bytes, kind: str = "image") -> np.ndarray:
 
 def image_decode(payload: bytes, kind: str = "image") -> np.ndarray:
     """Magic-byte dispatch over the REAL vendored raster codecs (BMP,
-    PNG) — the default decoder to hand resize_images/extract_features on
-    a Pillow-less cluster; unknown formats fall through to the declared
-    stub so JPEG etc. still fail loudly, never silently."""
+    PNG, baseline JPEG) — the default decoder to hand
+    resize_images/extract_features on a Pillow-less cluster; unknown
+    formats fall through to the declared stub so GIF/WebP/video etc.
+    still fail loudly, never silently."""
     if payload[:2] == b"BM":
         return bmp_decode(payload, kind)
     if payload[:8] == _PNG_SIG:
         return png_decode(payload, kind)
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import jpeg_decode
+
+        return jpeg_decode(payload, kind)
     return unimplemented_decoder(payload, kind)
 
 

@@ -463,6 +463,111 @@ def test_image_decode_magic_dispatch():
         multimodal.image_decode(b"\xff\xd8\xff\xe0 jpeg soi marker")
 
 
+def test_jpeg_codec_anchors():
+    """Baseline JPEG codec (operators/jpegcodec.py) against the
+    standard's own math: a flat image is a single quantized DC
+    coefficient and round-trips EXACTLY; q=100 (all-ones tables) bounds
+    the round-trip error at DCT-rounding level (±2 LSB); a pure
+    cosine-basis block concentrates its DCT energy on the matching
+    coefficient — an external anchor, not codec self-consistency."""
+    from search_engine_spark.operators import jpegcodec as J
+
+    flat = np.full((16, 24), 130, np.uint8)
+    assert np.array_equal(J.jpeg_decode(J.jpeg_encode(flat, 100)), flat)
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (24, 32), np.uint8)
+    out = J.jpeg_decode(J.jpeg_encode(img, quality=100))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    rgb = rng.integers(0, 256, (17, 19, 3), np.uint8)  # non-multiple-of-8
+    out = J.jpeg_decode(J.jpeg_encode(rgb, quality=100))
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 3
+
+    n = np.arange(8)
+    basis = np.outer(np.cos((2 * n + 1) * 2 * np.pi / 16),
+                     np.cos((2 * n + 1) * 1 * np.pi / 16))
+    blk = np.clip(np.round(128 + 60 * basis), 0, 255).astype(np.uint8)
+    coef = J._C @ (blk.astype(float) - 128.0) @ J._C.T
+    idx = np.unravel_index(np.argmax(np.abs(coef)), coef.shape)
+    assert idx == (2, 1)
+    assert np.abs(coef[idx]) / np.abs(coef).sum() > 0.9
+
+
+def test_jpeg_subsampling_and_restarts():
+    """4:2:0 keeps smooth images close (chroma is 2x2-averaged, luma
+    near-exact) and restart markers decode to the same pixels as the
+    unsegmented stream (DRI/RSTn handling, DC predictor resets)."""
+    from search_engine_spark.operators import jpegcodec as J
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    smooth = np.stack([(yy * 3 + 20) % 256, (xx * 2 + 50) % 256,
+                       ((yy + xx) * 2) % 256], axis=2).astype(np.uint8)
+    out = J.jpeg_decode(J.jpeg_encode(smooth, quality=90, subsample=True))
+    assert out.shape == smooth.shape
+    assert np.abs(out.astype(int) - smooth.astype(int)).mean() < 3.0
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (24, 40), np.uint8)
+    with_rst = J.jpeg_decode(J.jpeg_encode(img, 100, restart_interval=2))
+    without = J.jpeg_decode(J.jpeg_encode(img, 100))
+    assert np.array_equal(with_rst, without)
+
+    # lossy quality still decodes to something structurally close
+    q50 = J.jpeg_decode(J.jpeg_encode(smooth, quality=50))
+    assert np.abs(q50.astype(int) - smooth.astype(int)).mean() < 10.0
+
+
+def test_jpeg_rejects_non_baseline():
+    import struct
+
+    import pytest as _pt
+
+    from search_engine_spark.operators import jpegcodec as J
+
+    with _pt.raises(ValueError, match="not a JPEG"):
+        J.jpeg_decode(b"\x89PNG not jpeg")
+    # progressive SOF2 header → declared NotImplementedError
+    prog = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with _pt.raises(NotImplementedError, match="SOF marker 0xC2"):
+        J.jpeg_decode(prog)
+
+
+def test_multimodal_resize_real_jpeg_raster(spark):
+    """End-to-end resize over ACTUAL JPEG payloads through the Spark
+    mapInPandas path via the image_decode magic dispatch; JPEG is lossy
+    so the gate is closeness of the resampled raster, not equality."""
+    import pandas as pd
+
+    from search_engine_spark.operators import jpegcodec as J
+
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 200, (6, 9, 3))
+    # smooth 24x36 gradient images (block-upsampled noise)
+    imgs = {i: np.repeat(np.repeat(base + i * 5, 4, axis=0), 4, axis=1)
+            .astype(np.uint8) for i in range(3)}
+    pdf = pd.DataFrame([{
+        "media_id": i, "kind": "image", "mime": "image/jpeg",
+        "payload": J.jpeg_encode(imgs[i], quality=95),
+        "width": 36, "height": 24, "duration_ms": 0,
+    } for i in imgs])
+    media = spark.createDataFrame(pdf, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(
+        media, 12, 8, decoder=multimodal.image_decode,
+        encoder=lambda a: J.jpeg_encode(a, quality=100)).collect()
+    assert len(out) == 3
+    for r in out:
+        src = imgs[r.media_id]
+        got = J.jpeg_decode(bytes(r.payload))
+        ys = np.arange(8) * 24 // 8
+        xs = np.arange(12) * 36 // 12
+        want = src[np.ix_(ys, xs)]
+        assert got.shape == want.shape
+        assert np.abs(got.astype(int) - want.astype(int)).mean() < 6.0
+
+
 def test_multimodal_resize_real_png_raster(spark):
     """End-to-end resize over ACTUAL PNG payloads through the Spark
     mapInPandas path, mirroring the BMP raster test: decode (zlib

@@ -449,8 +449,11 @@ def test_png_decode_rejects_unsupported():
 
 
 def test_image_decode_magic_dispatch():
-    """image_decode routes BMP and PNG payloads to the real codecs and
-    keeps unknown formats on the declared stub."""
+    """image_decode routes BMP/PNG/JPEG payloads to the real codecs
+    (JPEG is lossy: decode(encode(x)) is shape-preserving, not
+    byte-exact) and keeps unknown formats on the declared stub; a
+    JPEG-magic payload with corrupt structure fails loudly in the
+    codec, never silently."""
     import pytest as _pt
 
     rng = np.random.default_rng(3)
@@ -459,8 +462,12 @@ def test_image_decode_magic_dispatch():
         multimodal.image_decode(multimodal.png_encode(img)), img)
     assert np.array_equal(
         multimodal.image_decode(multimodal.bmp_encode(img)), img)
-    with _pt.raises(NotImplementedError):
+    from search_engine_spark.operators import jpegcodec as _J
+    assert multimodal.image_decode(_J.jpeg_encode(img, 90)).shape == img.shape
+    with _pt.raises(ValueError):  # JPEG magic but truncated/garbage body
         multimodal.image_decode(b"\xff\xd8\xff\xe0 jpeg soi marker")
+    with _pt.raises(NotImplementedError):  # genuinely unknown format
+        multimodal.image_decode(b"GIF89a not a supported codec")
 
 
 def test_jpeg_codec_anchors():

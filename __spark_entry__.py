@@ -807,6 +807,17 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "n_lines_dropped")
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al ExactSubstr dedup at word windows: every 8-token
+    window whose exact string occurs 2+ times corpus-wide is stripped
+    from EVERY occurrence, texts rebuilt in order, value-hashed
+    cross-engine (dedup.strip_dup_spans)."""
+    from search_engine_spark.operators.dedup import strip_dup_spans
+
+    return strip_dup_spans(_docs(spark, sf_dir), w=8, min_count=2) \
+        .select("doc_id", "text", "n_tokens_dropped")
+
+
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters: connected components (hash-min label
     propagation, graph.connected_components) over a deterministic
@@ -973,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_bm25_topk": q_anchor_bm25_topk,
         "dup_components": q_dup_components,
         "dedup_lines": q_dedup_lines,
+        "dup_spans": q_dup_spans,
         "bpe_pretokens": q_bpe_pretokens,
         "snippets_topk": q_snippets_topk,
         "autocomplete": q_autocomplete,
@@ -1741,6 +1753,51 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
             SELECT d.doc_id, COALESCE(reb.text, '') AS text,
                    CAST(tot.n_all - COALESCE(reb.n_kept, 0) AS BIGINT)
                        AS n_lines_dropped
+            FROM documents d JOIN tot USING (doc_id)
+            LEFT JOIN reb USING (doc_id)
+        """,
+        # mirrors dedup.strip_dup_spans(w=8, min_count=2): any exact
+        # 8-token window occurring 2+ times corpus-wide (within-doc
+        # repeats count) marks its 8 tokens at EVERY occurrence;
+        # overlapping marks merge; survivors rejoin with single spaces.
+        # Cover here is the readable quadratic EXISTS; the engine's
+        # running-max window is the linear equivalent.
+        "dup_spans": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(COALESCE(text, ''),
+                                                       '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            tok AS (SELECT doc_id,
+                           unnest(generate_series(1, len(toks))) AS j,
+                           unnest(toks) AS tok
+                    FROM base),
+            pos AS (SELECT doc_id,
+                           unnest(generate_series(
+                               1, GREATEST(len(toks) - 7, 0))) AS pos,
+                           toks
+                    FROM base),
+            gh AS (SELECT doc_id, pos,
+                          substring(md5(array_to_string(
+                              toks[pos : pos + 7], ' ')), 1, 16) AS gh
+                   FROM pos),
+            dup AS (SELECT gh FROM gh GROUP BY gh HAVING COUNT(*) >= 2),
+            starts AS (SELECT doc_id, pos FROM gh
+                       WHERE gh IN (SELECT gh FROM dup)),
+            kept AS (SELECT t.doc_id, t.j, t.tok FROM tok t
+                     WHERE NOT EXISTS (
+                         SELECT 1 FROM starts s
+                         WHERE s.doc_id = t.doc_id
+                           AND s.pos <= t.j AND t.j <= s.pos + 7)),
+            reb AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY j) AS text,
+                           COUNT(*) AS n_kept
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, len(toks) AS n_all FROM base)
+            SELECT d.doc_id, COALESCE(reb.text, '') AS text,
+                   CAST(tot.n_all - COALESCE(reb.n_kept, 0) AS BIGINT)
+                       AS n_tokens_dropped
             FROM documents d JOIN tot USING (doc_id)
             LEFT JOIN reb USING (doc_id)
         """,

@@ -558,6 +558,30 @@ def main() -> int:
         ],
     )
 
+    # 21. exact duplicate-span removal (ExactSubstr at word windows):
+    # gram hashing is pure JVM array expressions (no Python UDF), the
+    # over-threshold hash set reaches the gram stream via a semi-join of
+    # 16-char hashes only, and the cover pass is ONE doc_id-partitioned
+    # window whose sort is partition-local — never a global sort, never
+    # an all-pairs join of tokens against spans
+    p21 = plan_of(DD.strip_dup_spans(docs, w=8, min_count=2))
+    check(
+        "Duplicate-span removal (running-max cover)", p21,
+        [
+            ("gram hashing is JVM-only (no Python UDF)",
+             r"BatchEvalPython|ArrowEvalPython", False),
+            ("partial aggregation before the gram-count exchange",
+             r"partial_count|partial_first", True),
+            ("duplicated grams reach tokens via semi-join",
+             r"LeftSemi", True),
+            ("cover window partitioned by doc_id",
+             r"windowspecdefinition\(doc_id", True),
+            ("window sort is partition-local (global=false)",
+             r"Sort \[[^\n]*\], true, 0", False),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

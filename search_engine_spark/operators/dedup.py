@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType
+from pyspark.sql.window import Window
 
 from ._cache import PersistRegistry
 
@@ -482,4 +483,114 @@ def winnow_overlap_pairs(docs: DataFrame, k: int = 5, w: int = 4,
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast(LongType()).alias("shared"))
         .filter(F.col("shared") >= min_shared)
+    )
+
+
+def strip_dup_spans(docs: DataFrame, w: int = 10, min_count: int = 2,
+                    text_col: str = "text") -> DataFrame:
+    """Exact duplicate-substring-span removal at word granularity — the
+    Lee-et-al training-data dedup (arXiv 2107.06499, "ExactSubstr"):
+    every window of ``w`` consecutive whitespace tokens whose exact
+    string occurs ``min_count``+ times CORPUS-WIDE marks its ``w``
+    tokens as duplicated (within-doc repeats count: a substring
+    "occurring more than once in the corpus" includes twice in one
+    document); overlapping marks merge; ALL occurrences are stripped.
+    This is a training-data op — no canonical copy is kept; pair with
+    exact_dedup/minhash_dedup, which keep one representative of
+    whole-document duplicates.
+
+    Documented deviations from the paper: (a) word windows, not a
+    suffix array over bytes — the distributed formulation; a duplicate
+    shorter than ``w`` tokens, or one differing only in whitespace, is
+    not found; (b) rebuilt text joins surviving tokens with single
+    spaces (tokenizer-canonical whitespace) for EVERY doc, stripped or
+    not.
+
+    → the input columns with ``text_col`` rewritten, plus
+    ``n_tokens_dropped``. The doc set is preserved: a fully-duplicated
+    document comes back with empty text, not dropped (dropping is the
+    downstream quality filter's policy, as in dedup_lines).
+
+    Scale shape — three keyed exchanges, each linear: (1) gram-hash
+    count with map-side partial agg (the md5-16 gram contract shared
+    with decontam/winnowing); (2) the gram stream semi-joins the
+    over-threshold hash set — 16-hex-char hashes only, never text, and
+    the build side holds only DUPLICATED grams (a small fraction of the
+    gram universe on real corpora, AQE-broadcastable); (3) token events
+    union duplicated span-START events and shuffle ONCE on doc_id for
+    the cover window; the rebuild groupBy reuses that partitioning.
+    Cover is the running-max trick — covered(j) ⇔ max(start + w − 1
+    over duplicated starts ≤ j) ≥ j — one window pass, O(n) per doc,
+    never O(n·starts) array scans.
+    """
+    toks_arr = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+    base = docs.select("doc_id", toks_arr.alias("_toks"))
+    n = F.size("_toks")
+    gh_arr = F.when(
+        n >= F.lit(w),
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(w - 1)),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice("_toks", i, F.lit(w)))),
+                1, 16),
+        ),
+    ).otherwise(F.array().cast(ArrayType(StringType())))
+    grams = (
+        base.select("doc_id", F.posexplode(gh_arr).alias("_p0", "_gh"))
+        .select("doc_id", (F.col("_p0") + 1).alias("_pos"), "_gh")
+    )
+    dup_hashes = (
+        grams.groupBy("_gh")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= F.lit(int(min_count)))
+        .select("_gh")
+    )
+    dup_starts = grams.join(dup_hashes, "_gh", "left_semi")
+    tok_events = (
+        base.select("doc_id", F.posexplode("_toks").alias("_p0", "_tok"))
+        .select(
+            "doc_id", (F.col("_p0") + 1).alias("_j"),
+            F.lit(1).alias("_kind"), "_tok",
+            F.lit(None).cast("int").alias("_reach"),
+        )
+    )
+    start_events = dup_starts.select(
+        "doc_id", F.col("_pos").alias("_j"), F.lit(0).alias("_kind"),
+        F.lit(None).cast("string").alias("_tok"),
+        (F.col("_pos") + F.lit(w - 1)).cast("int").alias("_reach"),
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("_j", "_kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = (
+        tok_events.unionByName(start_events)
+        .withColumn("_cov", F.max("_reach").over(win))
+        .filter((F.col("_kind") == 1)
+                & (F.col("_cov").isNull() | (F.col("_cov") < F.col("_j"))))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_j", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("_new_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    n_toks = base.select("doc_id", F.size("_toks").alias("_n_all"))
+    others = [c for c in docs.columns if c != text_col]
+    return (
+        docs.join(rebuilt, "doc_id", "left")
+        .join(n_toks, "doc_id")
+        .select(
+            *others,
+            F.coalesce("_new_text", F.lit("")).alias(text_col),
+            (F.col("_n_all") - F.coalesce("_n_kept", F.lit(0)))
+            .cast(LongType()).alias("n_tokens_dropped"),
+        )
     )

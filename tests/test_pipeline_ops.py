@@ -1180,3 +1180,58 @@ def test_curation_winnow_and_bigram_stages(spark):
     assert [r.doc_id for r in cur2.collect()] == [1]
     assert any(f["stage"] == "bigram_lm_quality" for f in funnel2)
     curation.release_caches()
+
+
+def test_strip_dup_spans_planted(spark):
+    """ExactSubstr-style span removal: a w-token window occurring 2+
+    times corpus-wide (cross-doc OR within one doc) strips ALL its
+    occurrences; unique text, short docs, and empty docs pass through
+    (with tokenizer-canonical single-space rebuild); the doc set is
+    preserved — a fully-duplicated doc comes back empty, not dropped."""
+    from search_engine_spark.operators.dedup import strip_dup_spans
+
+    shared = "alpha bravo charlie delta echo"          # 5 tokens == w
+    rows = [
+        (1, f"intro one two {shared} outro aaa bbb"),
+        (2, f"different lead-in {shared} and a different tail here"),
+        # within-doc repeat: the phrase occurs twice in ONE doc
+        (3, f"xx {shared} middle filler words {shared} yy"),
+        (4, "completely unique text with  weird   spacing inside"),
+        (5, "short doc"),                               # < w tokens
+        (6, ""),                                        # empty
+        (7, shared),                                    # fully duplicated
+    ]
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           strip_dup_spans(docs_df, w=5, min_count=2).collect()}
+
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+    # the shared 5-gram is gone everywhere, the rest survives in order
+    assert out[1].text == "intro one two outro aaa bbb"
+    assert out[1].n_tokens_dropped == 5
+    assert out[2].text == "different lead-in and a different tail here"
+    assert out[2].n_tokens_dropped == 5
+    assert out[3].text == "xx middle filler words yy"
+    assert out[3].n_tokens_dropped == 10
+    # unique doc: untouched content, whitespace canonicalized
+    assert out[4].text == "completely unique text with weird spacing inside"
+    assert out[4].n_tokens_dropped == 0
+    assert out[5].text == "short doc" and out[5].n_tokens_dropped == 0
+    assert out[6].text == "" and out[6].n_tokens_dropped == 0
+    assert out[7].text == "" and out[7].n_tokens_dropped == 5
+
+
+def test_strip_dup_spans_overlapping_marks_merge(spark):
+    """Overlapping duplicated windows mark a single merged span: a
+    shared run of w+2 tokens yields 3 duplicated w-windows whose union
+    covers exactly w+2 tokens — the running-max cover must not
+    double-count or leave gaps, and tokens NEXT TO the run survive."""
+    from search_engine_spark.operators.dedup import strip_dup_spans
+
+    run = "t1 t2 t3 t4 t5 t6 t7"                        # 7 tokens, w=5
+    rows = [(1, f"keepA {run} keepB"), (2, f"pre {run} post")]
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           strip_dup_spans(docs_df, w=5, min_count=2).collect()}
+    assert out[1].text == "keepA keepB" and out[1].n_tokens_dropped == 7
+    assert out[2].text == "pre post" and out[2].n_tokens_dropped == 7

@@ -818,6 +818,32 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "n_tokens_dropped")
 
 
+def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy retrieval (search.search_fuzzy): each misspelled query
+    token expands to vocabulary terms within Levenshtein 1 sharing its
+    first character, capped at 5 per token by (boost DESC, df DESC,
+    term ASC) — the tight cap makes the window cut itself part of the
+    cross-engine contract — then BM25 with the per-variant similarity
+    boost 1 − d/min(|q|,|v|)."""
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    agg = S.search_fuzzy(idx, ["sparkk", "qery", "joinn"], k=None,
+                         max_dist=1, prefix_len=1, max_expansions=5)
+    agg = agg.select("doc_id", F.round("score", 4).alias("score"))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-document retrieval (search.more_like_this): doc 3's ten
+    highest-tf·idf terms (rounded to 6 dp before the cut, ties by term)
+    run as an unweighted BM25 OR query, the source doc excluded."""
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    agg = S.more_like_this(idx, 3, k=None, max_query_terms=10)
+    agg = agg.select("doc_id", F.round("score", 4).alias("score"))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
+
+
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters: connected components (hash-min label
     propagation, graph.connected_components) over a deterministic
@@ -982,6 +1008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": q_top_bigrams,
         "bm25_pagerank_topk": q_bm25_pagerank_topk,
         "anchor_bm25_topk": q_anchor_bm25_topk,
+        "fuzzy_topk": q_fuzzy_topk,
+        "more_like_this": q_more_like_this,
         "dup_components": q_dup_components,
         "dedup_lines": q_dedup_lines,
         "dup_spans": q_dup_spans,
@@ -1117,6 +1145,82 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
                 FROM tf JOIN q USING (term) JOIN df USING (term)
                 JOIN dl USING (doc_id) CROSS JOIN stats s
+            )
+            SELECT doc_id, ROUND(SUM(wt), 4) AS score
+            FROM w GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 100
+        """,
+        # mirrors search.search_fuzzy(max_dist=1, prefix_len=1,
+        # max_expansions=5): per misspelled token, vocabulary terms
+        # sharing the first char within Levenshtein 1, boost
+        # 1 − d/min(|q|,|v|), top-5 by (boost DESC, df DESC, term ASC);
+        # BM25 weights multiplied by the summed per-variant boost.
+        "fuzzy_topk": f"""
+            WITH tok AS ({_TOK}),
+            tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            q(qt) AS (VALUES ('sparkk'), ('qery'), ('joinn')),
+            cand AS (
+                SELECT q.qt, df.term, df.df,
+                       levenshtein(q.qt, df.term) AS d
+                FROM q JOIN df
+                  ON substring(df.term, 1, 1) = substring(q.qt, 1, 1)
+                 AND ABS(LENGTH(df.term) - LENGTH(q.qt)) <= 1
+                WHERE levenshtein(q.qt, df.term) <= 1
+            ),
+            ranked AS (
+                SELECT qt, term,
+                       1.0 - d * 1.0 / LEAST(LENGTH(qt), LENGTH(term))
+                           AS boost,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qt
+                           ORDER BY 1.0 - d * 1.0
+                                    / LEAST(LENGTH(qt), LENGTH(term)) DESC,
+                                    df DESC, term ASC) AS rn
+                FROM cand
+            ),
+            sel AS (SELECT term, SUM(boost) AS boost
+                    FROM ranked WHERE rn <= 5 GROUP BY term),
+            w AS (
+                SELECT tf.doc_id,
+                       sel.boost
+                       * LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+                FROM tf JOIN sel USING (term) JOIN df USING (term)
+                JOIN dl USING (doc_id) CROSS JOIN stats s
+            )
+            SELECT doc_id, ROUND(SUM(wt), 4) AS score
+            FROM w GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 100
+        """,
+        # mirrors search.more_like_this(doc_id=3, max_query_terms=10):
+        # source doc's top-10 terms by tf·idf ROUNDED TO 6dp (ties by
+        # term ASC) → unweighted BM25, source excluded.
+        "more_like_this": f"""
+            WITH tok AS ({_TOK}),
+            tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            src AS (
+                SELECT tf.term,
+                       ROUND(tf.tf * LN(s.n * 1.0 / df.df), 6) AS tfidf
+                FROM tf JOIN df USING (term) CROSS JOIN stats s
+                WHERE tf.doc_id = 3
+            ),
+            sel AS (SELECT term FROM src
+                    ORDER BY tfidf DESC, term ASC LIMIT 10),
+            w AS (
+                SELECT tf.doc_id,
+                       LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+                FROM tf JOIN sel USING (term) JOIN df USING (term)
+                JOIN dl USING (doc_id) CROSS JOIN stats s
+                WHERE tf.doc_id <> 3
             )
             SELECT doc_id, ROUND(SUM(wt), 4) AS score
             FROM w GROUP BY doc_id

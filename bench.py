@@ -47,6 +47,7 @@ def main() -> None:
     from search_engine_spark.functions.analyzer import AnalyzerConfig
     from search_engine_spark.operators import executor
     from search_engine_spark.operators import postings as P
+    from search_engine_spark.operators import search as S
     from search_engine_spark.session import get_spark
     from search_engine_spark.sources import corpus
 
@@ -185,6 +186,11 @@ def main() -> None:
         # weights rewrite
         "q_vsm": lambda: executor.execute(idx, "market price", model="vsm").count(),
         "q_vsm_warm": lambda: executor.execute(idx, "market price", model="vsm").count(),
+        # typo'd tokens (deletion typos: classic Levenshtein counts a
+        # transposition as 2): the expansion pass + boosted scoring
+        "q_fuzzy": lambda: S.search_fuzzy(idx, ["marke", "growt"],
+                                          k=100).count(),
+        "q_mlt": lambda: S.more_like_this(idx, 3, k=100).count(),
     }
     for name, fn in queries.items():
         if name == "q_vsm":

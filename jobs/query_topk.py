@@ -6,7 +6,8 @@ spark-submit --py-files dist/engine.zip jobs/query_topk.py \
     [--wand] [--date-start 2022-01-01 --date-end 2022-01-31] \
     [--documents /data/documents_parquet] \
     [--prior /data/ranks [--prior-lam 0.3]] \
-    [--rm3-alpha 0.6 [--rm3-fb-docs 10 --rm3-fb-terms 10]]
+    [--rm3-alpha 0.6 [--rm3-fb-docs 10 --rm3-fb-terms 10]] \
+    [--fuzzy 1]
 
 Prints one JSON line per hit: {"rank", "doc_id", "score"}.
 --wand uses the Block-Max WAND kernel (BM25 only); default is the
@@ -55,6 +56,10 @@ def main() -> None:
                          "bm25 only; 1.0 = no expansion)")
     ap.add_argument("--rm3-fb-docs", type=int, default=10)
     ap.add_argument("--rm3-fb-terms", type=int, default=10)
+    ap.add_argument("--fuzzy", type=int, default=None, metavar="MAX_DIST",
+                    help="fuzzy term matching: expand each free-text "
+                         "token to vocabulary terms within this "
+                         "Levenshtein distance (0-2; relational path)")
     args = ap.parse_args()
     if args.rm3_alpha is not None:
         if args.wand:
@@ -64,6 +69,11 @@ def main() -> None:
                      "re-read as text)")
         if not 0.0 <= args.rm3_alpha <= 1.0:
             ap.error("--rm3-alpha must be in [0, 1]")
+    if args.fuzzy is not None:
+        if args.wand:
+            ap.error("--fuzzy needs the relational path; drop --wand")
+        if not 0 <= args.fuzzy <= 2:
+            ap.error("--fuzzy must be in [0, 2]")
     if args.wand and (args.date_start or args.date_end):
         # WAND scores over ALL blocks; silently post-filtering an
         # unrestricted top-k would return fewer-than-k / wrong-rank
@@ -126,6 +136,7 @@ def main() -> None:
             prior=prior, prior_lam=args.prior_lam,
             rm3_alpha=args.rm3_alpha, rm3_fb_docs=args.rm3_fb_docs,
             rm3_fb_terms=args.rm3_fb_terms,
+            fuzzy_max_dist=args.fuzzy,
         )
         hits = [(r.doc_id, r.score) for r in df.collect()]
 

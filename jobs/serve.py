@@ -7,7 +7,8 @@ Endpoint parity (reference search/retrieval/urls.py:8-11, views.py):
     GET /results?query=...[&date_start=YYYY-MM-DD&date_end=...]
                 [&model=bm25|bm25-reference|vsm|lm-dirichlet|lm-pyp]
                 [&k=100][&wand=1][&snippets=1]
-                [&collapse_host=N][&rm3=0.6]     → first-execution path
+                [&collapse_host=N][&rm3=0.6]
+                [&fuzzy=1]                       → first-execution path
                                                    (spellcheck ON,
                                                    views.py:27-97;
                                                    collapse_host caps
@@ -25,6 +26,12 @@ Endpoint parity (reference search/retrieval/urls.py:8-11, views.py):
                                                    "None" literals = no range)
     GET /article/<doc_id>                        → hydration (views.py:140-146,
                                                    404 when absent)
+    GET /mlt/<doc_id>[?k=100][&terms=10]         → related documents (no
+                                                   reference analogue;
+                                                   search.more_like_this:
+                                                   top-tf·idf terms of the
+                                                   doc as an OR query,
+                                                   source excluded)
 
 Responses are JSON (an engine serves data, not Django templates): the
 same context keys the reference renders — results, number_of_results,
@@ -92,6 +99,8 @@ def create_server(index, port: int = 0, spellchecker=None,
     MAX_K = 10_000
     MAX_PER_HOST = 100
     MAX_COMPLETIONS = 100
+    MAX_FUZZY_DIST = 2
+    MAX_MLT_TERMS = 50
 
     # host table for SERP diversification (collapse_host=N): derivable
     # only when the corpus table ships URLs (the input_hint shape)
@@ -108,7 +117,8 @@ def create_server(index, port: int = 0, spellchecker=None,
                   first_execution: bool, use_wand: bool,
                   want_snippets: bool = False,
                   collapse_host: int = 0,
-                  rm3_alpha: float | None = None) -> dict:
+                  rm3_alpha: float | None = None,
+                  fuzzy_max_dist: int | None = None) -> dict:
         t0 = time.perf_counter()
         if not 1 <= k <= MAX_K:
             # negative k raises deep inside Spark's limit() (a 500), and
@@ -137,6 +147,16 @@ def create_server(index, port: int = 0, spellchecker=None,
                     "rm3 requires the relational path (wand=0)")
             if not 0.0 <= rm3_alpha <= 1.0:
                 raise ValueError(f"rm3 must be in [0, 1], got {rm3_alpha}")
+        if fuzzy_max_dist is not None:
+            if use_wand:
+                raise ValueError(
+                    "fuzzy requires the relational path (wand=0)")
+            if not 0 <= fuzzy_max_dist <= MAX_FUZZY_DIST:
+                # Lucene's own FuzzyQuery bound: beyond distance 2 the
+                # expansion set explodes and matches stop being typos
+                raise ValueError(
+                    f"fuzzy must be in [0, {MAX_FUZZY_DIST}], "
+                    f"got {fuzzy_max_dist}")
         if (ds is None) != (de is None):
             # a half-open range would be silently dropped by the executor
             # (it filters only when BOTH bounds are set) — reject instead
@@ -192,7 +212,8 @@ def create_server(index, port: int = 0, spellchecker=None,
                 df = executor.execute(index, executed, k=None, model=model,
                                       date_start=ds, date_end=de,
                                       prior=prior, prior_lam=prior_lam,
-                                      rm3_alpha=rm3_alpha)
+                                      rm3_alpha=rm3_alpha,
+                                      fuzzy_max_dist=fuzzy_max_dist)
                 div = serp.diversify_by_host(
                     df, doc_hosts, per_host=collapse_host, k=k)
                 hits = [(r.doc_id, r.score) for r in div.collect()]
@@ -200,7 +221,8 @@ def create_server(index, port: int = 0, spellchecker=None,
                 df = executor.execute(index, executed, k=k, model=model,
                                       date_start=ds, date_end=de,
                                       prior=prior, prior_lam=prior_lam,
-                                      rm3_alpha=rm3_alpha)
+                                      rm3_alpha=rm3_alpha,
+                                      fuzzy_max_dist=fuzzy_max_dist)
                 hits = [(r.doc_id, r.score) for r in df.collect()]
         snips: dict[int, str] = {}
         if want_snippets and hits:
@@ -288,7 +310,9 @@ def create_server(index, port: int = 0, spellchecker=None,
                         collapse_host=int(
                             q.get("collapse_host", ["0"])[0]),
                         rm3_alpha=(float(q["rm3"][0])
-                                   if "rm3" in q else None)))
+                                   if "rm3" in q else None),
+                        fuzzy_max_dist=(int(q["fuzzy"][0])
+                                        if "fuzzy" in q else None)))
                 elif parts[0] == "complete":
                     q = parse_qs(u.query)
                     prefix = q.get("prefix", [None])[0]
@@ -316,6 +340,36 @@ def create_server(index, port: int = 0, spellchecker=None,
                         _parse_date(unquote(parts[2])),
                         _parse_date(unquote(parts[3])),
                         first_execution=False, use_wand=False))
+                elif parts[0] == "mlt" and len(parts) == 2:
+                    # related documents: GET /mlt/<doc_id>?k=&terms=
+                    q = parse_qs(u.query)
+                    kk = int(q.get("k", ["100"])[0])
+                    if not 1 <= kk <= MAX_K:
+                        raise ValueError(
+                            f"k must be in [1, {MAX_K}], got {kk}")
+                    n_terms = int(q.get("terms", ["10"])[0])
+                    if not 1 <= n_terms <= MAX_MLT_TERMS:
+                        raise ValueError(
+                            f"terms must be in [1, {MAX_MLT_TERMS}], "
+                            f"got {n_terms}")
+                    from search_engine_spark.operators import (
+                        search as _search)
+
+                    t0 = time.perf_counter()
+                    with lock:
+                        rows = _search.more_like_this(
+                            index, int(parts[1]), k=kk,
+                            max_query_terms=n_terms).collect()
+                    self._json(200, {
+                        "doc_id": int(parts[1]),
+                        "results": [
+                            {"rank": i, "doc_id": int(r.doc_id),
+                             "score": float(r.score)}
+                            for i, r in enumerate(rows, 1)],
+                        "number_of_results": len(rows),
+                        "retrieval_time":
+                            round(time.perf_counter() - t0, 4),
+                    })
                 elif parts[0] == "article" and len(parts) == 2:
                     art = get_article(int(parts[1]))
                     if art is None:

@@ -582,6 +582,75 @@ def main() -> int:
         ],
     )
 
+    # 22. fuzzy query expansion: the |q|-row token frame reaches the
+    # vocabulary via a BROADCAST hash join keyed on the shared prefix
+    # (an equi-key — never a CartesianProduct/BroadcastNestedLoop over
+    # the vocabulary), Levenshtein is the JVM builtin, and the per-token
+    # cap is a window over |q| tiny partitions, its sort partition-local
+    p22 = plan_of(S.fuzzy_candidates(idx, ["vectr", "joinn"],
+                                     max_dist=1, max_expansions=5))
+    check(
+        "Fuzzy expansion (vocabulary scan)", p22,
+        [
+            ("query tokens broadcast to the vocabulary",
+             r"BroadcastExchange", True),
+            ("prefix key makes it a hash join, not nested-loop",
+             r"BroadcastHashJoin", True),
+            ("no CartesianProduct / nested-loop over the vocabulary",
+             r"CartesianProduct", False),
+            ("no Python UDF (JVM levenshtein)",
+             r"BatchEvalPython|ArrowEvalPython", False),
+            ("cap window partitioned by query token",
+             r"windowspecdefinition\(qt", True),
+            ("window sort is partition-local (global=false)",
+             r"Sort \[[^\n]*\], true, 0", False),
+        ],
+    )
+    # ...and the fuzzy scoring pass reuses the literal-lookup plan:
+    # variant IN-list pushed into the postings scan on the segment
+    # store, one TakeOrderedAndProject
+    p22b = plan_of(S.search_fuzzy(idx, ["vectr", "joinn"], k=10,
+                                  max_expansions=5))
+    check(
+        "Fuzzy scoring (literal-lookup reuse)", p22b,
+        [
+            ("variant IN-list pushed to the segment scan",
+             r"PushedFilters: \[.*[Ii]n\(term", True),
+            ("single top-k operator", r"TakeOrderedAndProject", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
+    # 23. more-like-this: term selection filters postings to ONE doc,
+    # enriches via a broadcast join, and cuts with a single
+    # TakeOrderedAndProject; the scoring pass pushes the term IN-list to
+    # the parquet scan, and the source-doc exclusion is the first filter
+    # ABOVE the block decode (the payload is varint-encoded binary — a
+    # doc_id predicate cannot reach parquet, by design; block-level
+    # pruning is the term/bucket predicates' job)
+    p23 = plan_of(S.mlt_terms_frame(mem, 3, max_query_terms=10))
+    check(
+        "More-like-this term selection", p23,
+        [
+            ("source-doc postings broadcast to term_stats",
+             r"BroadcastHashJoin|BroadcastExchange", True),
+            ("term cut is a single TakeOrderedAndProject",
+             r"TakeOrderedAndProject", True),
+            ("no SortMergeJoin", r"SortMergeJoin", False),
+        ],
+    )
+    p23b = plan_of(S.more_like_this(idx, 3, k=10))
+    check(
+        "More-like-this scoring", p23b,
+        [
+            ("selected terms pushed to the segment scan",
+             r"PushedFilters: \[.*[Ii]n\(term", True),
+            ("source-doc exclusion filters the decoded stream",
+             r"NOT \(doc_id#\d+L? = 3\)", True),
+            ("single top-k operator", r"TakeOrderedAndProject", True),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -45,7 +45,8 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             abbreviations: dict[str, str] | None = None,
             prior: DataFrame | None = None, prior_lam: float = 0.3,
             rm3_alpha: float | None = None, rm3_fb_docs: int = 10,
-            rm3_fb_terms: int = 10) -> DataFrame:
+            rm3_fb_terms: int = 10,
+            fuzzy_max_dist: int | None = None) -> DataFrame:
     """→ (doc_id, score) for ranked kinds; (doc_id, score=0.0) for
     proximity/boolean kinds (reference returns those unranked).
 
@@ -102,6 +103,26 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
     if rm3_alpha is not None and not isinstance(plan, planner.FreeTextPlan):
         raise ValueError("RM3 supports plain free-text queries only "
                          "(no phrases/boolean/proximity)")
+    # Fuzzy expansion (search.search_fuzzy) rewrites the TERM SET, so it
+    # is defined only where a bag of free-text terms exists — expanding a
+    # phrase operand or a boolean clause would change those kinds'
+    # matching semantics, and RM3/adaptive re-derive term statistics the
+    # expansion has already rewritten. Refused explicitly, never ignored.
+    if fuzzy_max_dist is not None:
+        if not isinstance(plan, planner.FreeTextPlan) or plan.phrases:
+            raise ValueError("fuzzy matching supports plain free-text "
+                             "queries only (no phrases/boolean/proximity)")
+        if rm3_alpha is not None:
+            raise ValueError("fuzzy does not compose with RM3 — two "
+                             "query expansions; drop one of the flags")
+        if adaptive:
+            raise ValueError(
+                "fuzzy does not compose with adaptive candidate tiers — "
+                "the tiers are defined over the literal terms; drop one "
+                "of the two flags")
+        if model == "vsm":
+            raise ValueError("fuzzy is defined over the term-weight "
+                             "models (bm25/lm), not vsm")
 
     if isinstance(plan, planner.ProximityPlan):
         docs = PH.proximity_docs(index, plan.t1, plan.t2, plan.k)
@@ -167,6 +188,18 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
         scored = search_mod.search_rm3(
             index, plan.terms, k=None, fb_docs=rm3_fb_docs,
             fb_terms=rm3_fb_terms, alpha=rm3_alpha, candidates=cand)
+        if prior is not None:
+            scored = search_mod.blend_doc_prior(scored, prior, lam=prior_lam)
+        return scored if k is None else topk(scored, k)
+
+    if fuzzy_max_dist is not None:
+        if not plan.terms:
+            # all tokens analyzed away: same identity contract as RM3 —
+            # the plain path returns empty here, fuzzy must too
+            return spark.createDataFrame([], "doc_id long, score double")
+        scored = search_mod.search_fuzzy(
+            index, plan.terms, k=None, max_dist=fuzzy_max_dist,
+            model=model, candidates=cand)
         if prior is not None:
             scored = search_mod.blend_doc_prior(scored, prior, lam=prior_lam)
         return scored if k is None else topk(scored, k)

@@ -522,6 +522,171 @@ def search_rm3(index: InvertedIndex, toks: list[str], k: int | None = 100,
     return agg if k is None else topk(agg, k)
 
 
+def fuzzy_expand(index: InvertedIndex, toks: list[str], max_dist: int = 1,
+                 prefix_len: int = 1,
+                 max_expansions: int = 50) -> dict[str, float]:
+    """Edit-distance query-term expansion against the index vocabulary
+    (Lucene FuzzyQuery semantics — the reference has only driver-side
+    SPELL CORRECTION (helpers.py:226-270, one rewrite before retrieval);
+    fuzzy RETRIEVAL scores every near-miss variant, the standard
+    full-text feature its users would expect). Per query token: all
+    vocabulary terms sharing the first ``prefix_len`` characters within
+    Levenshtein distance ``max_dist``, each with similarity boost
+    ``1 − d / min(|q|, |v|)`` (classic Lucene), capped at
+    ``max_expansions`` per token by (boost DESC, df DESC, term ASC) —
+    Lucene's closest-then-most-frequent rewrite order, made a total
+    order for cross-engine determinism.
+
+    → {variant: Σ boosts} collected driver-side — O(|q|·max_expansions)
+    rows, the spellchecker/adaptive-tier bounded-collect idiom. A token
+    present verbatim in the vocabulary expands to itself at boost 1, so
+    ``max_dist=0`` degenerates to the plain literal lookup.
+
+    Scale shape: ONE pass over term_stats (the vocabulary table — small
+    next to postings; the scan is pruned to (term, df)); the |q|-row
+    query frame reaches it via an explicit broadcast hash join keyed on
+    the shared ``prefix_len``-char prefix (an equi-key: never a
+    CartesianProduct), the length band ±max_dist and the Levenshtein
+    filter (JVM builtin) prune post-join, and the per-token cap is a
+    window partitioned by query token — |q| tiny partitions, no global
+    sort."""
+    uniq = [t for t in dict.fromkeys(toks) if t]
+    if not uniq:
+        return {}
+    rows = fuzzy_candidates(index, uniq, max_dist=max_dist,
+                            prefix_len=prefix_len,
+                            max_expansions=max_expansions).collect()
+    out: dict[str, float] = {}
+    for r in rows:  # two tokens hitting one variant = two OR clauses
+        out[r.term] = out.get(r.term, 0.0) + r.boost
+    return out
+
+
+def fuzzy_candidates(index: InvertedIndex, toks: list[str],
+                     max_dist: int = 1, prefix_len: int = 1,
+                     max_expansions: int = 50) -> DataFrame:
+    """The distributed half of ``fuzzy_expand``: → (qt, term, boost),
+    the capped per-token expansion frame (≤ |toks|·max_expansions rows),
+    exposed separately so the plan audit can assert its shape."""
+    from pyspark.sql.window import Window
+
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0: {max_dist}")
+    if prefix_len < 1:
+        # an empty prefix key would hash-join everything to everything
+        raise ValueError(f"prefix_len must be >= 1: {prefix_len}")
+    if max_expansions < 1:
+        raise ValueError(f"max_expansions must be >= 1: {max_expansions}")
+    spark = index.postings.sparkSession
+    qdf = spark.createDataFrame([(t,) for t in toks], "qt string")
+    cand = (
+        index.term_stats.select("term", "df")
+        .join(F.broadcast(qdf),
+              F.substring("term", 1, prefix_len)
+              == F.substring("qt", 1, prefix_len))
+        .filter(F.abs(F.length("term") - F.length("qt")) <= max_dist)
+        .withColumn("_d", F.levenshtein(F.col("qt"), F.col("term")))
+        .filter(F.col("_d") <= max_dist)
+        .withColumn(
+            "boost",
+            F.lit(1.0) - F.col("_d")
+            / F.least(F.length("qt"), F.length("term")),
+        )
+    )
+    w = Window.partitionBy("qt").orderBy(
+        F.desc("boost"), F.desc("df"), F.asc("term"))
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_expansions)
+            .select("qt", "term", "boost"))
+
+
+def search_fuzzy(index: InvertedIndex, toks: list[str], k: int | None = 100,
+                 max_dist: int = 1, prefix_len: int = 1,
+                 max_expansions: int = 50, model: str = "bm25",
+                 candidates: DataFrame | None = None) -> DataFrame:
+    """Fuzzy free-text retrieval: expand each query token through
+    ``fuzzy_expand`` and score the variant set, each variant's
+    per-(term,doc) model weight multiplied by its similarity boost —
+    exactly Lucene's FuzzyQuery-as-boolean-OR rewrite. → (doc_id, score)
+    top-k, ties (score DESC, doc_id ASC).
+
+    The expansion list is collected (bounded: |q|·max_expansions), so
+    pass 2 reuses the literal-lookup path — ``term IN (...)`` reaches
+    the postings scan as a pushable predicate, identical to
+    search_freetext's plan, then one partial-agg'd groupBy(doc_id) and
+    a single TakeOrderedAndProject. ``candidates`` (a doc_id frame,
+    canonically the executor's date candidates) semi-join-restricts the
+    scoring pass; the expansion pass is corpus-wide vocabulary by
+    design (a variant's df is a corpus property, not a range one)."""
+    boosts = fuzzy_expand(index, toks, max_dist=max_dist,
+                          prefix_len=prefix_len,
+                          max_expansions=max_expansions)
+    if not boosts:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double")
+    scored = _scored_frame(index, sorted(boosts), model, boosts)
+    if candidates is not None:
+        scored = scored.join(candidates, "doc_id", "left_semi")
+    agg = scored.groupBy("doc_id").agg(F.sum("weight").alias("score"))
+    k = effective_k(index, k)
+    return agg if k is None else topk(agg, k)
+
+
+def more_like_this(index: InvertedIndex, doc_id: int, k: int | None = 100,
+                   max_query_terms: int = 10,
+                   model: str = "bm25") -> DataFrame:
+    """Lucene MoreLikeThis: the source document's ``max_query_terms``
+    highest-tf·idf terms (tf × ln(n_docs/df) rounded to 6 dp — the
+    doc_keywords formula, corpusstats.py) become an unweighted OR query
+    (Lucene MLT's default boost=false); the source doc is excluded from
+    the hits. → (doc_id, score) top-k, ties (score DESC, doc_id ASC).
+    The reference offers no related-articles feature; this is the
+    standard SERP "more like this" built from the same index artifacts.
+
+    Scale shape: the term-selection pass filters postings to ONE doc_id
+    (a pushable min/max-prunable predicate on the doc-partitioned
+    segment store; a single linear scan on an in-memory index), then
+    broadcast-joins that ≤|doc| row set to term_stats and collects the
+    top terms driver-side (O(max_query_terms), spellchecker idiom —
+    ordering on the ROUNDED tfidf keeps the cut reproducible across
+    engines). Pass 2 is the plain literal-lookup scoring plan."""
+    rows = mlt_terms_frame(index, doc_id, max_query_terms).collect()
+    terms = sorted(r.term for r in rows)
+    if not terms:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double")
+    scored = _scored_frame(index, terms, model).filter(
+        F.col("doc_id") != F.lit(doc_id))
+    agg = scored.groupBy("doc_id").agg(F.sum("weight").alias("score"))
+    k = effective_k(index, k)
+    return agg if k is None else topk(agg, k)
+
+
+def mlt_terms_frame(index: InvertedIndex, doc_id: int,
+                    max_query_terms: int = 10) -> DataFrame:
+    """The distributed half of ``more_like_this``'s term selection:
+    → (term, tfidf), the source doc's top terms, ordered — exposed
+    separately so the plan audit can assert its shape (one pushable
+    doc_id filter, broadcast enrich against term_stats, a single
+    TakeOrderedAndProject for the cut)."""
+    if max_query_terms < 1:
+        raise ValueError(f"max_query_terms must be >= 1: {max_query_terms}")
+    n = index.stats["n_docs"]
+    src = (index.postings.filter(F.col("doc_id") == doc_id)
+           .select("term", "tf"))
+    scored_terms = (
+        index.term_stats.select("term", "df")
+        .join(F.broadcast(src), "term")
+        .select(
+            "term",
+            F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6)
+            .alias("tfidf"),
+        )
+    )
+    return (scored_terms.orderBy(F.desc("tfidf"), F.asc("term"))
+            .limit(max_query_terms))
+
+
 def hydrate(topk_df: DataFrame, documents: DataFrame) -> DataFrame:
     """Top-k article hydration = broadcast hash join (S10; replaces the
     reference's Postgres in_bulk at helpers.py:176-179)."""

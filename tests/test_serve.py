@@ -26,7 +26,7 @@ def server(tmp_path_factory, spark, corpus_sdf):
         idx, port=0, spellchecker=checker,
         # caller-supplied ticker guard + fin-abbrev expansions (the
         # reference's NYSE CSV / fin_abbv.json inputs)
-        symbols=frozenset({"marke", "gdp"}),
+        symbols=frozenset({"marke", "markex", "gdp"}),
         abbreviations={"gdp": "germany economy"})
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -319,3 +319,53 @@ def test_rm3_with_dates_through_results(server):
     status, exp = _get(server + f"/results?query=market%20price&k=10&rm3=0.5&{dates}")
     assert status == 200
     assert all("doc_id" in r and "score" in r for r in exp["results"])
+
+
+def test_fuzzy_through_results(server):
+    """fuzzy=<max_dist> routes through executor.execute(fuzzy_max_dist):
+    at fuzzy=0 the response must equal the plain request exactly (every
+    in-vocabulary token expands to itself at boost 1), and fuzzy=1 on a
+    guarded-symbol typo ('markex' — the spellchecker passes it through
+    untouched, it stems to itself, and it is Levenshtein 1 from the
+    vocabulary stem 'market') retrieves the 'market' docs via
+    expansion. NOTE 'marke' would NOT work here: it stems to 'mark',
+    which is distance 2 from 'market' — fuzzy operates on ANALYZED
+    tokens against the STEMMED vocabulary."""
+    _, plain = _get(server + "/results?query=market%20price&k=10")
+    _, same = _get(server + "/results?query=market%20price&k=10&fuzzy=0")
+    assert same["results"] == plain["results"]
+    status, fz = _get(server + "/results?query=markex&k=10&fuzzy=1")
+    assert status == 200
+    assert fz["term_been_corrected"] is False  # ticker guard held
+    assert fz["number_of_results"] > 0
+
+
+def test_fuzzy_validation_as_400(server):
+    for bad in ("fuzzy=3&", "fuzzy=-1&", "fuzzy=1&wand=1&",
+                "fuzzy=1&rm3=0.5&", "fuzzy=1&model=vsm&"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server + f"/results?query=market&k=5&{bad}")
+        assert e.value.code == 400, bad
+    # boolean + fuzzy refused by the executor guard
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server + "/results?query=market%20AND%20price&k=5&fuzzy=1")
+    assert e.value.code == 400
+
+
+def test_mlt_endpoint(server):
+    """GET /mlt/<doc_id>: related docs by the source's top tf-idf terms,
+    source excluded; unknown doc → empty page, not an error; bad k/terms
+    → 400."""
+    status, body = _get(server + "/mlt/1?k=5&terms=10")
+    assert status == 200
+    assert body["doc_id"] == 1
+    assert body["number_of_results"] > 0
+    assert all(r["doc_id"] != 1 for r in body["results"])
+    assert [r["rank"] for r in body["results"]] == list(
+        range(1, len(body["results"]) + 1))
+    status, empty = _get(server + "/mlt/999999?k=5")
+    assert status == 200 and empty["number_of_results"] == 0
+    for bad in ("k=0", "k=999999", "terms=0", "terms=999"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server + f"/mlt/1?{bad}")
+        assert e.value.code == 400, bad

@@ -818,6 +818,24 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "n_tokens_dropped")
 
 
+#: pinned serving weights for the quality-classifier driver gate —
+#: scoring with FIXED weights is exactly reproducible cross-engine;
+#: training itself is pytest-gated (float-sum order, see classifier.py)
+QUALITY_CLF_W = [-6.0, 0.8, 2.0, 1.5, 0.5]
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (classifier.classifier_scores): σ(w·x)
+    over the quality_score feature vector with pinned weights — the
+    FineWeb-style classifier's serving pass, value-hashed cross-engine;
+    train_quality_classifier is gated by tests/test_classifier.py."""
+    from search_engine_spark.operators import classifier, textquality
+
+    q = textquality.quality_score(_docs(spark, sf_dir))
+    feats = classifier.doc_features(q)
+    return classifier.classifier_scores(feats, QUALITY_CLF_W)
+
+
 def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy retrieval (search.search_fuzzy): each misspelled query
     token expands to vocabulary terms within Levenshtein 1 sharing its
@@ -1008,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": q_top_bigrams,
         "bm25_pagerank_topk": q_bm25_pagerank_topk,
         "anchor_bm25_topk": q_anchor_bm25_topk,
+        "quality_classifier": q_quality_classifier,
         "fuzzy_topk": q_fuzzy_topk,
         "more_like_this": q_more_like_this,
         "dup_components": q_dup_components,
@@ -1418,6 +1437,21 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
             ) WHERE rnk <= 3
         """,
         "quality_score": _quality_score_sql(),
+        # mirrors classifier.classifier_scores(QUALITY_CLF_W) over
+        # doc_features(quality_score): σ of the LEFT-FOLD dot product
+        # (addition order matters at the ulp level — the SQL mirrors the
+        # engine's fold exactly), features pre-rounded to 6dp upstream
+        "quality_classifier": f"""
+            WITH q AS ({_quality_score_sql()})
+            SELECT doc_id,
+                   ROUND(1.0 / (1.0 + EXP(-(
+                       -6.0 * 1.0
+                       + 0.8 * LN(1 + n_tokens)
+                       + 2.0 * distinct_ratio
+                       + 1.5 * stopword_ratio
+                       + 0.5 * (mean_token_len / 10.0)))), 6) AS prob
+            FROM q
+        """,
         "curated_corpus": f"""
             WITH lang AS ({_language_id_sql()}),
             q AS ({_quality_score_sql()}),

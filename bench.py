@@ -273,7 +273,27 @@ def main() -> None:
         .agg(F.avg("bits_per_token")).count(),
         # RM3 expanded query (pass 1 + feedback + weighted pass 2)
         "p_rm3_query": lambda: _rm3(idx),
+        # learned quality filter: feature pass + 5 GD iterations + the
+        # serving sigmoid scan (labels derived from the rule-based score)
+        "p_quality_clf": lambda: _quality_clf(docs),
+        # exact duplicate-span removal (ExactSubstr at word windows)
+        "p_dup_spans": lambda: dedup.strip_dup_spans(docs, w=8)
+        .agg(F.sum("n_tokens_dropped")).count(),
     }
+    def _quality_clf(docs_df):
+        from search_engine_spark.operators import classifier
+
+        q = textquality.quality_score(docs_df)
+        feats = classifier.doc_features(q).persist()
+        labels = q.select(
+            "doc_id", (F.col("quality") >= 0.6).cast("int").alias("label"))
+        try:
+            w = classifier.train_quality_classifier(
+                feats, labels, iters=5, lr=1.0)
+            return classifier.classifier_scores(feats, w).count()
+        finally:
+            feats.unpersist()
+
     def _rm3(idx_):
         from search_engine_spark.operators import search as S2
 

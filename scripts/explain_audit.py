@@ -651,6 +651,49 @@ def main() -> int:
         ],
     )
 
+    # 24. learned quality classifier: the per-iteration gradient is ONE
+    # aggregate over features ⋈ labels with map-side partial combine
+    # (only a d-vector crosses to the driver), weights ride as literals
+    # (no Python UDF beyond quality_score's single Arrow feature pass),
+    # and the serving sigmoid scan is shuffle-free
+    from search_engine_spark.operators import classifier as CLF
+    from search_engine_spark.operators import textquality as TQ
+
+    qf = CLF.doc_features(TQ.quality_score(docs))
+    lbl = TQ.quality_score(docs).select(
+        "doc_id", (F.col("quality") >= 0.6).cast("int").alias("label"))
+    w0 = [0.0] * len(CLF.FEATURE_NAMES)
+    err = CLF._dot_sigmoid(w0) - F.col("label").cast("double")
+    grad_frame = qf.join(lbl, "doc_id").agg(*[
+        F.avg(err * F.col("x").getItem(j)).alias(f"g{j}")
+        for j in range(len(w0))
+    ])
+    p24 = plan_of(grad_frame)
+    check(
+        "Quality-classifier gradient step", p24,
+        [
+            ("map-side partial aggregation before the exchange",
+             r"partial_avg", True),
+            # formatted plans print every node twice (tree + detail), so
+            # count the "(N) ArrowEvalPython" detail entries: one per
+            # join side (features, labels) is the expected shape — a
+            # third would mean a second Python pass snuck into the path
+            ("at most one Arrow pass per join side (no third Python UDF)",
+             r"(?:\(\d+\) ArrowEvalPython[\s\S]*){3}",
+             False),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+    p24b = plan_of(CLF.classifier_scores(qf, [-6.0, 0.8, 2.0, 1.5, 0.5]))
+    check(
+        "Quality-classifier serving scan", p24b,
+        [
+            ("shuffle-free scoring (no Exchange)", r"\bExchange\b", False),
+            ("sigmoid is JVM column math (no BatchEvalPython)",
+             r"BatchEvalPython", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -836,6 +836,76 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.classifier_scores(feats, QUALITY_CLF_W)
 
 
+#: centroid seed rows for the kmeans_assign driver gate — derived from
+#: fixed vec_ids (like cosine_topk's vec_id=0 query) so the entry works
+#: unchanged at every scale factor
+KMEANS_SEED_IDS = [0, 17, 42, 99]
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means ASSIGNMENT (clustering.kmeans_assign)
+    with centroids pinned to the vec_id∈{0,17,42,99} embeddings: argmax
+    round-6 cosine, ties → lowest cluster — exactly reproducible
+    cross-engine; kmeans_train (float-sum centroid updates) is gated by
+    tests/test_clustering.py, the classifier-training precedent.
+
+    The gate compares (vec_id, cluster) — the assignment IS the
+    contract. The raw cosine is deliberately excluded: its 6dp→4dp
+    double-rounding can differ by one ulp-at-the-boundary between
+    engines (observed once in 2000 values) without ever moving an
+    argmax, and the per-centroid cosine VALUES are already gated by
+    cosine_topk/ivf/pq entries."""
+    from search_engine_spark.operators import clustering
+    from search_engine_spark.sources.corpus import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    seeds = {r.vec_id: [float(x) for x in r.embedding]
+             for r in emb.filter(F.col("vec_id").isin(KMEANS_SEED_IDS)).collect()}
+    centroids = [seeds[i] for i in KMEANS_SEED_IDS]
+    out = clustering.kmeans_assign(emb, centroids)
+    return out.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+def q_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed term counts (vectorize.hashed_tf, dim=128): the
+    HashingTF sparse form — md5-bucketed tokens, integer tf, exactly
+    SQL-reproducible (the sampling.hash_bucket trick)."""
+    from search_engine_spark.operators import vectorize
+
+    return vectorize.hashed_tf(_docs(spark, sf_dir), dim=128)
+
+
+def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed event counts (events.decayed_counts,
+    half-life 1 day, anchored at max(ts)) — the freshness signal."""
+    from search_engine_spark.operators import events as EV
+    from search_engine_spark.sources.corpus import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events")
+    return EV.decayed_counts(ev, half_life_minutes=1440.0).select(
+        "user_id", "event_type",
+        F.col("n_events").cast("long").alias("n_events"), "decayed_n",
+    )
+
+
+def q_curated_corpus_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel WITH the learned quality-classifier stage
+    (curation.curate(classifier_weights=…)): the deterministic pipeline
+    of curated_corpus plus the σ(w·x) ≥ 0.19 filter at pinned weights
+    (the threshold sits inside the corpus's observed prob range, so the
+    stage genuinely splits the survivors) —
+    the whole composed funnel stays SQL-expressible."""
+    from search_engine_spark.operators import curation
+
+    cur, _ = curation.curate(
+        _docs(spark, sf_dir), languages=("en",), min_quality=0.5,
+        min_tokens=20, max_tokens=1000,
+        classifier_weights=QUALITY_CLF_W, min_clf_prob=0.19,
+        minhash_threshold=None, collect_funnel=False,
+    )
+    return cur.select("doc_id")
+
+
 def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy retrieval (search.search_fuzzy): each misspelled query
     token expands to vocabulary terms within Levenshtein 1 sharing its
@@ -1027,6 +1097,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pagerank_topk": q_bm25_pagerank_topk,
         "anchor_bm25_topk": q_anchor_bm25_topk,
         "quality_classifier": q_quality_classifier,
+        "kmeans_assign": q_kmeans_assign,
+        "hashed_tf": q_hashed_tf,
+        "decayed_counts": q_decayed_counts,
+        "curated_corpus_clf": q_curated_corpus_clf,
         "fuzzy_topk": q_fuzzy_topk,
         "more_like_this": q_more_like_this,
         "dup_components": q_dup_components,
@@ -1451,6 +1525,76 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
                        + 1.5 * stopword_ratio
                        + 0.5 * (mean_token_len / 10.0)))), 6) AS prob
             FROM q
+        """,
+        # mirrors clustering.kmeans_assign with centroids = the
+        # KMEANS_SEED_IDS embeddings: round-6 cosine rank key (the
+        # cosine_topk convention), argmax via row_number, round-4 output
+        "kmeans_assign": """
+            WITH c AS (
+                SELECT 0 AS cluster, (SELECT CAST(embedding AS DOUBLE[])
+                    FROM embeddings WHERE vec_id = 0) AS cv
+                UNION ALL SELECT 1, (SELECT CAST(embedding AS DOUBLE[])
+                    FROM embeddings WHERE vec_id = 17)
+                UNION ALL SELECT 2, (SELECT CAST(embedding AS DOUBLE[])
+                    FROM embeddings WHERE vec_id = 42)
+                UNION ALL SELECT 3, (SELECT CAST(embedding AS DOUBLE[])
+                    FROM embeddings WHERE vec_id = 99)
+            ), s AS (
+                SELECT e.vec_id, c.cluster,
+                       ROUND(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS sim
+                FROM embeddings e CROSS JOIN c
+            )
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+            FROM (
+                SELECT vec_id, cluster, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, cluster ASC) AS rn
+                FROM s
+            ) WHERE rn = 1
+        """,
+        # mirrors vectorize.hashed_tf(dim=128): the hash_bucket md5
+        # trick on raw whitespace tokens, integer counts
+        "hashed_tf": f"""
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(term || 'htf:'), 1, 8))
+                        AS BIGINT) % 128 AS bucket,
+                   COUNT(*) AS tf
+            FROM ({_TOK}) WHERE term <> '' GROUP BY 1, 2
+        """,
+        # mirrors events.decayed_counts(half_life=1440 min, as_of=max ts):
+        # exact integer-µs ages, 2^(−age/hl) weights, round-4 sum
+        "decayed_counts": """
+            SELECT user_id, event_type, COUNT(*) AS n_events,
+                   ROUND(SUM(POWER(2.0,
+                       -((SELECT epoch_us(MAX(ts)) FROM events)
+                         - epoch_us(ts)) / 86400000000.0)), 4) AS decayed_n
+            FROM events GROUP BY user_id, event_type
+        """,
+        # curated_corpus plus the learned-classifier stage: same CTEs,
+        # one more row-local condition (σ(w·x) ≥ 0.19 at pinned weights,
+        # the quality_classifier formula inlined over q)
+        "curated_corpus_clf": f"""
+            WITH lang AS ({_language_id_sql()}),
+            q AS ({_quality_score_sql()}),
+            clf AS (
+                SELECT doc_id,
+                       ROUND(1.0 / (1.0 + EXP(-(
+                           -6.0 * 1.0
+                           + 0.8 * LN(1 + n_tokens)
+                           + 2.0 * distinct_ratio
+                           + 1.5 * stopword_ratio
+                           + 0.5 * (mean_token_len / 10.0)))), 6) AS prob
+                FROM q
+            ),
+            keep AS (
+                SELECT d.doc_id, d.text
+                FROM documents d
+                JOIN lang USING (doc_id) JOIN q USING (doc_id)
+                JOIN clf USING (doc_id)
+                WHERE lang.pred_lang IN ('en') AND q.quality >= 0.5
+                  AND q.n_tokens BETWEEN 20 AND 1000 AND clf.prob >= 0.19
+            )
+            SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY md5(text)
         """,
         "curated_corpus": f"""
             WITH lang AS ({_language_id_sql()}),

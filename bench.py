@@ -279,7 +279,31 @@ def main() -> None:
         # exact duplicate-span removal (ExactSubstr at word windows)
         "p_dup_spans": lambda: dedup.strip_dup_spans(docs, w=8)
         .agg(F.sum("n_tokens_dropped")).count(),
+        # index-free topic clustering: feature-hash every doc to a dense
+        # 128-dim vector, 3 distributed Lloyd's iterations at k=8, then
+        # the assignment scan (vectorize + clustering end-to-end)
+        "p_hash_kmeans": lambda: _hash_kmeans(docs),
+        # recency-weighted activity over the events table
+        "p_decayed_counts": lambda: _events_decayed(),
     }
+    def _hash_kmeans(docs_df):
+        from search_engine_spark.operators import clustering, vectorize
+
+        vec = vectorize.hashed_vectors(docs_df, dim=128).persist()
+        try:
+            cents = clustering.kmeans_train(vec, k=8, iters=3,
+                                            vec_col="x", id_col="doc_id")
+            return clustering.kmeans_assign(
+                vec, cents, vec_col="x", id_col="doc_id").count()
+        finally:
+            vec.unpersist()
+
+    def _events_decayed():
+        from search_engine_spark.operators import events as EV2
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return EV2.decayed_counts(ev, half_life_minutes=1440.0).count()
+
     def _quality_clf(docs_df):
         from search_engine_spark.operators import classifier
 

@@ -694,6 +694,81 @@ def main() -> int:
         ],
     )
 
+    # 25. distributed k-means: the assignment pass is a shuffle-free JVM
+    # projection (centroids ride as literals — no Python, no join, no
+    # exchange); the update step is ONE map-side-combined aggregate whose
+    # output is k rows (only k×(dim+2) numbers cross to the driver)
+    from search_engine_spark.operators import clustering as KM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter(F.col("vec_id").isin([0, 17])).collect()]
+    p25 = plan_of(KM.kmeans_assign(emb, cents))
+    check(
+        "K-means assignment scan", p25,
+        [
+            ("shuffle-free (no Exchange)", r"\bExchange\b", False),
+            ("no Python UDF (centroids are literals)",
+             r"EvalPython", False),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+    assigned = KM.kmeans_assign(emb, cents).join(
+        emb.select("vec_id", "embedding"), "vec_id")
+    upd = assigned.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        *[F.avg(F.col("embedding").getItem(j)).alias(f"m{j}")
+          for j in range(len(cents[0]))])
+    check(
+        "K-means centroid update", plan_of(upd),
+        [
+            ("map-side partial aggregation before the exchange",
+             r"partial_(avg|count)", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
+    # 26. feature hashing: explode → ONE map-side-combined count agg,
+    # all-JVM (the md5 bucket is column math); the dense scatter adds
+    # exactly one more keyed exchange (groupBy doc_id)
+    from search_engine_spark.operators import vectorize as VZ
+
+    p26 = plan_of(VZ.hashed_tf(docs, dim=128))
+    check(
+        "Feature-hashed term counts", p26,
+        [
+            ("map-side partial count before the exchange",
+             r"partial_count", True),
+            ("no Python UDF (md5 bucket is JVM column math)",
+             r"EvalPython", False),
+            ("generate (explode) stays narrow — before the exchange",
+             r"Generate", True),
+        ],
+    )
+    p26b = plan_of(VZ.hashed_vectors(docs, dim=128))
+    check(
+        "Feature-hashed dense vectors", p26b,
+        [
+            ("no Python UDF", r"EvalPython", False),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
+    # 27. decayed event counts: one map-side-combined aggregate; the
+    # decay weight is JVM column math over exact integer-µs ages
+    from search_engine_spark.operators import events as EVT
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p27 = plan_of(EVT.decayed_counts(ev, half_life_minutes=1440.0))
+    check(
+        "Decayed event counts", p27,
+        [
+            ("map-side partial aggregation before the exchange",
+             r"partial_(sum|count)", True),
+            ("no Python UDF", r"EvalPython", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

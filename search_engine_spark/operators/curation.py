@@ -47,6 +47,8 @@ def curate(
     min_quality: float = 0.0,
     min_tokens: int = 1,
     max_tokens: int = 1 << 31,
+    classifier_weights: list[float] | None = None,
+    min_clf_prob: float = 0.5,
     minhash_threshold: float | None = None,
     max_dup_line_ratio: float | None = None,
     max_top_bigram_frac: float | None = None,
@@ -67,6 +69,10 @@ def curate(
     ``languages=None`` skips language filtering; ``minhash_threshold=None``
     skips the near-dedup stage (the remaining pipeline is fully
     SQL-expressible — the contract oracle's variant).
+    ``classifier_weights`` enables the LEARNED quality filter
+    (operators.classifier, FineWeb-style) right after the rule-based
+    one: docs with σ(w·x) < ``min_clf_prob`` are dropped. Weights come
+    from a prior ``train_quality_classifier`` run.
     ``max_dup_line_ratio``/``max_top_bigram_frac`` enable the Gopher-style
     repetition filter (textquality.repetition_stats) between the quality
     filter and dedup — boilerplate pruning belongs before the
@@ -174,6 +180,22 @@ def curate(
     )
     cur = cur.join(keep, "doc_id", "left_semi")
     checkpoint("quality")
+    if classifier_weights is not None:
+        # learned quality filter (operators.classifier) right after the
+        # rule-based one: σ(w·x) over the same quality_score features —
+        # weights come from a prior train_quality_classifier run (they
+        # are corpus-independent serving state, like the spellchecker's
+        # vocabulary). Still a row-local filter → stays before dedup.
+        from . import classifier as CLF
+
+        feats = CLF.doc_features(textquality.quality_score(cur, text_col))
+        keep = (
+            CLF.classifier_scores(feats, classifier_weights)
+            .filter(F.col("prob") >= F.lit(float(min_clf_prob)))
+            .select("doc_id")
+        )
+        cur = cur.join(keep, "doc_id", "left_semi")
+        checkpoint("quality_clf")
     if max_dup_line_ratio is not None or max_top_bigram_frac is not None:
         # bigram shuffle aggs only when the bigram threshold is in play —
         # a lines-only repetition filter stays shuffle-free

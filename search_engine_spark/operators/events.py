@@ -14,6 +14,9 @@ for the DuckDB oracle:
                     (the batch formulation of session windows; the
                     streaming formulation lives in streaming/incremental)
 * user_stats      — per-user aggregates incl. exact value percentiles
+* decayed_counts  — exponentially time-decayed event counts (recency-
+                    weighted activity, the freshness signal rankers and
+                    crawl schedulers consume)
 """
 
 from __future__ import annotations
@@ -90,4 +93,38 @@ def user_stats(events: DataFrame) -> DataFrame:
         F.round(F.max("value"), 4).alias("max_value"),
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50_value"),
         F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95_value"),
+    )
+
+
+def decayed_counts(events: DataFrame, half_life_minutes: float = 1440.0,
+                   as_of=None,
+                   by: tuple[str, ...] = ("user_id", "event_type")
+                   ) -> DataFrame:
+    """→ per-``by``-group exponentially time-decayed counts: each event
+    contributes 2^(−age/half_life), so activity half_life ago counts
+    half as much — the standard freshness signal for recency-boosted
+    ranking and recrawl scheduling.
+
+    ``as_of=None`` anchors decay at max(ts) (one O(1) driver agg —
+    deterministic given the data); pass a timestamp for reproducible
+    pipelines. One map-side-combined aggregate; age arithmetic is exact
+    integer microseconds before the one float divide. ``decayed_n`` is
+    a float sum over the group's events, rounded to 4 dp (the
+    ``user_stats`` convention — combine-order noise is ~1e-12 relative
+    at any realistic group size).
+    """
+    if half_life_minutes <= 0:
+        raise ValueError(
+            f"half_life_minutes must be > 0: {half_life_minutes}")
+    if as_of is None:
+        as_of = events.agg(F.max("ts")).collect()[0][0]
+        if as_of is None:
+            raise ValueError("events frame is empty and as_of not given")
+    age_us = (F.unix_micros(F.lit(as_of).cast("timestamp"))
+              - F.unix_micros(F.col("ts").cast("timestamp")))
+    w = F.pow(F.lit(2.0),
+              -(age_us / F.lit(half_life_minutes * 60_000_000.0)))
+    return events.groupBy(*by).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(w), 4).alias("decayed_n"),
     )

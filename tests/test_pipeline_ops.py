@@ -736,6 +736,44 @@ def test_curation_pipeline_funnel_and_survivors(spark):
     assert stages["near_dedup"] == 2   # near dup gone
 
 
+def test_curation_classifier_stage(spark):
+    """classifier_weights enables the learned filter after the rule-based
+    quality stage: survivors == a manual classifier_scores filter on the
+    same frame, the funnel records the stage, and omitting the param
+    leaves the pipeline byte-identical to before (default off)."""
+    from search_engine_spark.operators import classifier, curation, textquality
+
+    rows = []
+    for i in range(1, 21):
+        # 150 long unique tokens + a stopword → high distinct ratio,
+        # enough length that σ(w·x) clears 0.5 at the pinned weights
+        uniq = "the " + " ".join(f"wordy{i}x{j}q" for j in range(150))
+        rows.append((i, uniq))
+    rows.append((21, " ".join(["buy now"] * 20)))  # repetitive → low prob
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = [-6.0, 0.8, 2.0, 1.5, 0.5]
+
+    cur, funnel = curation.curate(
+        docs, languages=None, min_quality=0.0, min_tokens=1,
+        classifier_weights=w, min_clf_prob=0.5, minhash_threshold=None)
+    got = sorted(r.doc_id for r in cur.collect())
+
+    feats = classifier.doc_features(textquality.quality_score(docs))
+    probs = {r.doc_id: r.prob
+             for r in classifier.classifier_scores(feats, w).collect()}
+    want = sorted(d for d, p in probs.items() if p >= 0.5)
+    assert got == want and 21 not in got and len(got) >= 1
+    stages = [f["stage"] for f in funnel]
+    assert "quality_clf" in stages and stages.index("quality_clf") \
+        == stages.index("quality") + 1
+
+    off, funnel_off = curation.curate(
+        docs, languages=None, min_quality=0.0, min_tokens=1,
+        minhash_threshold=None)
+    assert sorted(r.doc_id for r in off.collect()) == list(range(1, 22))
+    assert "quality_clf" not in [f["stage"] for f in funnel_off]
+
+
 def test_curation_repeat_calls_bound_persisted_frames(spark):
     """A parameter sweep calling curate() in a loop must hold at most
     ONE corpus-sized persisted frame: each call releases the previous

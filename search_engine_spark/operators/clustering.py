@@ -1,7 +1,9 @@
-"""Distributed embedding clustering — spherical k-means as DataFrame
-ops, the corpus-partitioning step an LLM-data pipeline runs between
-similarity search and mixture design (topic balancing, SemDeDup cell
-fitting at full scale, cluster-stratified sampling).
+"""Distributed embedding clustering — k-means (spherical/cosine by
+default, classic Euclidean via ``metric='l2'``) as DataFrame ops, the
+corpus-partitioning step an LLM-data pipeline runs between similarity
+search and mixture design (topic balancing, SemDeDup cell fitting at
+full scale, cluster-stratified sampling, IVF coarse quantizers beyond
+the driver's sketch envelope).
 
 The reference engine has no clustering (its retrieval is term-based;
 SURVEY §2 has no vector ops); this is a first-class LLM-pipeline
@@ -63,27 +65,59 @@ def _check_centroids(centroids: list[list[float]]) -> int:
     return dim
 
 
-def _cos_lit(vec_col: Column, centroid: list[float]) -> Column:
+def _xsq(vec_col: Column) -> Column:
+    """‖x‖² fold — hoisted ONCE per row into a projection column before
+    the per-centroid candidates (computing it inside each candidate
+    would repeat a dim-wide fold k times per row and inflate the
+    generated code k-fold)."""
+    return F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def _cos_lit(vec_col: Column, centroid: list[float],
+             xsq_col: Column | None = None) -> Column:
     """cosine(x, c) with c as literals — the cosine_topk formula
-    verbatim (left-fold dot, python-float centroid norm) so the DuckDB
-    ``list_cosine_similarity`` oracle reproduces it at 6 dp."""
+    verbatim (left-fold dot, python-float centroid norm, ÷ (‖x‖·‖c‖))
+    so the DuckDB ``list_cosine_similarity`` oracle reproduces it at
+    6 dp. ``xsq_col`` supplies a pre-hoisted ‖x‖² column (identical
+    arithmetic — sqrt of the same fold)."""
     c = F.array(*[F.lit(float(x)) for x in centroid])
     dot = F.aggregate(F.zip_with(vec_col, c, lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
-    xnorm = F.sqrt(F.aggregate(vec_col, F.lit(0.0),
-                               lambda acc, x: acc + x * x))
+    xnorm = F.sqrt(_xsq(vec_col) if xsq_col is None else xsq_col)
     cnorm = math.sqrt(sum(x * x for x in centroid))
     return dot / (xnorm * F.lit(cnorm))
 
 
-def _best_struct(vec_col: Column, centroids: list[list[float]]) -> Column:
+def _neg_l2sq_lit(vec_col: Column, centroid: list[float],
+                  xsq_col: Column | None = None) -> Column:
+    """−‖x − c‖² via the expansion −(‖x‖² − 2x·c + ‖c‖²), with ‖c‖²
+    folded on the driver — the l2 analogue of _cos_lit (higher =
+    closer, so the same argmax machinery serves both metrics)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    dot = F.aggregate(F.zip_with(vec_col, c, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    xsq = _xsq(vec_col) if xsq_col is None else xsq_col
+    csq = sum(x * x for x in centroid)
+    return -(xsq - F.lit(2.0) * dot + F.lit(csq))
+
+
+def _check_metric(metric: str) -> None:
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2': {metric!r}")
+
+
+def _best_struct(vec_col: Column, centroids: list[list[float]],
+                 metric: str = "cosine",
+                 xsq_col: Column | None = None) -> Column:
     """struct(sim, negc) of the winning centroid: array_max compares
     fields in order, so max sim wins and ties go to the LOWEST cluster
     id (negc = −cluster). sim is pre-rounded to SIM_DECIMALS — the
-    cross-engine determinism key."""
+    cross-engine determinism key. For metric='l2', sim is −‖x−c‖²
+    (same higher-is-closer ordering; see _neg_l2sq_lit)."""
+    score = _cos_lit if metric == "cosine" else _neg_l2sq_lit
     cand = F.array(*[
         F.struct(
-            F.round(_cos_lit(vec_col, c), SIM_DECIMALS).alias("sim"),
+            F.round(score(vec_col, c, xsq_col), SIM_DECIMALS).alias("sim"),
             F.lit(-i).alias("negc"),
         )
         for i, c in enumerate(centroids)
@@ -93,14 +127,20 @@ def _best_struct(vec_col: Column, centroids: list[list[float]]) -> Column:
 
 def kmeans_assign(embeddings: DataFrame, centroids: list[list[float]],
                   vec_col: str = "embedding",
-                  id_col: str = "vec_id") -> DataFrame:
+                  id_col: str = "vec_id",
+                  metric: str = "cosine") -> DataFrame:
     """→ (vec_id, cluster, sim): each vector's nearest centroid by
-    cosine (ties → lowest cluster id). Shuffle-free JVM projection —
+    cosine — or squared-L2 with ``metric='l2'``, where sim = −‖x−c‖²
+    (ties → lowest cluster id either way). Shuffle-free JVM projection —
     the serving/partitioning pass."""
+    _check_metric(metric)
     _check_centroids(centroids)
-    best = _best_struct(F.col(vec_col), centroids)
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"),
+    pre = embeddings.select(F.col(id_col).alias("vec_id"),
+                            F.col(vec_col).alias("_v"),
+                            _xsq(F.col(vec_col)).alias("_xsq"))
+    best = _best_struct(F.col("_v"), centroids, metric, F.col("_xsq"))
+    return pre.select(
+        "vec_id",
         (-best["negc"]).alias("cluster"),
         best["sim"].alias("sim"),
     )
@@ -131,18 +171,26 @@ def kmeans_train(embeddings: DataFrame, k: int | None = None,
                  iters: int = 10,
                  init: list[list[float]] | None = None,
                  vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> list[list[float]]:
-    """Spherical k-means by Lloyd's iterations, fully distributed:
-    assign (shuffle-free literal-centroid scan) → update (ONE map-side-
-    combined groupBy(cluster) aggregate of dim avg columns) → driver
-    renormalizes k unit centroids and re-ships them as literals.
+                 id_col: str = "vec_id",
+                 metric: str = "cosine") -> list[list[float]]:
+    """k-means by Lloyd's iterations, fully distributed: assign
+    (shuffle-free literal-centroid scan) → update (ONE map-side-
+    combined groupBy(cluster) aggregate of dim avg columns) → the
+    driver re-ships k centroids as literals.
+
+    ``metric='cosine'`` (default) is SPHERICAL k-means: centroids are
+    the L2-normalized cluster means. ``metric='l2'`` is classic
+    Euclidean Lloyd's: centroids are the plain means — the variant
+    ``similarity.ivf_fit(distributed=True)`` uses when the fit sketch
+    would exceed the driver envelope.
 
     ``init`` takes explicit start centroids (tests / warm restarts);
     otherwise ``seed_centroids(k)`` picks content-hash-spread seeds.
     An emptied cluster keeps its previous centroid (the standard
-    Lloyd's guard). Returns the k unit-norm centroids; only k×(dim+2)
-    numbers ever cross to the driver per iteration.
+    Lloyd's guard). Returns the k centroids; only k×(dim+2) numbers
+    ever cross to the driver per iteration.
     """
+    _check_metric(metric)
     if iters < 0:
         raise ValueError(f"iters must be >= 0: {iters}")
     if init is not None:
@@ -154,9 +202,10 @@ def kmeans_train(embeddings: DataFrame, k: int | None = None,
         raise ValueError("pass k or init")
     dim = len(centroids[0])
 
-    src = embeddings.select(F.col(vec_col).alias("_v"))
+    src = embeddings.select(F.col(vec_col).alias("_v"),
+                            _xsq(F.col(vec_col)).alias("_xsq"))
     for _ in range(iters):
-        best = _best_struct(F.col("_v"), centroids)
+        best = _best_struct(F.col("_v"), centroids, metric, F.col("_xsq"))
         assigned = src.select((-best["negc"]).alias("_c"), "_v")
         stats = (
             assigned.groupBy("_c")
@@ -168,6 +217,9 @@ def kmeans_train(embeddings: DataFrame, k: int | None = None,
         nxt = list(centroids)  # emptied clusters keep their centroid
         for row in stats:
             mean = [row[f"m{j}"] for j in range(dim)]
+            if metric == "l2":
+                nxt[row["_c"]] = mean
+                continue
             nrm = math.sqrt(sum(x * x for x in mean))
             if nrm > 0.0:
                 nxt[row["_c"]] = [x / nrm for x in mean]

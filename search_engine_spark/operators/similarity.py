@@ -150,7 +150,7 @@ def _sketch_sample(embeddings: DataFrame, sample: int, id_col: str,
 
 def ivf_fit(embeddings: DataFrame, n_centroids: int = 16, iters: int = 10,
             sample: int = 10_000, vec_col: str = "embedding",
-            id_col: str = "vec_id") -> np.ndarray:
+            id_col: str = "vec_id", distributed: bool = False) -> np.ndarray:
     """Driver-side Lloyd's k-means on a deterministic content-hash
     sample (``_sketch_sample``) → (n_centroids, dim) float64 centroids.
 
@@ -161,7 +161,30 @@ def ivf_fit(embeddings: DataFrame, n_centroids: int = 16, iters: int = 10,
     bound: the fit collects ≤ sample×dim float64 (10k×128 ≈ 10 MB) and
     runs Lloyd's in O(iters·sample·k·dim) numpy — the same driver-sketch
     envelope as the spellchecker's 100k-vocab gate.
+
+    ``distributed=True`` removes even that envelope: the same hash-
+    ordered first-k init, then ``clustering.kmeans_train(metric='l2')``
+    runs Lloyd's over the FULL table (each iteration = one shuffle-free
+    assignment scan + one map-side-combined aggregate; only
+    k×(dim+2) numbers reach the driver per iteration). Use it when the
+    corpus is too skewed for any 10k sketch to represent — the fit sees
+    every vector. Both paths are deterministic up to float-sum combine
+    order (~1e-12; the distributed update's only nondeterminism).
     """
+    if distributed:
+        from . import clustering
+
+        init_rows = _sketch_sample(embeddings, n_centroids, id_col,
+                                   vec_col, "ivf_fit").collect()
+        if len(init_rows) < n_centroids:
+            raise ValueError(
+                f"need at least n_centroids={n_centroids} vectors, "
+                f"found {len(init_rows)}")
+        init = [[float(x) for x in r[0]] for r in init_rows]
+        cents = clustering.kmeans_train(
+            embeddings, iters=iters, init=init,
+            vec_col=vec_col, id_col=id_col, metric="l2")
+        return np.asarray(cents, dtype=np.float64)
     rows = _sketch_sample(embeddings, sample, id_col, vec_col,
                           "ivf_fit").collect()
     x = np.asarray([r[0] for r in rows], dtype=np.float64)

@@ -218,3 +218,69 @@ def test_decayed_counts_hand_computed(spark):
         EV.decayed_counts(ev, half_life_minutes=0)
     with pytest.raises(ValueError, match="empty"):
         EV.decayed_counts(ev.limit(0))
+
+
+def _np_assign_l2(X, centroids):
+    """numpy replica of the l2 assignment: argmax of round-6
+    −(‖x‖²−2x·c+‖c‖²) (ties → lowest cluster), the engine's exact rule."""
+    C = np.asarray(centroids, dtype=np.float64)
+    xsq = (X * X).sum(axis=1)[:, None]
+    score = -(xsq - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :])
+    return np.round(score, CL.SIM_DECIMALS).argmax(axis=1)
+
+
+def test_l2_metric_matches_numpy_replica(spark):
+    rng = np.random.default_rng(3)
+    X = rng.normal(0, 1, (50, 6))
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    init = [list(map(float, X[0])), list(map(float, X[1])),
+            list(map(float, X[2]))]
+    lab = {r.vec_id: r.cluster
+           for r in CL.kmeans_assign(e, init, metric="l2").collect()}
+    want = _np_assign_l2(X, init)
+    assert [lab[i] for i in range(50)] == list(want)
+
+    got = CL.kmeans_train(e, iters=3, init=init, metric="l2")
+    C = [list(c) for c in init]
+    for _ in range(3):
+        a = _np_assign_l2(X, C)
+        nxt = [list(c) for c in C]
+        for j in range(3):
+            pts = X[a == j]
+            if len(pts):
+                nxt[j] = list(pts.mean(axis=0))  # plain mean: no normalize
+        C = nxt
+    for gc, wc in zip(got, C):
+        assert gc == pytest.approx(wc, rel=1e-6, abs=1e-9)
+    with pytest.raises(ValueError, match="metric"):
+        CL.kmeans_assign(e, init, metric="manhattan")
+
+
+def test_ivf_fit_distributed_matches_full_data_replica(spark, emb):
+    """ivf_fit(distributed=True) == numpy L2 Lloyd's over ALL vectors
+    from the same hash-ordered init — the beyond-driver-envelope path
+    gives the driver-path semantics without collecting the corpus."""
+    from search_engine_spark.operators import similarity as SIM
+
+    got = SIM.ivf_fit(emb, n_centroids=4, iters=3, distributed=True)
+
+    rows = emb.collect()
+    # replicate _sketch_sample's init: order by md5(str(id)+'ivf_fit')
+    order = sorted(rows, key=lambda r: (hashlib.md5(
+        (str(r.vec_id) + "ivf_fit").encode()).hexdigest(), r.vec_id))
+    C = [[float(x) for x in r.embedding] for r in order[:4]]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    for _ in range(3):
+        a = _np_assign_l2(X, C)
+        nxt = [list(c) for c in C]
+        for j in range(4):
+            pts = X[a == j]
+            if len(pts):
+                nxt[j] = list(pts.mean(axis=0))
+        C = nxt
+    assert np.asarray(got) == pytest.approx(np.asarray(C), rel=1e-6, abs=1e-9)
+    # the serving stack accepts the distributed fit unchanged
+    assigned = SIM.ivf_assign(emb, got)
+    assert assigned.select("cell").distinct().count() >= 2

@@ -60,6 +60,10 @@ def main() -> None:
                     help="fuzzy term matching: expand each free-text "
                          "token to vocabulary terms within this "
                          "Levenshtein distance (0-2; relational path)")
+    ap.add_argument("--as-of-batch", type=int, default=None,
+                    help="time-travel the delete state: apply only "
+                         "tombstone batches with id <= this (-1 = the "
+                         "pre-delete snapshot; default = live view)")
     args = ap.parse_args()
     if args.rm3_alpha is not None:
         if args.wand:
@@ -89,7 +93,8 @@ def main() -> None:
     spark = get_spark("query_topk")
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(args.documents) if args.documents else None
-    idx = catalog.load_index(spark, args.index, documents=docs)
+    idx = catalog.load_index(spark, args.index, documents=docs,
+                             as_of_batch=args.as_of_batch)
 
     from search_engine_spark.plans import spellcheck as SP
 

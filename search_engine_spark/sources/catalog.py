@@ -447,7 +447,8 @@ class SegmentIndex(InvertedIndex):
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  documents: DataFrame | None = None,
-                 max_cached_terms: int = 4096):
+                 max_cached_terms: int = 4096,
+                 as_of_batch: int | None = None):
         with open(os.path.join(index_dir, "stats.json")) as f:
             meta = json.load(f)
         a = meta["analyzer"]
@@ -483,7 +484,11 @@ class SegmentIndex(InvertedIndex):
         # Lucene-style live-docs: committed tombstone batches exclude
         # deleted docs from every query path NOW; postings vacuum (and
         # stats refresh) happens at merge_indexes. None when no deletes.
-        self._tombstones = load_tombstones(spark, index_dir)
+        # as_of_batch time-travels the delete state (batches are
+        # immutable, so every past snapshot stays readable): -1 reads
+        # the pre-delete index, N applies batches 0..N, None is live.
+        self.as_of_batch = as_of_batch
+        self._tombstones = load_tombstones(spark, index_dir, as_of_batch)
         self._deleted_set: frozenset[int] | None = None
 
     def deleted_ids(self) -> frozenset[int]:
@@ -639,8 +644,16 @@ class SegmentIndex(InvertedIndex):
 
 
 def load_index(spark: SparkSession, index_dir: str,
-               documents: DataFrame | None = None) -> SegmentIndex:
-    return SegmentIndex(spark, index_dir, documents)
+               documents: DataFrame | None = None,
+               as_of_batch: int | None = None) -> SegmentIndex:
+    """Open a durable index. ``as_of_batch`` gives snapshot-isolation
+    time travel over DELETES: only tombstone batches with id <=
+    as_of_batch are applied (-1 → before any delete; None → live).
+    Builds/merges/vacuums already version by directory (immutable
+    layout), so directory + as_of_batch addresses every state the
+    store has ever served. Snapshot points: ``tombstone_batches``."""
+    return SegmentIndex(spark, index_dir, documents,
+                        as_of_batch=as_of_batch)
 
 
 def _tombstone_batches(index_dir: str) -> list[int]:
@@ -747,10 +760,23 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids,
     return result
 
 
-def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    """Union of all committed tombstone batches (doc_id, distinct), or
-    None when the index has none."""
+def tombstone_batches(index_dir: str) -> list[int]:
+    """Committed tombstone batch ids in commit order — the index's
+    delete-snapshot points for ``load_index(as_of_batch=…)`` (each
+    batch is an immutable parquet dir + manifest row, so every past
+    delete-state stays readable, Iceberg-snapshot style)."""
+    return _tombstone_batches(index_dir)
+
+
+def load_tombstones(spark: SparkSession, index_dir: str,
+                    as_of_batch: int | None = None) -> DataFrame | None:
+    """Union of committed tombstone batches (doc_id, distinct), or None
+    when none apply. ``as_of_batch`` time-travels the delete state:
+    only batches with id <= it are applied (-1 → the pre-delete
+    snapshot; None → all, the live view)."""
     batches = _tombstone_batches(index_dir)
+    if as_of_batch is not None:
+        batches = [b for b in batches if b <= as_of_batch]
     if not batches:
         return None
     paths = [os.path.join(index_dir, "tombstones", f"batch={b}")

@@ -143,3 +143,34 @@ def test_delete_on_incomplete_index_refuses(spark, tmp_path):
     os.makedirs(os.path.join(d, "manifest"))
     with pytest.raises(ValueError, match="not a completed index"):
         catalog.delete_docs(spark, d, [1])
+
+
+def test_as_of_batch_time_travel(spark, live_index):
+    """load_index(as_of_batch=) replays any past delete state: -1 is
+    the pre-delete snapshot (rank-identical to the never-deleted index),
+    batch 0 applies only the first delete, None is live — batches are
+    immutable so every snapshot stays readable after later deletes."""
+    pristine = _top(catalog.load_index(spark, live_index))
+    ids = [d for d, _ in pristine]
+    catalog.delete_docs(spark, live_index, ids[:2])   # batch 0
+    catalog.delete_docs(spark, live_index, ids[2:4])  # batch 1
+    assert catalog.tombstone_batches(live_index) == [0, 1]
+
+    before = catalog.load_index(spark, live_index, as_of_batch=-1)
+    assert _top(before) == pristine and before.deleted_ids() == frozenset()
+
+    at0 = catalog.load_index(spark, live_index, as_of_batch=0)
+    got0 = [d for d, _ in _top(at0)]
+    assert not set(ids[:2]) & set(got0)
+    assert set(ids[2:4]) <= set(got0)
+    assert at0.deleted_ids() == frozenset(ids[:2])
+
+    live = catalog.load_index(spark, live_index)
+    assert not set(ids[:4]) & {d for d, _ in _top(live)}
+    # snapshot at (or past) the last batch == live view
+    assert _top(catalog.load_index(spark, live_index, as_of_batch=1)) \
+        == _top(live)
+
+    # WAND serves the snapshot too (same deleted_ids plumbing)
+    wand0 = W.search_wand(at0, "market price growth", k=25)
+    assert [(d, round(s, 9)) for d, s in wand0] == _top(at0)

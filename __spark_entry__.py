@@ -921,6 +921,20 @@ def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
 
 
+def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix retrieval (search.search_prefix): 'so*'/'vec*' expand to
+    their top-3 vocabulary terms by (df DESC, term ASC) — the tight cap
+    makes the rewrite cut part of the cross-engine contract — and score
+    with the literal term 'hash' as one boolean-OR BM25 query (a term
+    hit by two clauses sums both contributions)."""
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    agg = S.search_prefix(idx, ["hash"], ["so", "vec"], k=None,
+                          max_expansions=3)
+    agg = agg.select("doc_id", F.round("score", 4).alias("score"))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
+
+
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Related-document retrieval (search.more_like_this): doc 3's ten
     highest-tf·idf terms (rounded to 6 dp before the cut, ties by term)
@@ -1102,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_counts": q_decayed_counts,
         "curated_corpus_clf": q_curated_corpus_clf,
         "fuzzy_topk": q_fuzzy_topk,
+        "prefix_topk": q_prefix_topk,
         "more_like_this": q_more_like_this,
         "dup_components": q_dup_components,
         "dedup_lines": q_dedup_lines,
@@ -1525,6 +1540,43 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
                        + 1.5 * stopword_ratio
                        + 0.5 * (mean_token_len / 10.0)))), 6) AS prob
             FROM q
+        """,
+        # mirrors search_prefix(['hash'], ['so','vec'], max_expansions=3):
+        # per-prefix LIKE expansion cut by (df DESC, term ASC), clause
+        # boosts summed per term (literal 'hash' is one more clause),
+        # then the fuzzy_topk BM25 formula
+        "prefix_topk": f"""
+            WITH tok AS ({_TOK}),
+            tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            q(qt) AS (VALUES ('so'), ('vec')),
+            ranked AS (
+                SELECT q.qt, df.term,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.qt
+                           ORDER BY df.df DESC, df.term ASC) AS rn
+                FROM q JOIN df ON df.term LIKE q.qt || '%'
+            ),
+            clauses AS (
+                SELECT term, 1.0 AS boost FROM ranked WHERE rn <= 3
+                UNION ALL SELECT 'hash', 1.0
+            ),
+            sel AS (SELECT term, SUM(boost) AS boost
+                    FROM clauses GROUP BY term),
+            w AS (
+                SELECT tf.doc_id,
+                       sel.boost
+                       * LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+                FROM tf JOIN sel USING (term) JOIN df USING (term)
+                JOIN dl USING (doc_id) CROSS JOIN stats s
+            )
+            SELECT doc_id, ROUND(SUM(wt), 4) AS score
+            FROM w GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 100
         """,
         # mirrors clustering.kmeans_assign with centroids = the
         # KMEANS_SEED_IDS embeddings: round-6 cosine rank key (the

@@ -191,6 +191,9 @@ def main() -> None:
         "q_fuzzy": lambda: S.search_fuzzy(idx, ["marke", "growt"],
                                           k=100).count(),
         "q_mlt": lambda: S.more_like_this(idx, 3, k=100).count(),
+        # prefix query: 2 vocabulary expansions + literal term, one OR
+        "q_prefix": lambda: S.search_prefix(
+            idx, ["market"], ["pri", "gro"], k=100).count(),
     }
     for name, fn in queries.items():
         if name == "q_vsm":

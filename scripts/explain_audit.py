@@ -769,6 +769,23 @@ def main() -> int:
         ],
     )
 
+    # 28. prefix-query expansion: each prefix is a LITERAL startswith
+    # predicate pushed to the term_stats parquet scan (file-level min/max
+    # pruning, the autocomplete pushdown serving a ranked query), and the
+    # per-prefix cap is a window over tiny partitions — no global sort of
+    # the vocabulary, no join (so no CartesianProduct possible)
+    p28 = plan_of(S.prefix_candidates(idx, ["mar", "pri"],
+                                      max_expansions=5))
+    check(
+        "Prefix-query vocabulary expansion", p28,
+        [
+            ("startswith predicate pushed to the term_stats scan",
+             r"PushedFilters: \[.*StringStartsWith\(term", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+            ("no Python UDF", r"EvalPython", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -124,6 +124,27 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             raise ValueError("fuzzy is defined over the term-weight "
                              "models (bm25/lm), not vsm")
 
+    # Trailing-* prefix terms (planner.FreeTextPlan.prefixes) are a term-
+    # set rewrite like fuzzy: composition with other rewrites/models that
+    # re-derive term statistics is refused explicitly, never ignored.
+    if isinstance(plan, planner.FreeTextPlan) and plan.prefixes:
+        if plan.phrases:
+            raise ValueError("prefix terms (tok*) support plain free-text "
+                             "queries only (no phrases)")
+        if rm3_alpha is not None:
+            raise ValueError("prefix terms do not compose with RM3 — two "
+                             "query expansions; drop one")
+        if fuzzy_max_dist is not None:
+            raise ValueError("prefix terms do not compose with fuzzy "
+                             "matching — two term-set rewrites; drop one")
+        if adaptive:
+            raise ValueError(
+                "prefix terms do not compose with adaptive candidate "
+                "tiers — the tiers are defined over the literal terms")
+        if model == "vsm":
+            raise ValueError("prefix terms are defined over the "
+                             "term-weight models (bm25/lm), not vsm")
+
     if isinstance(plan, planner.ProximityPlan):
         docs = PH.proximity_docs(index, plan.t1, plan.t2, plan.k)
         if cand is not None:
@@ -200,6 +221,16 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
         scored = search_mod.search_fuzzy(
             index, plan.terms, k=None, max_dist=fuzzy_max_dist,
             model=model, candidates=cand)
+        if prior is not None:
+            scored = search_mod.blend_doc_prior(scored, prior, lam=prior_lam)
+        return scored if k is None else topk(scored, k)
+
+    if plan.prefixes:
+        # literal terms + prefix expansions score as ONE boolean-OR
+        # query (search_prefix); refusals for this branch ran above
+        scored = search_mod.search_prefix(
+            index, plan.terms, plan.prefixes, k=None, model=model,
+            candidates=cand)
         if prior is not None:
             scored = search_mod.blend_doc_prior(scored, prior, lam=prior_lam)
         return scored if k is None else topk(scored, k)

@@ -632,6 +632,83 @@ def search_fuzzy(index: InvertedIndex, toks: list[str], k: int | None = 100,
     return agg if k is None else topk(agg, k)
 
 
+def prefix_candidates(index: InvertedIndex, prefixes: list[str],
+                      max_expansions: int = 50) -> DataFrame:
+    """The distributed half of ``prefix_expand``: → (qt, term), the
+    capped per-prefix vocabulary expansion (Lucene PrefixQuery with the
+    top-terms rewrite). Each prefix filters term_stats with a LITERAL
+    startswith predicate — one union branch per prefix, each pushed to
+    the parquet scan as StringStartsWith so min/max stats prune files
+    (the autocomplete pushdown, serving a ranked query instead of a
+    completion list) — then a per-prefix window caps the expansion at
+    ``max_expansions`` by (df DESC, term ASC), Lucene's most-frequent-
+    first rewrite order made total for cross-engine determinism."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    if max_expansions < 1:
+        raise ValueError(f"max_expansions must be >= 1: {max_expansions}")
+    uniq = [p for p in dict.fromkeys(prefixes)]
+    if not uniq or any(not p for p in uniq):
+        # an empty prefix would expand to the whole vocabulary
+        raise ValueError(f"prefixes must be non-empty strings: {prefixes}")
+    frames = [
+        index.term_stats
+        .filter(F.col("term").startswith(p))
+        .select(F.lit(p).alias("qt"), "term", "df")
+        for p in uniq
+    ]
+    cand = reduce(lambda a, b: a.unionByName(b), frames)
+    w = Window.partitionBy("qt").orderBy(F.desc("df"), F.asc("term"))
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_expansions)
+            .select("qt", "term"))
+
+
+def prefix_expand(index: InvertedIndex, prefixes: list[str],
+                  max_expansions: int = 50) -> dict[str, float]:
+    """→ {vocabulary term: Σ 1.0 per selecting prefix} — the bounded
+    collect (≤ |prefixes|·max_expansions rows, the fuzzy_expand idiom).
+    A term selected by two prefixes carries boost 2.0, the same
+    cross-clause summing as fuzzy's boolean-OR rewrite."""
+    out: dict[str, float] = {}
+    for r in prefix_candidates(index, prefixes, max_expansions).collect():
+        out[r["term"]] = out.get(r["term"], 0.0) + 1.0
+    return out
+
+
+def search_prefix(index: InvertedIndex, toks: list[str],
+                  prefixes: list[str], k: int | None = 100,
+                  max_expansions: int = 50, model: str = "bm25",
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Free-text retrieval with trailing-* prefix terms ('pri*'):
+    each prefix expands to its top-``max_expansions`` vocabulary terms
+    (``prefix_expand``) and the union of literal ``toks`` (weight 1
+    each, duplicates summing — the search_freetext bag semantics) and
+    expansion terms scores as one boolean-OR query. → (doc_id, score)
+    top-k, ties (score DESC, doc_id ASC). A term that is both literal
+    and prefix-selected sums both contributions (two OR clauses, the
+    Lucene rewrite). Scoring reuses the literal-lookup plan: pushable
+    ``term IN (...)`` scan, one partial-agg'd groupBy(doc_id), a single
+    TakeOrderedAndProject."""
+    boosts: dict[str, float] = {}
+    for t in toks:
+        boosts[t] = boosts.get(t, 0.0) + 1.0
+    if prefixes:
+        for t, b in prefix_expand(index, prefixes, max_expansions).items():
+            boosts[t] = boosts.get(t, 0.0) + b
+    if not boosts:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double")
+    scored = _scored_frame(index, sorted(boosts), model, boosts)
+    if candidates is not None:
+        scored = scored.join(candidates, "doc_id", "left_semi")
+    agg = scored.groupBy("doc_id").agg(F.sum("weight").alias("score"))
+    k = effective_k(index, k)
+    return agg if k is None else topk(agg, k)
+
+
 def more_like_this(index: InvertedIndex, doc_id: int, k: int | None = 100,
                    max_query_terms: int = 10,
                    model: str = "bm25") -> DataFrame:

@@ -94,7 +94,8 @@ def wand_eligible(plan) -> bool:
     boolean query that search_wand then rejects)."""
     from ..plans import planner
 
-    return isinstance(plan, planner.FreeTextPlan) and not plan.phrases
+    return (isinstance(plan, planner.FreeTextPlan) and not plan.phrases
+            and not plan.prefixes)
 
 
 def search_wand(index, query: str, k: int = 100,

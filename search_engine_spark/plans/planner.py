@@ -60,6 +60,12 @@ class BooleanPlan:
 class FreeTextPlan:
     terms: list[str] = field(default_factory=list)       # analyzed single terms
     phrases: list[list[str]] = field(default_factory=list)  # analyzed phrase term lists
+    # trailing-* tokens ('mark*'), star stripped: matched as vocabulary
+    # PREFIXES (Lucene PrefixQuery). Lowercased per the analyzer config
+    # but NEVER stemmed/stopworded — a prefix is a raw surface pattern
+    # against the (stemmed) vocabulary, exactly Lucene's
+    # no-analysis-of-wildcard-terms rule
+    prefixes: list[str] = field(default_factory=list)
 
 
 def classify(query: str, conf: AnalyzerConfig = AnalyzerConfig.full()):
@@ -75,6 +81,9 @@ def classify(query: str, conf: AnalyzerConfig = AnalyzerConfig.full()):
     return _parse_freetext(query, conf)
 
 
+_PREFIX_TOK_RE = re.compile(r"^([^\s*]+)\*$")
+
+
 def _parse_freetext(query: str, conf: AnalyzerConfig) -> FreeTextPlan:
     plan = FreeTextPlan()
     rest = query
@@ -83,7 +92,18 @@ def _parse_freetext(query: str, conf: AnalyzerConfig) -> FreeTextPlan:
         if toks:
             plan.phrases.append(toks)
         rest = rest.replace(f'"{phrase}"', " ")
-    plan.terms = analyze(rest, conf)
+    # trailing-* prefix tokens come out BEFORE analysis (the analyzer
+    # would strip the star and stem the stem-less pattern); mid-token
+    # stars are not an operator — those tokens stay literal
+    kept = []
+    for tok in rest.split():
+        m = _PREFIX_TOK_RE.match(tok)
+        if m:
+            p = m.group(1).lower() if conf.lowercase else m.group(1)
+            plan.prefixes.append(p)
+        else:
+            kept.append(tok)
+    plan.terms = analyze(" ".join(kept), conf)
     return plan
 
 

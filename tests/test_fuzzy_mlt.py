@@ -171,3 +171,97 @@ def test_executor_fuzzy_stopword_only_empty(built_index):
 
     out = executor.execute(built_index, "the and of", fuzzy_max_dist=1)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# prefix queries ('tok*' — Lucene PrefixQuery with the top-terms rewrite)
+# ---------------------------------------------------------------------------
+
+def test_prefix_expand_cap_and_ordering(fuzzy_index):
+    """'ca*' matches cat/cap/car/cart; max_expansions=2 keeps the two
+    highest-df (cart df=3, then the cat/cap df=2 tie broken term ASC →
+    cap... cat? 'cap' < 'cat' ASC so cap wins)."""
+    got = S.prefix_expand(fuzzy_index, ["ca"], max_expansions=2)
+    assert got == {"cart": 1.0, "cap": 1.0}
+    full = S.prefix_expand(fuzzy_index, ["ca"], max_expansions=50)
+    assert set(full) == {"cat", "cap", "car", "cart"}
+
+
+def test_prefix_boosts_sum_across_prefixes(fuzzy_index):
+    """A term selected by two prefixes carries boost 2.0 (two OR
+    clauses), and a literal query term that is also prefix-selected sums
+    again in search_prefix."""
+    got = S.prefix_expand(fuzzy_index, ["ca", "car"], max_expansions=50)
+    assert got["cart"] == pytest.approx(2.0)
+    assert got["car"] == pytest.approx(2.0)
+    assert got["cat"] == pytest.approx(1.0)
+    # literal 'cart' + prefix 'cart*' → weight 2 vs plain weight 1
+    one = {r.doc_id: r.score
+           for r in S.search_prefix(fuzzy_index, ["cart"], ["cart"],
+                                    k=None).collect()}
+    plain = {r.doc_id: r.score
+             for r in S.search_prefix(fuzzy_index, ["cart"], [],
+                                      k=None).collect()}
+    for d in plain:
+        assert one[d] == pytest.approx(2.0 * plain[d])
+
+
+def test_prefix_no_match_and_no_literal_empty(fuzzy_index):
+    assert S.prefix_expand(fuzzy_index, ["zz"], 5) == {}
+    assert S.search_prefix(fuzzy_index, [], ["zz"], k=10).count() == 0
+
+
+def test_prefix_only_query_equals_expanded_or(fuzzy_index):
+    """'ca*' scores identically to the expanded boolean-OR free-text
+    query over its matched terms (all four, each weight 1)."""
+    got = {r.doc_id: round(r.score, 9)
+           for r in S.search_prefix(fuzzy_index, [], ["ca"], k=None,
+                                    max_expansions=50).collect()}
+    want = {r.doc_id: round(r.score, 9)
+            for r in S.search_freetext_tokens(
+                fuzzy_index, ["cat", "cap", "car", "cart"],
+                k=None).collect()}
+    assert got == want
+
+
+def test_prefix_validation(fuzzy_index):
+    with pytest.raises(ValueError, match="non-empty"):
+        S.prefix_candidates(fuzzy_index, ["ca", ""])
+    with pytest.raises(ValueError, match="non-empty"):
+        S.prefix_candidates(fuzzy_index, [])
+    with pytest.raises(ValueError, match="max_expansions"):
+        S.prefix_candidates(fuzzy_index, ["ca"], max_expansions=0)
+
+
+def test_executor_prefix_parsing_and_refusals(built_index):
+    """'tok*' routes through search_prefix in the executor; the
+    composition refusal matrix and the WAND guard hold."""
+    from search_engine_spark.operators import executor, wand
+    from search_engine_spark.plans import planner
+
+    # prefix of a vocabulary word scores docs; same as manual call
+    vocab_term = built_index.term_stats.orderBy("term").limit(1) \
+        .collect()[0].term
+    q = f"{vocab_term[:2]}*"
+    got = [(r.doc_id, round(r.score, 9))
+           for r in executor.execute(built_index, q, k=10).collect()]
+    plan = planner.classify(q, built_index.analyzer)
+    want = [(r.doc_id, round(r.score, 9))
+            for r in S.search_prefix(built_index, plan.terms,
+                                     plan.prefixes, k=10).collect()]
+    assert got == want and got
+    for kwargs, msg in [
+        (dict(rm3_alpha=0.5), "RM3"),
+        (dict(fuzzy_max_dist=1), "fuzzy"),
+        (dict(adaptive=True), "adaptive"),
+        (dict(model="vsm"), "vsm"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            executor.execute(built_index, q, k=10, **kwargs)
+    with pytest.raises(ValueError, match="free-text"):
+        executor.execute(built_index, f'{q} "some phrase"', k=10)
+    # WAND eligibility refuses prefix plans (shared serving guard)
+    assert not wand.wand_eligible(planner.classify(q, built_index.analyzer))
+    # no-star queries are untouched: prefixes list stays empty
+    p = planner.classify("plain words", built_index.analyzer)
+    assert p.prefixes == []

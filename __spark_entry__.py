@@ -921,6 +921,16 @@ def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (corpusstats.collocations): top-30 adjacent
+    pairs with count >= 3 by ln((n_ab/B)/((n_a/N)(n_b/N))), rank key
+    rounded to 6 dp (the engine's convention), value-compared at 4."""
+    from search_engine_spark.operators import corpusstats
+
+    out = corpusstats.collocations(_docs(spark, sf_dir), k=30, min_count=3)
+    return out.select("w1", "w2", "n_ab", F.round("pmi", 4).alias("pmi"))
+
+
 def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix retrieval (search.search_prefix): 'so*'/'vec*' expand to
     their top-3 vocabulary terms by (df DESC, term ASC) — the tight cap
@@ -1117,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_corpus_clf": q_curated_corpus_clf,
         "fuzzy_topk": q_fuzzy_topk,
         "prefix_topk": q_prefix_topk,
+        "collocations": q_collocations,
         "more_like_this": q_more_like_this,
         "dup_components": q_dup_components,
         "dedup_lines": q_dedup_lines,
@@ -1540,6 +1551,39 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
                        + 1.5 * stopword_ratio
                        + 0.5 * (mean_token_len / 10.0)))), 6) AS prob
             FROM q
+        """,
+        # mirrors corpusstats.collocations(k=30, min_count=3): N/B from
+        # doc token counts, min_count cut before the unigram joins, the
+        # SAME double-division parenthesization, pmi6 rank key
+        "collocations": r"""
+            WITH w AS (SELECT list_filter(regexp_split_to_array(
+                           lower(COALESCE(text, '')), '\s+'),
+                           x -> x != '') AS toks
+                       FROM documents),
+            s AS (SELECT SUM(len(toks)) AS n,
+                         SUM(GREATEST(len(toks) - 1, 0)) AS b FROM w),
+            g AS (SELECT unnest(list_transform(
+                      generate_series(1, greatest(len(toks) - 1, 0)),
+                      i -> array_to_string(toks[i:i+1], ' '))) AS gram
+                  FROM w),
+            pc AS (SELECT gram, COUNT(*) AS n_ab FROM g
+                   GROUP BY gram HAVING COUNT(*) >= 3),
+            p AS (SELECT string_split(gram, ' ')[1] AS w1,
+                         string_split(gram, ' ')[2] AS w2, n_ab FROM pc),
+            uc AS (SELECT w, COUNT(*) AS n_w
+                   FROM (SELECT unnest(toks) AS w FROM w) GROUP BY w),
+            j AS (SELECT p.w1, p.w2, p.n_ab,
+                         ua.n_w AS n_a, ub.n_w AS n_b
+                  FROM p JOIN uc ua ON ua.w = p.w1
+                         JOIN uc ub ON ub.w = p.w2)
+            SELECT w1, w2, n_ab, ROUND(pmi6, 4) AS pmi FROM (
+                SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+                       ROUND(LN((CAST(n_ab AS DOUBLE) / s.b)
+                           / ((CAST(n_a AS DOUBLE) / s.n)
+                              * (CAST(n_b AS DOUBLE) / s.n))), 6) AS pmi6
+                FROM j CROSS JOIN s
+                ORDER BY pmi6 DESC, w1 ASC, w2 ASC LIMIT 30
+            )
         """,
         # mirrors search_prefix(['hash'], ['so','vec'], max_expansions=3):
         # per-prefix LIKE expansion cut by (df DESC, term ASC), clause

@@ -288,6 +288,9 @@ def main() -> None:
         "p_hash_kmeans": lambda: _hash_kmeans(docs),
         # recency-weighted activity over the events table
         "p_decayed_counts": lambda: _events_decayed(),
+        # PMI collocations (phrase mining) over the corpus
+        "p_collocations": lambda: corpusstats.collocations(
+            docs, k=50, min_count=5).count(),
     }
     def _hash_kmeans(docs_df):
         from search_engine_spark.operators import clustering, vectorize

@@ -769,6 +769,25 @@ def main() -> int:
         ],
     )
 
+    # 29. PMI collocations: bigram counts partial-agg before the
+    # exchange; the min_count cut lands BEFORE the unigram joins (the
+    # filter bounds the join input); no Python UDF anywhere
+    from search_engine_spark.operators import corpusstats as CS
+
+    p29 = plan_of(CS.collocations(docs, k=30, min_count=3))
+    check(
+        "PMI collocations", p29,
+        [
+            ("map-side partial count before the exchange",
+             r"partial_count", True),
+            ("min_count filter precedes the unigram joins "
+             r"(Filter on n_ab below the join in the tree)",
+             r"n_ab.* >= 3", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+            ("no Python UDF", r"EvalPython", False),
+        ],
+    )
+
     # 28. prefix-query expansion: each prefix is a LITERAL startswith
     # predicate pushed to the term_stats parquet scan (file-level min/max
     # pruning, the autocomplete pushdown serving a ranked query), and the

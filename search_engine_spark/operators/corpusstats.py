@@ -263,3 +263,76 @@ def doc_keywords_oracle_sql(n_docs_sql: str, m: int = 5,
                   ORDER BY tfidf DESC, term ASC) AS rn FROM s)
         SELECT doc_id, term, tfidf FROM r WHERE rn <= {m}
     """
+
+
+def collocations(docs: DataFrame, k: int = 50, min_count: int = 5,
+                 text_col: str = "text") -> DataFrame:
+    """→ (w1, w2, n_ab, pmi): the ``k`` strongest adjacent-word
+    collocations by pointwise mutual information,
+    pmi = ln((n_ab/B) / ((n_a/N)·(n_b/N))) — the classic phrase-mining
+    signal (multiword entities, boilerplate phrases) that raw bigram
+    counts (top_ngrams) bury under stopword pairs.
+
+    Same tokenization and bigram universe as ``top_ngrams(n=2)``; pairs
+    below ``min_count`` are cut BEFORE the unigram joins (PMI of a
+    hapax pair is noise, and the cut bounds the join input). N (tokens)
+    and B (bigram instances) fold from ONE O(1) aggregate over doc
+    token counts — no corpus-sized frame is persisted or re-read. The
+    unigram-count joins let Spark pick the strategy (the vocabulary
+    table may exceed broadcast size at web scale). Rank key is pmi
+    rounded to 6 dp (ties → w1, w2 ASC) — the cross-engine
+    determinism convention.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    scal = docs.agg(
+        F.sum(F.size(toks)).alias("n"),
+        F.sum(F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
+    ).collect()[0]
+    n_tok, n_big = int(scal["n"] or 0), int(scal["b"] or 0)
+    if n_big == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "w1 string, w2 string, n_ab long, pmi double")
+
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram").agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+        .select(F.split("gram", " ").getItem(0).alias("w1"),
+                F.split("gram", " ").getItem(1).alias("w2"), "n_ab")
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("n_w"))
+    )
+    joined = (
+        pairs
+        .join(uni.select(F.col("w").alias("w1"),
+                         F.col("n_w").alias("n_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("n_w").alias("n_b")), "w2")
+    )
+    # double-division parenthesization mirrored EXACTLY in the oracle
+    pmi = F.log(
+        (F.col("n_ab").cast("double") / F.lit(float(n_big)))
+        / ((F.col("n_a").cast("double") / F.lit(float(n_tok)))
+           * (F.col("n_b").cast("double") / F.lit(float(n_tok))))
+    )
+    return (
+        joined.select("w1", "w2", "n_ab", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

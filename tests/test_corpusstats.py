@@ -136,3 +136,40 @@ def test_doc_keywords_validation(spark):
         corpusstats.doc_keywords(None, None, n_docs=0)
     with pytest.raises(ValueError):
         corpusstats.doc_keywords(None, None, n_docs=1, m=0)
+
+
+def test_collocations_hand_computed(spark):
+    """Crafted corpus: 'new york' appears 4x, tokens counted by hand —
+    engine PMI equals math.log of the hand-derived ratio; below-
+    min_count pairs are cut; rank is (pmi DESC, w1, w2)."""
+    import math
+
+    from search_engine_spark.operators.corpusstats import collocations
+
+    #               tokens                 bigrams
+    rows = [
+        (1, "new york new york"),        # 4 toks, 3 bigrams
+        (2, "new york is big"),          # 4 toks, 3 bigrams
+        (3, "new york wins big"),        # 4 toks, 3 bigrams
+        (4, "big big big"),              # 3 toks, 2 bigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocations(docs, k=10, min_count=2)
+    rowsd = {(r.w1, r.w2): (r.n_ab, r.pmi) for r in out.collect()}
+    # N = 15 tokens, B = 11 bigrams; new:4 york:4 big:5
+    n_ab, n = rowsd[("new", "york")]
+    assert n_ab == 4
+    want = math.log((4 / 11) / ((4 / 15) * (4 / 15)))
+    assert n == pytest.approx(round(want, 6), abs=1e-6)
+    # 'york new' appears 1x (doc 1) — below min_count=2 → absent
+    assert ("york", "new") not in rowsd
+    # 'big big' appears 2x (doc 4) → present, weaker than new-york
+    assert rowsd[("big", "big")][0] == 2
+    assert rowsd[("big", "big")][1] < rowsd[("new", "york")][1]
+    # validation + empty corpus
+    with pytest.raises(ValueError, match="min_count"):
+        collocations(docs, min_count=0)
+    with pytest.raises(ValueError, match="k"):
+        collocations(docs, k=0)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert collocations(empty).count() == 0

@@ -39,6 +39,23 @@ from ..operators import segments as SEG
 from ..operators.search import InvertedIndex
 
 
+#: parquet bloom filters on the term column of every term-addressed
+#: table: a term-IN lookup then skips row groups whose min/max range
+#: covers the term but whose chunk does not contain it (the gap min/max
+#: stats cannot close once a row group spans a wide vocabulary range).
+#: parquet-mr only MATERIALIZES the bloom when a chunk falls back from
+#: dictionary encoding (a fully dictionary-encoded chunk already gives
+#: the reader exact membership), so small/test indexes pay zero bytes
+#: and web-scale row groups — where the vocabulary outgrows the
+#: dictionary — get the filter exactly when it starts mattering.
+#: ndv 100k ≈ 120 KB per materialized chunk, hard-capped at 128 KiB.
+TERM_BLOOM = {
+    "parquet.bloom.filter.enabled#term": "true",
+    "parquet.bloom.filter.expected.ndv#term": "100000",
+    "parquet.bloom.filter.max.bytes": str(128 * 1024),
+}
+
+
 def _manifest_path(index_dir: str, step: str) -> str:
     return os.path.join(index_dir, "manifest", f"{step}.json")
 
@@ -151,6 +168,7 @@ def build_durable_index(
         # postings schema
         try:
             sorted_post.drop("block_id").write.mode("overwrite") \
+                .options(**TERM_BLOOM) \
                 .partitionBy("bucket").parquet(stage_dir)
             n = sorted_post.count()  # cache hit — no parquet re-read job
         except BaseException:
@@ -199,6 +217,7 @@ def build_durable_index(
             return
         t0 = time.perf_counter()
         P.term_stats(_staged()).write.mode("overwrite") \
+            .options(**TERM_BLOOM) \
             .parquet(os.path.join(index_dir, "term_stats"))
         _record(index_dir, "term_stats",
                 duration_sec=round(time.perf_counter() - t0, 3))
@@ -254,7 +273,8 @@ def build_durable_index(
             # term) range, so this write touches 1-2 bucket dirs per task
             # and files stay term-sorted for min/max pruning
             seg.sortWithinPartitions("bucket", "term", "block_id") \
-                .write.mode("overwrite").partitionBy("bucket").parquet(out)
+                .write.mode("overwrite").options(**TERM_BLOOM) \
+                .partitionBy("bucket").parquet(out)
             # per-BUCKET lineage from the persisted frame (cache hit) —
             # identical rows to the files just written, no re-read job
             lin = seg.groupBy("bucket").agg(
@@ -296,7 +316,8 @@ def build_durable_index(
             seg_parts = max(spark.sparkContext.defaultParallelism, hi - lo)
             seg.repartitionByRange(seg_parts, "bucket", "term", "block_id") \
                 .sortWithinPartitions("bucket", "term", "block_id") \
-                .write.mode("overwrite").partitionBy("bucket").parquet(out)
+                .write.mode("overwrite").options(**TERM_BLOOM) \
+                .partitionBy("bucket").parquet(out)
             # lineage from the persisted frame (cache hit) — identical rows
             # to the files just written, no re-read job
             lineage = seg.agg(
@@ -405,7 +426,8 @@ def compact_streaming_index(
         staged.select(*cols) \
             .repartitionByRange(parts, "bucket", "term", "doc_id") \
             .sortWithinPartitions("bucket", "term", "doc_id") \
-            .write.mode("overwrite").partitionBy("bucket").parquet(stage_out)
+            .write.mode("overwrite").options(**TERM_BLOOM) \
+            .partitionBy("bucket").parquet(stage_out)
         _record(out_dir, "postings_stage", source=os.path.abspath(stream_dir),
                 duration_sec=round(time.perf_counter() - t0, 3))
     if not _done(out_dir, "doc_stats"):
@@ -890,7 +912,8 @@ def merge_indexes(spark: SparkSession, index_dirs: list[str],
         parts = max(2 * spark.sparkContext.defaultParallelism, buckets)
         staged.repartitionByRange(parts, "bucket", "term", "doc_id") \
             .sortWithinPartitions("bucket", "term", "doc_id") \
-            .write.mode("overwrite").partitionBy("bucket").parquet(stage_out)
+            .write.mode("overwrite").options(**TERM_BLOOM) \
+            .partitionBy("bucket").parquet(stage_out)
         _record(out_dir, "postings_stage",
                 sources=[os.path.abspath(d) for d in index_dirs],
                 duration_sec=round(time.perf_counter() - t0, 3))

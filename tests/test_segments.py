@@ -308,3 +308,42 @@ def test_merge_indexes_validations(spark, corpus_sdf, tmp_path):
     catalog.build_durable_index(spark, other, d3, buckets=16)  # diff config
     with _pt.raises(ValueError, match="different build config"):
         catalog.merge_indexes(spark, [d1, d3], str(tmp_path / "out2"))
+
+
+def test_term_bloom_filter_mechanism(spark, tmp_path):
+    """catalog.TERM_BLOOM materializes parquet bloom filters exactly
+    when a chunk's vocabulary outgrows dictionary encoding: a
+    high-cardinality term column grows by bloom bytes (bounded by
+    max.bytes per chunk), a dictionary-friendly one stays byte-free,
+    and reads with pushed equality filters return identical rows.
+    Every index build goes through writers that apply TERM_BLOOM, so
+    the existing lookup-parity suites already run against bloom-built
+    stores; this test pins the option set itself against drift."""
+    import glob as _glob
+    import os as _os
+
+    def size(d):
+        return sum(_os.path.getsize(f)
+                   for f in _glob.glob(f"{d}/*.parquet"))
+
+    high = spark.range(200000).selectExpr(
+        "md5(cast(id as string)) AS term", "id").coalesce(1)
+    p_plain, p_bloom = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    high.write.mode("overwrite").parquet(p_plain)
+    high.write.options(**catalog.TERM_BLOOM).mode("overwrite") \
+        .parquet(p_bloom)
+    delta = size(p_bloom) - size(p_plain)
+    assert 0 < delta <= 300 * 1024, delta  # bloom present, size-bounded
+
+    low = spark.range(50000).selectExpr("concat('t', id % 100) AS term") \
+        .coalesce(1)
+    l_plain, l_bloom = str(tmp_path / "lplain"), str(tmp_path / "lbloom")
+    low.write.mode("overwrite").parquet(l_plain)
+    low.write.options(**catalog.TERM_BLOOM).mode("overwrite") \
+        .parquet(l_bloom)
+    assert size(l_bloom) == size(l_plain)  # dictionary chunk: zero cost
+
+    probe = spark.range(5).selectExpr("md5(cast(id as string)) AS term")
+    got = (spark.read.parquet(p_bloom)
+           .join(probe, "term", "left_semi").count())
+    assert got == 5  # pushed-filter reads see every row through the bloom

@@ -119,6 +119,19 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs matching "big data"~2 in the ordered-window semantics
+    (phrase.sloppy_occurrences): 'data' at most 2 extra positions after
+    'big', phrase_tf = start positions with a valid greedy chain."""
+    from search_engine_spark.operators import phrase as PH
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=True, cache=False)
+    return PH.sloppy_occurrences(idx, ["big", "data"], slop=2).select(
+        "doc_id", F.col("phrase_tf").cast("long").alias("phrase_tf")
+    )
+
+
 def q_proximity_w5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#5(spark, value): |pos1-pos2| <= 5 (Q9)."""
     from search_engine_spark.operators import phrase as PH
@@ -1077,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and": q_boolean_and,
         "boolean_or_not": q_boolean_or_not,
         "phrase_match": q_phrase_match,
+        "sloppy_phrase": q_sloppy_phrase,
         "proximity_w5": q_proximity_w5,
         "vsm_topk": q_vsm_topk,
         "lm_dirichlet": q_lm_dirichlet,
@@ -1365,6 +1379,25 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
             SELECT a.doc_id, COUNT(*) AS phrase_tf
             FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             GROUP BY a.doc_id
+        """,
+        # mirrors sloppy_occurrences(['big','data'], slop=2): greedy
+        # chain = smallest 'data' position after each 'big' start, kept
+        # when the span p1−p0 ≤ (m−1)+slop = 3
+        "sloppy_phrase": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            pos AS (SELECT doc_id, unnest(l) AS tok,
+                           unnest(generate_series(1, len(l))) AS pos FROM t),
+            a AS (SELECT doc_id, pos FROM pos WHERE tok = 'big'),
+            b AS (SELECT doc_id, pos FROM pos WHERE tok = 'data'),
+            chain AS (
+                SELECT a.doc_id, a.pos AS p0,
+                       (SELECT MIN(b.pos) FROM b
+                        WHERE b.doc_id = a.doc_id AND b.pos > a.pos) AS p1
+                FROM a
+            )
+            SELECT doc_id, COUNT(*) AS phrase_tf FROM chain
+            WHERE p1 IS NOT NULL AND p1 - p0 <= 3
+            GROUP BY doc_id
         """,
         "proximity_w5": f"""
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -194,6 +194,9 @@ def main() -> None:
         # prefix query: 2 vocabulary expansions + literal term, one OR
         "q_prefix": lambda: S.search_prefix(
             idx, ["market"], ["pri", "gro"], k=100).count(),
+        # sloppy phrase: ordered-window chain matcher at slop 3
+        "q_sloppy_phrase": lambda: executor.execute(
+            idx, '"market price"~3', k=100).count(),
     }
     for name, fn in queries.items():
         if name == "q_vsm":

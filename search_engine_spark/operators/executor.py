@@ -246,10 +246,13 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             model=model, adaptive=adaptive, candidates=cand,
         )
         frames.append(scored)
-    for ph in plan.phrases:
+    slops = plan.phrase_slops or [0] * len(plan.phrases)
+    for ph, sl in zip(plan.phrases, slops):
         # the phrase weight follows the active model (the reference's LM
-        # models phrase-score with the LM phrase formula — phrase.py)
-        ps = PH.search_phrase(index, ph, k=None, model=model)
+        # models phrase-score with the LM phrase formula — phrase.py);
+        # '"..."~N' routes the sloppy ordered-window matcher, slop 0 the
+        # exact array_intersect path
+        ps = PH.search_phrase(index, ph, k=None, model=model, slop=sl)
         if cand is not None:
             ps = ps.join(cand, "doc_id", "left_semi")
         frames.append(ps)

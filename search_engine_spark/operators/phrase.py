@@ -55,8 +55,76 @@ def phrase_occurrences(index: InvertedIndex, phrase_terms: list[str]) -> DataFra
     )
 
 
+def sloppy_occurrences(index: InvertedIndex, phrase_terms: list[str],
+                       slop: int) -> DataFrame:
+    """→ (doc_id, phrase_tf) for docs matching the phrase within
+    ``slop`` extra positions — Lucene PhraseQuery-with-slop, in the
+    ORDERED-WINDOW semantics: terms must appear in phrase order at
+    strictly increasing positions whose span exceeds the exact-phrase
+    span by at most ``slop``. phrase_tf counts the start positions p₀
+    with a valid chain; the chain is GREEDY (each next term takes its
+    smallest position after the previous), which minimizes the span for
+    a given p₀, so greedy-reject == no-match.
+
+    Documented deviation from Lucene: Lucene's slop is an edit-distance
+    that also admits TRANSPOSED terms at slop ≥ 2; ordered-window keeps
+    order mandatory (transpositions never match), which is the common
+    user mental model and keeps the operator a pure monotone chain of
+    JVM array expressions — no Python, one hash join per term on the
+    term-filtered postings, exactly the phrase_occurrences join shape.
+
+    ``slop=0`` is exactly the consecutive phrase: strictly increasing
+    positions with span ≤ m−1 force pᵢ = p₀+i (pytest-pinned identity
+    against phrase_occurrences; search_phrase routes slop=0 through the
+    array_intersect fast path).
+    """
+    if not phrase_terms:
+        raise ValueError("empty phrase")
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0: {slop}")
+    m = len(phrase_terms)
+    parts = []
+    for i, t in enumerate(phrase_terms):
+        base = index.lookup([t], positional=True)
+        cols = ["doc_id", F.col("positions").alias(f"p{i}")]
+        if i == 0 and "dl" in base.columns:
+            cols.append("dl")
+        parts.append(base.select(*cols))
+    joined = parts[0]
+    for i in range(1, m):
+        joined = joined.join(parts[i], "doc_id")
+
+    def _after(i: int, prev):
+        # SINGLE-arg predicate on purpose (the _shift rule): a second
+        # parameter — even a defaulted capture — makes F.filter pass the
+        # ARRAY INDEX into it, silently replacing the captured column
+        def pred(x):
+            return x > prev
+        # smallest position of term i strictly after the chain so far;
+        # empty filter → array_min → NULL, nulling the whole chain
+        return F.array_min(F.filter(F.col(f"p{i}"), pred))
+
+    def _chain_end(start):
+        prev = start
+        for i in range(1, m):
+            prev = _after(i, prev)
+        return prev
+
+    bound = F.lit(m - 1 + slop)
+
+    def _ok(a):
+        return _chain_end(a) - a <= bound  # NULL chain → NULL → dropped
+
+    tf = F.size(F.filter(F.col("p0"), _ok))
+    out_cols = ["doc_id", tf.alias("phrase_tf")]
+    if "dl" in joined.columns:
+        out_cols.append("dl")
+    return joined.select(*out_cols).filter(F.col("phrase_tf") > 0)
+
+
 def search_phrase(index: InvertedIndex, phrase_terms: list[str],
-                  k: int | None = 100, model: str = "bm25") -> DataFrame:
+                  k: int | None = 100, model: str = "bm25",
+                  slop: int = 0) -> DataFrame:
     """Phrase-only ranking (phrase df = number of matching docs) →
     (doc_id, score) top-k. ``k=None`` returns the unranked score frame
     (for union-merge callers).
@@ -73,7 +141,12 @@ def search_phrase(index: InvertedIndex, phrase_terms: list[str],
     # a full recompute of the positional join). Caches accumulate on the
     # index handle — a query with several phrases keeps them ALL alive
     # until the next executor.execute() releases them (release_caches).
-    occ = index.register_query_cache(phrase_occurrences(index, phrase_terms))
+    # slop=0 keeps the array_intersect fast path (sloppy_occurrences is
+    # pinned identical to it at slop=0); the weight formulas are
+    # slop-blind — phrase_tf/df just count sloppy matches instead.
+    occ_frame = (phrase_occurrences(index, phrase_terms) if slop == 0
+                 else sloppy_occurrences(index, phrase_terms, slop))
+    occ = index.register_query_cache(occ_frame)
     n, avgdl = index.stats["n_docs"], index.stats["avgdl"]
     lm = model in ("lm-dirichlet", "lm-pyp")
     if lm:

@@ -60,6 +60,10 @@ class BooleanPlan:
 class FreeTextPlan:
     terms: list[str] = field(default_factory=list)       # analyzed single terms
     phrases: list[list[str]] = field(default_factory=list)  # analyzed phrase term lists
+    #: per-phrase slop parsed from '"..."~N' (Lucene sloppy-phrase
+    #: syntax; ordered-window semantics — operators.phrase); aligned
+    #: with ``phrases``, 0 = exact
+    phrase_slops: list[int] = field(default_factory=list)
     # trailing-* tokens ('mark*'), star stripped: matched as vocabulary
     # PREFIXES (Lucene PrefixQuery). Lowercased per the analyzer config
     # but NEVER stemmed/stopworded — a prefix is a raw surface pattern
@@ -84,14 +88,18 @@ def classify(query: str, conf: AnalyzerConfig = AnalyzerConfig.full()):
 _PREFIX_TOK_RE = re.compile(r"^([^\s*]+)\*$")
 
 
+_SLOPPY_PHRASE_RE = re.compile(r'"([^"]+)"(?:~(\d+))?')
+
+
 def _parse_freetext(query: str, conf: AnalyzerConfig) -> FreeTextPlan:
     plan = FreeTextPlan()
     rest = query
-    for phrase in _PHRASE_RE.findall(query):
-        toks = analyze(phrase, conf)
+    for m in _SLOPPY_PHRASE_RE.finditer(query):
+        toks = analyze(m.group(1), conf)
         if toks:
             plan.phrases.append(toks)
-        rest = rest.replace(f'"{phrase}"', " ")
+            plan.phrase_slops.append(int(m.group(2) or 0))
+        rest = rest.replace(m.group(0), " ")
     # trailing-* prefix tokens come out BEFORE analysis (the analyzer
     # would strip the star and stem the stem-less pattern); mid-token
     # stars are not an operator — those tokens stay literal

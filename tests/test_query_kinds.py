@@ -274,3 +274,72 @@ def test_public_api_loop_bounds_persisted_frames(spark, built_index):
     assert len(built_index._query_caches) <= built_index.MAX_QUERY_CACHES
     assert n - base <= built_index.MAX_QUERY_CACHES + 2
     built_index.release_caches()
+
+
+# ---------------------------------------------------------------------------
+# sloppy phrases ('"..."~N' — ordered-window semantics, phrase.py)
+# ---------------------------------------------------------------------------
+
+def test_sloppy_slop0_is_exact_phrase(built_index):
+    """sloppy_occurrences(slop=0) == phrase_occurrences on the full
+    corpus (strictly increasing positions with span <= m-1 force
+    consecutiveness) — the identity that pins the chain matcher."""
+    terms = ["market", "price"]
+    exact = {(r.doc_id, r.phrase_tf) for r in
+             PH.phrase_occurrences(built_index, terms).collect()}
+    slop0 = {(r.doc_id, r.phrase_tf) for r in
+             PH.sloppy_occurrences(built_index, terms, 0).collect()}
+    assert exact == slop0 and exact
+
+
+def test_sloppy_semantics_hand_crafted(spark):
+    from search_engine_spark import engine
+    from search_engine_spark.functions.analyzer import AnalyzerConfig
+
+    rows = [
+        (1, "big data rocks"),        # exact
+        (2, "big old data"),          # 1 extra gap
+        (3, "big a b c data"),        # 3 extra gaps > slop 2
+        (4, "data big"),              # reversed: ordered never matches
+        (5, "big big data"),          # two valid starts
+        (6, "big fresh new data"),    # exactly slop 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = engine.build_index(docs, AnalyzerConfig.simple(),
+                             positional=True, cache=False)
+    got = {r.doc_id: r.phrase_tf for r in
+           PH.sloppy_occurrences(idx, ["big", "data"], 2).collect()}
+    assert got == {1: 1, 2: 1, 5: 2, 6: 1}
+    # 3-term greedy chain: each next term takes its smallest later pos
+    rows3 = [(1, "a x b y c"), (2, "c b a"), (3, "a b c")]
+    i3 = engine.build_index(
+        spark.createDataFrame(rows3, "doc_id long, text string"),
+        AnalyzerConfig.simple(), positional=True, cache=False)
+    got3 = {r.doc_id: r.phrase_tf for r in
+            PH.sloppy_occurrences(i3, ["a", "b", "c"], 2).collect()}
+    assert got3 == {1: 1, 3: 1}
+    with pytest.raises(ValueError, match="slop"):
+        PH.sloppy_occurrences(i3, ["a", "b"], -1)
+    with pytest.raises(ValueError, match="empty"):
+        PH.sloppy_occurrences(i3, [], 1)
+
+
+def test_executor_sloppy_phrase_routing(built_index):
+    """'"market price"~3' scores through search_phrase(slop=3) — more
+    (or equal) matching docs than the exact phrase, the exact docs stay
+    matched, and the unsloped syntax is byte-identical to before."""
+    from search_engine_spark.operators import executor
+
+    exact = {r.doc_id: round(r.score, 9) for r in
+             executor.execute(built_index, '"market price"', k=None).collect()}
+    sloppy = {r.doc_id: round(r.score, 9) for r in
+              executor.execute(built_index, '"market price"~3',
+                               k=None).collect()}
+    assert set(exact) <= set(sloppy) and len(sloppy) > len(exact)
+    manual = {r.doc_id: round(r.score, 9) for r in
+              PH.search_phrase(built_index, ["market", "price"], k=None,
+                               slop=3).collect()}
+    assert sloppy == manual
+    # slop syntax on a mixed query still unions with the term frame
+    mixed = executor.execute(built_index, 'growth "market price"~3', k=20)
+    assert mixed.count() > 0

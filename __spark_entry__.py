@@ -90,6 +90,23 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
 
 
+def q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor pagination (search.page_after): page 2 of the bm25_topk
+    ranking — the page-1 last row (rank 10) is echoed as the cursor and
+    the next 10 rows come from ONE filtered TakeOrderedAndProject; the
+    oracle derives the same page as rank rows 11-20, so the gate pins
+    cursor-paging == offset-paging row-for-row."""
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    scored = S._scored_frame(idx, _BM25_QUERY_TERMS, "bm25")
+    agg = scored.groupBy("doc_id").agg(
+        F.round(F.sum("weight"), 4).alias("score"))
+    page1 = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+    last = page1[-1]
+    return (S.page_after(agg, last.score, last.doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
 def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = P.build_postings(_docs(spark, sf_dir), SIMPLE, positional=False)
     a = post.filter(F.col("term") == "spark").select("doc_id")
@@ -1087,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "doc_lengths": q_doc_lengths,
         "bm25_topk": q_bm25_topk,
+        "bm25_page2": q_bm25_page2,
         "boolean_and": q_boolean_and,
         "boolean_or_not": q_boolean_or_not,
         "phrase_match": q_phrase_match,
@@ -1358,6 +1376,31 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
             SELECT doc_id, ROUND(SUM(wt), 4) AS score
             FROM w GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 100
+        """,
+        # page 2 of bm25_topk by rank rows 11-20 — the cursor-paging
+        # identity (engine filters past the echoed rank-10 row instead)
+        "bm25_page2": f"""
+            WITH tok AS ({_TOK}),
+            tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {bm25_terms}),
+            w AS (
+                SELECT tf.doc_id,
+                       LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+                FROM tf JOIN q USING (term) JOIN df USING (term)
+                JOIN dl USING (doc_id) CROSS JOIN stats s
+            ),
+            ranked AS (
+                SELECT doc_id, ROUND(SUM(wt), 4) AS score,
+                       ROW_NUMBER() OVER (
+                           ORDER BY ROUND(SUM(wt), 4) DESC, doc_id ASC) AS rn
+                FROM w GROUP BY doc_id
+            )
+            SELECT doc_id, score FROM ranked WHERE rn BETWEEN 11 AND 20
         """,
         "boolean_and": f"""
             WITH tok AS ({_TOK})

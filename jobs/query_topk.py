@@ -60,6 +60,12 @@ def main() -> None:
                     help="fuzzy term matching: expand each free-text "
                          "token to vocabulary terms within this "
                          "Levenshtein distance (0-2; relational path)")
+    ap.add_argument("--after-score", type=float, default=None,
+                    help="cursor pagination: score of the previous "
+                         "page's last row (with --after-doc)")
+    ap.add_argument("--after-doc", type=int, default=None,
+                    help="cursor pagination: doc_id of the previous "
+                         "page's last row (with --after-score)")
     ap.add_argument("--as-of-batch", type=int, default=None,
                     help="time-travel the delete state: apply only "
                          "tombstone batches with id <= this (-1 = the "
@@ -78,6 +84,11 @@ def main() -> None:
             ap.error("--fuzzy needs the relational path; drop --wand")
         if not 0 <= args.fuzzy <= 2:
             ap.error("--fuzzy must be in [0, 2]")
+    if (args.after_score is None) != (args.after_doc is None):
+        ap.error("--after-score and --after-doc must be given together")
+    if args.after_score is not None and args.wand:
+        ap.error("--after-score/--after-doc need the relational path; "
+                 "drop --wand")
     if args.wand and (args.date_start or args.date_end):
         # WAND scores over ALL blocks; silently post-filtering an
         # unrestricted top-k would return fewer-than-k / wrong-rank
@@ -142,6 +153,8 @@ def main() -> None:
             rm3_alpha=args.rm3_alpha, rm3_fb_docs=args.rm3_fb_docs,
             rm3_fb_terms=args.rm3_fb_terms,
             fuzzy_max_dist=args.fuzzy,
+            after=((args.after_score, args.after_doc)
+                   if args.after_score is not None else None),
         )
         hits = [(r.doc_id, r.score) for r in df.collect()]
 

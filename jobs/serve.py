@@ -118,7 +118,8 @@ def create_server(index, port: int = 0, spellchecker=None,
                   want_snippets: bool = False,
                   collapse_host: int = 0,
                   rm3_alpha: float | None = None,
-                  fuzzy_max_dist: int | None = None) -> dict:
+                  fuzzy_max_dist: int | None = None,
+                  after: tuple | None = None) -> dict:
         t0 = time.perf_counter()
         if not 1 <= k <= MAX_K:
             # negative k raises deep inside Spark's limit() (a 500), and
@@ -157,6 +158,15 @@ def create_server(index, port: int = 0, spellchecker=None,
                 raise ValueError(
                     f"fuzzy must be in [0, {MAX_FUZZY_DIST}], "
                     f"got {fuzzy_max_dist}")
+        if after is not None:
+            if use_wand:
+                raise ValueError(
+                    "after_score/after_doc require the relational path "
+                    "(wand=0): the WAND kernel's heap has no cursor")
+            if collapse_host:
+                raise ValueError(
+                    "after_score/after_doc do not compose with "
+                    "collapse_host — the per-host cap re-ranks the page")
         if (ds is None) != (de is None):
             # a half-open range would be silently dropped by the executor
             # (it filters only when BOTH bounds are set) — reject instead
@@ -222,7 +232,8 @@ def create_server(index, port: int = 0, spellchecker=None,
                                       date_start=ds, date_end=de,
                                       prior=prior, prior_lam=prior_lam,
                                       rm3_alpha=rm3_alpha,
-                                      fuzzy_max_dist=fuzzy_max_dist)
+                                      fuzzy_max_dist=fuzzy_max_dist,
+                                      after=after)
                 hits = [(r.doc_id, r.score) for r in df.collect()]
         snips: dict[int, str] = {}
         if want_snippets and hits:
@@ -255,6 +266,17 @@ def create_server(index, port: int = 0, spellchecker=None,
             "executed_query": executed,
             "original_query": query,
         }
+
+    def _parse_after(q) -> tuple | None:
+        """?after_score=&after_doc= → cursor tuple; both-or-neither
+        (a half cursor would silently paginate from a wrong anchor)."""
+        s, d = q.get("after_score", [None])[0], q.get("after_doc", [None])[0]
+        if (s is None) != (d is None):
+            raise ValueError(
+                "after_score and after_doc must be provided together")
+        if s is None:
+            return None
+        return (float(s), int(d))
 
     def get_article(doc_id: int) -> dict | None:
         if index.documents is None:
@@ -312,7 +334,8 @@ def create_server(index, port: int = 0, spellchecker=None,
                         rm3_alpha=(float(q["rm3"][0])
                                    if "rm3" in q else None),
                         fuzzy_max_dist=(int(q["fuzzy"][0])
-                                        if "fuzzy" in q else None)))
+                                        if "fuzzy" in q else None),
+                        after=_parse_after(q)))
                 elif parts[0] == "complete":
                     q = parse_qs(u.query)
                     prefix = q.get("prefix", [None])[0]

@@ -46,7 +46,8 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             prior: DataFrame | None = None, prior_lam: float = 0.3,
             rm3_alpha: float | None = None, rm3_fb_docs: int = 10,
             rm3_fb_terms: int = 10,
-            fuzzy_max_dist: int | None = None) -> DataFrame:
+            fuzzy_max_dist: int | None = None,
+            after: tuple[float, int] | None = None) -> DataFrame:
     """→ (doc_id, score) for ranked kinds; (doc_id, score=0.0) for
     proximity/boolean kinds (reference returns those unranked).
 
@@ -69,6 +70,12 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
     kinds (proximity, boolean fallback) ignore it (their score is a
     constant 0.0 by reference semantics, and re-ranking them by prior
     alone would invent an ordering the reference does not define)."""
+    # ``after`` = (score, doc_id) cursor of the previous page's last row
+    # (search.page_after): deep paging as one filtered top-k instead of
+    # an offset that buffers offset+k rows per partition. Defined over
+    # RANKED free-text kinds; proximity and boolean return doc-id-ordered
+    # (or emptiness-dependent) rows where a score cursor has no meaning —
+    # refused below, never silently ignored.
     index.release_caches()  # previous query's phrase/adaptive caches
     # validate + clamp k once at the surface: top-k buffers are O(k) per
     # partition, and no query returns more rows than the corpus has docs
@@ -145,6 +152,15 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             raise ValueError("prefix terms are defined over the "
                              "term-weight models (bm25/lm), not vsm")
 
+    if after is not None and not isinstance(plan, planner.FreeTextPlan):
+        raise ValueError(
+            "cursor pagination (after=) is defined over ranked free-text "
+            "queries; proximity/boolean results are not score-ordered")
+
+    def _page(scored_frame):
+        return (search_mod.page_after(scored_frame, after[0], after[1])
+                if after is not None else scored_frame)
+
     if isinstance(plan, planner.ProximityPlan):
         docs = PH.proximity_docs(index, plan.t1, plan.t2, plan.k)
         if cand is not None:
@@ -211,6 +227,7 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             fb_terms=rm3_fb_terms, alpha=rm3_alpha, candidates=cand)
         if prior is not None:
             scored = search_mod.blend_doc_prior(scored, prior, lam=prior_lam)
+        scored = _page(scored)
         return scored if k is None else topk(scored, k)
 
     if fuzzy_max_dist is not None:
@@ -223,6 +240,7 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             model=model, candidates=cand)
         if prior is not None:
             scored = search_mod.blend_doc_prior(scored, prior, lam=prior_lam)
+        scored = _page(scored)
         return scored if k is None else topk(scored, k)
 
     if plan.prefixes:
@@ -233,6 +251,7 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             candidates=cand)
         if prior is not None:
             scored = search_mod.blend_doc_prior(scored, prior, lam=prior_lam)
+        scored = _page(scored)
         return scored if k is None else topk(scored, k)
 
     # free text (with optional embedded phrases) — inner frames are
@@ -265,6 +284,7 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
         merged = merged.groupBy("doc_id").agg(F.sum("score").alias("score"))
     if prior is not None:
         merged = search_mod.blend_doc_prior(merged, prior, lam=prior_lam)
+    merged = _page(merged)
     # k=None → the FULL scored frame (df-bounded, never corpus-scale),
     # unsorted: a global sort without a limit is a scale hazard, and the
     # k=None callers (SERP diversification) re-rank downstream anyway

@@ -632,6 +632,26 @@ def search_fuzzy(index: InvertedIndex, toks: list[str], k: int | None = 100,
     return agg if k is None else topk(agg, k)
 
 
+def page_after(scored: DataFrame, after_score: float,
+               after_doc: int) -> DataFrame:
+    """Cursor pagination (search_after): rows strictly after the cursor
+    (after_score, after_doc) in the engine's total rank order
+    (score DESC, doc_id ASC). Composing with topk(k) gives page N+1 in
+    ONE TakeOrderedAndProject over the filtered frame — O(k) buffers per
+    partition at any depth, unlike an OFFSET which makes every deeper
+    page buffer offset+k rows (the classic deep-paging scale trap).
+
+    The cursor is the LAST ROW of the previous page, echoed verbatim:
+    scores are deterministic for a fixed index (same plan, same doubles
+    — and callers that round scores for display must cursor on the
+    rounded value they sorted by, as the serving layer does)."""
+    return scored.filter(
+        (F.col("score") < F.lit(float(after_score)))
+        | ((F.col("score") == F.lit(float(after_score)))
+           & (F.col("doc_id") > F.lit(int(after_doc))))
+    )
+
+
 def prefix_candidates(index: InvertedIndex, prefixes: list[str],
                       max_expansions: int = 50) -> DataFrame:
     """The distributed half of ``prefix_expand``: → (qt, term), the

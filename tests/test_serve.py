@@ -369,3 +369,58 @@ def test_mlt_endpoint(server):
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(server + f"/mlt/1?{bad}")
         assert e.value.code == 400, bad
+
+
+def test_cursor_pagination_partitions_ranking(server):
+    """Three cursor pages of 5 == the top-15 row-for-row: disjoint,
+    ordered, each page anchored on the previous page's last row."""
+    status, top15 = _get(server + "/results?query=market+price+growth&k=15")
+    assert status == 200
+    flat = [(r["doc_id"], r["score"]) for r in top15["results"]]
+    paged = []
+    url = server + "/results?query=market+price+growth&k=5"
+    nxt = url
+    for _ in range(3):
+        status, page = _get(nxt)
+        assert status == 200 and page["number_of_results"] == 5
+        rows = [(r["doc_id"], r["score"]) for r in page["results"]]
+        paged.extend(rows)
+        last = rows[-1]
+        nxt = f"{url}&after_score={last[1]}&after_doc={last[0]}"
+    assert paged == flat
+
+
+def test_cursor_pagination_error_surfaces(server):
+    import urllib.error
+
+    for bad in (
+        "/results?query=market&k=5&after_score=1.0",           # half cursor
+        "/results?query=market&k=5&after_doc=3",               # half cursor
+        "/results?query=market&k=5&wand=1"
+        "&after_score=1.0&after_doc=3",                        # wand path
+        "/results?query=market&k=5&collapse_host=1"
+        "&after_score=1.0&after_doc=3",                        # re-ranked page
+        "/results?query=%235(market,price)&k=5"
+        "&after_score=1.0&after_doc=3",                        # unranked kind
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server + bad)
+        assert e.value.code == 400
+
+
+def test_executor_after_refusals_and_identity(built_index):
+    from search_engine_spark.operators import executor, search as S2
+
+    full = [(r.doc_id, round(r.score, 9)) for r in
+            executor.execute(built_index, "market price", k=10).collect()]
+    cursor = full[4]
+    page2 = [(r.doc_id, round(r.score, 9)) for r in
+             executor.execute(built_index, "market price", k=5,
+                              after=(cursor[1], cursor[0])).collect()]
+    assert page2 == full[5:]
+    with pytest.raises(ValueError, match="pagination"):
+        executor.execute(built_index, "market AND price", k=5,
+                         after=(1.0, 3))
+    with pytest.raises(ValueError, match="pagination"):
+        executor.execute(built_index, "#5(market,price)", k=5,
+                         after=(1.0, 3))

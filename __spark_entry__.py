@@ -936,6 +936,23 @@ def q_curated_corpus_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.select("doc_id")
 
 
+def q_curated_kills(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc curation lineage (curation.curate_with_lineage): every
+    doc labeled with the FIRST stage that dropped it — language →
+    quality → quality_clf → exact_dedup — or 'survived'; the oracle
+    re-derives the same labels as one CASE chain, with the exact-dedup
+    keeper computed among the docs alive at that stage."""
+    from search_engine_spark.operators import curation
+
+    _, _, lineage = curation.curate_with_lineage(
+        _docs(spark, sf_dir), languages=("en",), min_quality=0.5,
+        min_tokens=20, max_tokens=1000,
+        classifier_weights=QUALITY_CLF_W, min_clf_prob=0.19,
+        minhash_threshold=None, collect_funnel=False,
+    )
+    return lineage
+
+
 def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy retrieval (search.search_fuzzy): each misspelled query
     token expands to vocabulary terms within Levenshtein 1 sharing its
@@ -1157,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_tf": q_hashed_tf,
         "decayed_counts": q_decayed_counts,
         "curated_corpus_clf": q_curated_corpus_clf,
+        "curated_kills": q_curated_kills,
         "fuzzy_topk": q_fuzzy_topk,
         "prefix_topk": q_prefix_topk,
         "collocations": q_collocations,
@@ -1741,6 +1759,45 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
                        -((SELECT epoch_us(MAX(ts)) FROM events)
                          - epoch_us(ts)) / 86400000000.0)), 4) AS decayed_n
             FROM events GROUP BY user_id, event_type
+        """,
+        # mirrors curate_with_lineage over the deterministic pipeline:
+        # first-kill CASE in stage order; the exact-dedup keeper is the
+        # min doc_id per md5(text) among docs ALIVE at that stage
+        "curated_kills": f"""
+            WITH lang AS ({_language_id_sql()}),
+            q AS ({_quality_score_sql()}),
+            clf AS (
+                SELECT doc_id,
+                       ROUND(1.0 / (1.0 + EXP(-(
+                           -6.0 * 1.0
+                           + 0.8 * LN(1 + n_tokens)
+                           + 2.0 * distinct_ratio
+                           + 1.5 * stopword_ratio
+                           + 0.5 * (mean_token_len / 10.0)))), 6) AS prob
+                FROM q
+            ),
+            labeled AS (
+                SELECT d.doc_id, d.text,
+                       CASE WHEN lang.pred_lang NOT IN ('en')
+                                THEN 'language'
+                            WHEN NOT (q.quality >= 0.5
+                                      AND q.n_tokens BETWEEN 20 AND 1000)
+                                THEN 'quality'
+                            WHEN clf.prob < 0.19 THEN 'quality_clf'
+                            ELSE NULL END AS k1
+                FROM documents d
+                JOIN lang USING (doc_id) JOIN q USING (doc_id)
+                JOIN clf USING (doc_id)
+            ),
+            reps AS (
+                SELECT MIN(doc_id) AS keeper FROM labeled
+                WHERE k1 IS NULL GROUP BY md5(text)
+            )
+            SELECT doc_id,
+                   COALESCE(k1, CASE WHEN doc_id IN
+                       (SELECT keeper FROM reps) THEN 'survived'
+                       ELSE 'exact_dedup' END) AS killed_by
+            FROM labeled
         """,
         # curated_corpus plus the learned-classifier stage: same CTEs,
         # one more row-local condition (σ(w·x) ≥ 0.19 at pinned weights,

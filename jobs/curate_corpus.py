@@ -99,6 +99,11 @@ def main() -> None:
     ap.add_argument("--mixture-by", default="source",
                     help="column holding the mixture domain (default "
                          "'source')")
+    ap.add_argument("--lineage-out", default=None,
+                    help="also write a (doc_id, killed_by) audit table "
+                         "to this path: the FIRST stage that dropped "
+                         "each doc, or 'survived' (roughly doubles "
+                         "per-stage predicate work — audit runs only)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -125,8 +130,10 @@ def main() -> None:
 
         docs = textquality.pii_scrub(docs) \
             .drop("n_email", "n_ip", "n_phone")
+    kills_acc = [] if args.lineage_out else None
     curated, funnel = curation.curate(
-        docs, languages=langs, min_quality=args.min_quality,
+        docs, _kills_acc=kills_acc,
+        languages=langs, min_quality=args.min_quality,
         min_tokens=args.min_tokens, max_tokens=args.max_tokens,
         minhash_threshold=args.minhash_threshold,
         max_dup_line_ratio=args.max_dup_line_ratio,
@@ -145,15 +152,28 @@ def main() -> None:
         from search_engine_spark.operators import sampling
 
         target = _parse_weights(args.mixture)
+        pre_mixture = curated
         curated = sampling.rebalance_mixture(curated, target,
                                              by=args.mixture_by)
         funnel.append({"stage": "mixture", "rows": curated.count()})
+        if kills_acc is not None:
+            # the audit covers the CLI's post-curate stage too
+            kills_acc.append(
+                pre_mixture.select("doc_id")
+                .join(curated.select("doc_id"), "doc_id", "left_anti")
+                .withColumn("killed_by", F.lit("mixture")))
     if args.splits:
         from search_engine_spark.operators import sampling
 
         curated = sampling.assign_splits(curated,
                                          weights=_parse_weights(args.splits))
     curated.write.mode("overwrite").parquet(args.output)
+    if kills_acc is not None:
+        lineage = curated.select("doc_id").withColumn(
+            "killed_by", F.lit("survived"))
+        for frame in kills_acc:
+            lineage = lineage.unionByName(frame)
+        lineage.write.mode("overwrite").parquet(args.lineage_out)
     write_funnel(spark, args.output, funnel)
     for row in funnel:
         print(json.dumps(row))

@@ -63,6 +63,7 @@ def curate(
     decontam_n: int = 13,
     text_col: str = "text",
     collect_funnel: bool = True,
+    _kills_acc: list | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """→ (curated docs frame, per-stage funnel rows).
 
@@ -122,8 +123,21 @@ def curate(
     cur = docs
     prev_persisted = None
 
+    prev_for_kills = docs
+
     def checkpoint(name: str) -> None:
-        nonlocal cur, prev_persisted
+        nonlocal cur, prev_persisted, prev_for_kills
+        if _kills_acc is not None and name != "input":
+            # per-doc lineage (curate_with_lineage): whatever this stage
+            # dropped is the anti-join of the frame it received against
+            # the frame it produced — generic over every stage, including
+            # operators that drop internally (decontaminate). Text-
+            # rewriting stages (dedup_lines) drop nothing → empty frame.
+            _kills_acc.append(
+                prev_for_kills.select("doc_id")
+                .join(cur.select("doc_id"), "doc_id", "left_anti")
+                .withColumn("killed_by", F.lit(name)))
+        prev_for_kills = cur
         if not collect_funnel:
             return
         if cur is docs:
@@ -253,3 +267,26 @@ def curate(
     if prev_persisted is not None:
         _PERSISTED.add(prev_persisted)
     return cur, funnel
+
+
+def curate_with_lineage(docs: DataFrame, **kwargs,
+                        ) -> tuple[DataFrame, list[dict], DataFrame]:
+    """curate() plus PER-DOC lineage: → (curated frame, funnel rows,
+    (doc_id, killed_by) frame) where killed_by is the FIRST stage that
+    dropped the doc, or 'survived'. The auditability layer a 100 TB
+    curation run needs — "why is this document not in the training
+    set?" answered without re-running the pipeline.
+
+    Each stage's kills are its input-vs-output doc_id anti-join, so
+    lineage mode re-evaluates each stage's predicate roughly twice
+    (once for the pipeline, once for the audit) — run it on samples or
+    when writing the audit table, not in the hot path. Every doc
+    appears exactly ONCE (stages are sequential; later stages never see
+    earlier kills)."""
+    acc: list[DataFrame] = []
+    cur, funnel = curate(docs, _kills_acc=acc, **kwargs)
+    lineage = cur.select("doc_id").withColumn(
+        "killed_by", F.lit("survived"))
+    for f in acc:
+        lineage = lineage.unionByName(f)
+    return cur, funnel, lineage

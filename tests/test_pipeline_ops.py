@@ -774,6 +774,53 @@ def test_curation_classifier_stage(spark):
     assert "quality_clf" not in [f["stage"] for f in funnel_off]
 
 
+def test_curation_lineage_partitions_and_agrees_with_funnel(spark):
+    """curate_with_lineage: every input doc appears EXACTLY once in the
+    lineage, per-stage kill counts equal consecutive funnel deltas, the
+    'survived' set equals the curated frame, and operator-internal
+    droppers (minhash, decontaminate) are attributed too."""
+    from search_engine_spark.operators import curation
+
+    good = ("the market price growth report is strong and the outlook "
+            "for the economy is good with many new trade deals in play")
+    rows = [
+        (1, good),
+        (2, good),                              # exact dup
+        (3, good.replace("strong", "solid")),   # near dup @0.5
+        (4, "the short text is here"),          # quality (min_tokens)
+        (5, "der markt und die preise sind nicht gut und das ist ein "
+            "problem für die wirtschaft und die zukunft von allen "
+            "menschen in dem land und der welt heute"),  # language
+        (6, "an entirely different document about cooking pasta with "
+            "tomatoes garlic and olive oil for a family dinner tonight "
+            "which should definitely survive the whole pipeline"),
+        (7, "leaky benchmark text that is long enough to pass the "
+            "quality gate while sharing a verbatim thirteen gram with "
+            "the eval set used for decontamination checks today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_docs = spark.createDataFrame(
+        [(1, "sharing a verbatim thirteen gram with the eval set used "
+             "for decontamination checks today")],
+        "doc_id long, text string")
+    cur, funnel, lineage = curation.curate_with_lineage(
+        docs, languages=("en",), min_quality=0.2, min_tokens=10,
+        max_tokens=1000, minhash_threshold=0.5, eval_docs=eval_docs,
+        decontam_n=13)
+    lab = {r.doc_id: r.killed_by for r in lineage.collect()}
+    assert lab == {
+        1: "survived", 2: "exact_dedup", 3: "near_dedup", 4: "quality",
+        5: "language", 6: "survived", 7: "decontaminate",
+    }
+    assert sorted(r.doc_id for r in cur.collect()) \
+        == sorted(d for d, s in lab.items() if s == "survived")
+    # per-stage kill counts == funnel deltas
+    from collections import Counter
+    kills = Counter(v for v in lab.values() if v != "survived")
+    for prev, nxt in zip(funnel, funnel[1:]):
+        assert kills.get(nxt["stage"], 0) == prev["rows"] - nxt["rows"]
+
+
 def test_curation_repeat_calls_bound_persisted_frames(spark):
     """A parameter sweep calling curate() in a loop must hold at most
     ONE corpus-sized persisted frame: each call releases the previous

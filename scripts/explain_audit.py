@@ -805,6 +805,45 @@ def main() -> int:
         ],
     )
 
+    # 30. sloppy phrase: the ordered-window chain is pure JVM array
+    # expressions over the SAME per-term positional joins as the exact
+    # phrase — no Python, no cartesian, term predicates pushed
+    from search_engine_spark.operators import phrase as PHR
+
+    p30 = plan_of(PHR.sloppy_occurrences(idx, ["market", "price"], 3))
+    check(
+        "Sloppy-phrase chain matcher", p30,
+        [
+            ("term predicates pushed to the segment scan",
+             r"PushedFilters: \[.*(?:[Ii]n|EqualTo)\(term", True),
+            ("no Python beyond the payload decode pUDF "
+             "(chain is JVM array math — exactly 2 Arrow passes, "
+             "one per term lookup)",
+             r"(?:\(\d+\) (?:Arrow|Batch)EvalPython[\s\S]*){3}", False),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
+    # 31. cursor pagination: page N+1 is ONE filtered TakeOrderedAndProject
+    # — the cursor predicate sits under a single top-k, no Exchange-backed
+    # global sort, no offset buffering
+    from search_engine_spark.operators import search as SRCH
+
+    paged = SRCH.topk(
+        SRCH.page_after(S.search_freetext(idx, "market price", k=None),
+                        1.5, 10), 10)
+    p31 = plan_of(paged)
+    check(
+        "Cursor pagination (page 2 top-k)", p31,
+        [
+            ("exactly one TakeOrderedAndProject",
+             r"(?:TakeOrderedAndProject[\s\S]*){3}", False),
+            ("a top-k exists (not a global Sort+Limit)",
+             r"TakeOrderedAndProject", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -936,6 +936,26 @@ def q_curated_corpus_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.select("doc_id")
 
 
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl drift (crawldiff.crawl_diff): the 'second crawl' is derived
+    deterministically from the same documents table — doc_id % 7 == 0
+    dropped (removed), % 11 == 0 text-rewritten (changed), and a +100000
+    shadow of % 13 == 0 appended (added); both engines derive it
+    identically, so the per-key status frame value-hashes."""
+    from search_engine_spark.operators import crawldiff
+
+    old = _docs(spark, sf_dir).select("doc_id", "text")
+    kept = old.filter(F.col("doc_id") % 7 != 0)
+    new = kept.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.col("text"), F.lit(" updated"))).otherwise(
+            F.col("text")).alias("text"))
+    added = old.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return crawldiff.crawl_diff(old, new.unionByName(added))
+
+
 def q_curated_kills(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc curation lineage (curation.curate_with_lineage): every
     doc labeled with the FIRST stage that dropped it — language →
@@ -1175,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_counts": q_decayed_counts,
         "curated_corpus_clf": q_curated_corpus_clf,
         "curated_kills": q_curated_kills,
+        "crawl_diff": q_crawl_diff,
         "fuzzy_topk": q_fuzzy_topk,
         "prefix_topk": q_prefix_topk,
         "collocations": q_collocations,
@@ -1759,6 +1780,28 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
                        -((SELECT epoch_us(MAX(ts)) FROM events)
                          - epoch_us(ts)) / 86400000000.0)), 4) AS decayed_n
             FROM events GROUP BY user_id, event_type
+        """,
+        # mirrors q_crawl_diff: the same derived second crawl, full
+        # outer join on md5(COALESCE(text,'')) digests
+        "crawl_diff": """
+            WITH old AS (SELECT doc_id,
+                                md5(COALESCE(text, '')) AS h
+                         FROM documents),
+            kept AS (SELECT doc_id,
+                            CASE WHEN doc_id % 11 = 0
+                                 THEN md5(COALESCE(text, '') || ' updated')
+                                 ELSE md5(COALESCE(text, '')) END AS h
+                     FROM documents WHERE doc_id % 7 != 0),
+            added AS (SELECT doc_id + 100000 AS doc_id,
+                             md5(COALESCE(text, '')) AS h
+                      FROM documents WHERE doc_id % 13 = 0),
+            new AS (SELECT * FROM kept UNION ALL SELECT * FROM added)
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.h = n.h THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
         """,
         # mirrors curate_with_lineage over the deterministic pipeline:
         # first-kill CASE in stage order; the exact-dedup keeper is the

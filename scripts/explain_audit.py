@@ -844,6 +844,22 @@ def main() -> int:
         ],
     )
 
+    # 32. crawl diff: the full outer join shuffles (key, md5 digest)
+    # only — the text column is projected away BEFORE the exchange
+    from search_engine_spark.operators import crawldiff as CD
+
+    p32 = plan_of(CD.crawl_diff(docs.select("doc_id", "text"),
+                                docs.select("doc_id", "text")))
+    check(
+        "Crawl diff digest join", p32,
+        [
+            ("no text column crosses an exchange (digests only)",
+             r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*text#", False),
+            ("no CartesianProduct", r"CartesianProduct", False),
+            ("no Python UDF", r"EvalPython", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -1320,3 +1320,26 @@ def test_strip_dup_spans_overlapping_marks_merge(spark):
            strip_dup_spans(docs_df, w=5, min_count=2).collect()}
     assert out[1].text == "keepA keepB" and out[1].n_tokens_dropped == 7
     assert out[2].text == "pre post" and out[2].n_tokens_dropped == 7
+
+
+def test_crawl_diff_statuses_and_summary(spark):
+    from search_engine_spark.operators import crawldiff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone"), (5, None)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh"), (5, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.status
+           for r in crawldiff.crawl_diff(old, new).collect()}
+    # NULL text digests as '' → doc 5 is unchanged, not NULL-poisoned
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added", 5: "unchanged"}
+    summ = {r.status: r.n for r in
+            crawldiff.diff_summary(crawldiff.crawl_diff(old, new)).collect()}
+    assert summ == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
+    with pytest.raises(ValueError, match="key column"):
+        crawldiff.crawl_diff(old.drop("doc_id"), new)
+    with pytest.raises(ValueError, match="text column"):
+        crawldiff.crawl_diff(old, new, text_col="body")

@@ -90,6 +90,15 @@ def main() -> None:
             idx, f"{head[i % 4]} {mid[i % 4]}", model="lm-pyp").count(),
         "vsm": lambda i: executor.execute(
             idx, f"{head[i % 4]} {mid[i % 4]}", model="vsm").count(),
+        # round-4 query kinds: prefix expansion + sloppy chain matcher
+        "prefix": lambda i: executor.execute(
+            idx, f"{head[i % 4]} {mid[i % 4][:3]}*").count(),
+        "sloppy_phrase": lambda i: executor.execute(
+            idx, f'"{head[i % 4]} {mid[i % 4]}"~3').count(),
+        # cursor page 2 of a head-term query (filtered top-k depth)
+        "page2": lambda i: executor.execute(
+            idx, f"{head[i % 4]} {head[(i + 1) % 4]}", k=50,
+            after=(1.0, 100)).count(),
         # WAND over the durable store: i%4==0 repeats a term set (LRU
         # hit, zero Spark jobs), the rest rotate (cold pruned scans)
         "wand": lambda i: len(wand.search_wand(

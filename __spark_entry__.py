@@ -1134,6 +1134,64 @@ def q_top_bigrams_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "gram string, cnt long")
 
 
+#: the 3-query batch fixture (query 3 repeats 'query' → query tf 2) —
+#: shared by the batch-retrieval and IR-eval entries + their oracles
+_BATCH_QUERY_ROWS = [
+    (1, "spark"), (1, "query"), (1, "join"),
+    (2, "hash"), (2, "scan"), (2, "filter"),
+    (3, "query"), (3, "query"), (3, "spark"),
+]
+
+
+def _batch_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.operators import batchsearch as BS
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    qf = spark.createDataFrame(_BATCH_QUERY_ROWS, "query_id long, term string")
+    return BS.batch_topk(idx, qf, k=10, score_round=4)
+
+
+def q_batch_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query retrieval (batchsearch.batch_topk): three
+    queries scored in ONE job — one postings pass, per-query window
+    top-10 ranked on the 4dp display-rounded score (the argmax-gate
+    rule: the DECISION column ``rank`` is part of the contract)."""
+    return _batch_run(spark, sf_dir)
+
+
+def q_bm25_min_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-should-match (search_freetext_tokens(min_should_match=2)):
+    BM25 over the 3-term fixture restricted to docs matching ≥2 distinct
+    terms — the mm count folds into the score aggregate (no extra join),
+    oracle = the same BM25 CTE with HAVING COUNT(DISTINCT term) >= 2."""
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    scored = S.search_freetext_tokens(idx, _BM25_QUERY_TERMS, k=None,
+                                      min_should_match=2)
+    return (scored.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
+
+
+def q_ir_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trec_eval metrics (ireval.evaluate_run) over the batch run:
+    deterministic graded qrels (judged = even doc_ids, rel = doc_id%3)
+    → per-query P@10 / recall@10 / RR / AP / nDCG@10, 6dp."""
+    from search_engine_spark.operators import ireval as IR
+
+    run = _batch_run(spark, sf_dir)
+    judged = (_docs(spark, sf_dir).select("doc_id")
+              .filter(F.col("doc_id") % 2 == 0))
+    qids = spark.createDataFrame([(1,), (2,), (3,)], "query_id long")
+    qrels = qids.crossJoin(judged).withColumn(
+        "rel", (F.col("doc_id") % 3).cast("int"))
+    per_q = IR.evaluate_run(run, qrels, k=10)
+    return per_q.select(
+        "query_id",
+        *[F.round(c, 6).alias(c)
+          for c in ("p_at_k", "recall_at_k", "rr", "ap", "ndcg")])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_doc_tf": q_term_doc_tf,
@@ -1213,6 +1271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm3_dates_identity": q_rm3_dates_identity,
         "wand_prior_identity": q_wand_prior_identity,
         "vacuum_identity": q_vacuum_identity,
+        "batch_bm25_topk": q_batch_bm25_topk,
+        "ir_eval_metrics": q_ir_eval_metrics,
+        "bm25_min_match": q_bm25_min_match,
     }
 
 
@@ -1298,6 +1359,119 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, ROUND(SUM(wt), 4) AS score
         FROM w GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 100
+    """
+    # minimum-should-match: same BM25 weights, docs matching ≥2 distinct
+    # query terms only (HAVING over the same group — the engine folds
+    # the count into its score aggregate)
+    sql["bm25_min_match"] = f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        q(term) AS (VALUES {bm25_terms}),
+        w AS (
+            SELECT tf.term, tf.doc_id,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        )
+        SELECT doc_id, ROUND(SUM(wt), 4) AS score
+        FROM w GROUP BY doc_id
+        HAVING COUNT(DISTINCT term) >= 2
+        ORDER BY score DESC, doc_id ASC LIMIT 100
+    """
+    # batch multi-query retrieval: the 3-query fixture scored per query
+    # (query tf from duplicate rows), ranked on the 4dp-rounded score by
+    # ROW_NUMBER per query — exactly batchsearch.batch_topk(score_round=4)
+    batch_q = ", ".join(f"({q}, '{t}')" for q, t in _BATCH_QUERY_ROWS)
+    batch_run = f"""
+        tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        qraw(query_id, term) AS (VALUES {batch_q}),
+        q AS (SELECT query_id, term, COUNT(*) AS qtf FROM qraw GROUP BY 1, 2),
+        w AS (
+            SELECT q.query_id, tf.doc_id,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                   * q.qtf AS wt
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        ),
+        sc AS (SELECT query_id, doc_id, ROUND(SUM(wt), 4) AS score
+               FROM w GROUP BY 1, 2),
+        run AS (SELECT query_id, doc_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC) AS rank
+                FROM sc)"""
+    sql["batch_bm25_topk"] = (
+        f"WITH {batch_run} "
+        "SELECT query_id, doc_id, score, rank FROM run WHERE rank <= 10")
+    # trec_eval metrics over the batch run with deterministic graded
+    # qrels (judged = even doc_ids, rel = doc_id % 3) — mirrors
+    # ireval.evaluate_run term-for-term (gain/log2 parenthesization,
+    # /nrel and /idcg guards, 6dp rounding)
+    sql["ir_eval_metrics"] = f"""
+        WITH {batch_run},
+        qrels AS (
+            SELECT q2.query_id, d.doc_id, CAST(d.doc_id % 3 AS INT) AS rel
+            FROM (SELECT DISTINCT doc_id FROM documents
+                  WHERE doc_id % 2 = 0) d
+            CROSS JOIN (SELECT DISTINCT query_id FROM qraw) q2
+        ),
+        hits AS (
+            SELECT r.query_id, r.rank,
+                   COALESCE(CAST(qr.rel AS DOUBLE), 0.0) AS rel
+            FROM run r LEFT JOIN qrels qr USING (query_id, doc_id)
+            WHERE r.rank <= 10
+        ),
+        h2 AS (
+            SELECT query_id, rank, rel,
+                   CASE WHEN rel > 0 THEN 1.0 ELSE 0.0 END AS relb,
+                   SUM(CASE WHEN rel > 0 THEN 1.0 ELSE 0.0 END)
+                       OVER (PARTITION BY query_id ORDER BY rank)
+                       AS cum_rel
+            FROM hits
+        ),
+        perq AS (
+            SELECT query_id,
+                   SUM(relb) AS nrel_hit,
+                   SUM(CASE WHEN relb > 0 THEN cum_rel / rank
+                            ELSE 0.0 END) AS sum_p,
+                   MIN(CASE WHEN relb > 0 THEN rank END) AS first_rel,
+                   SUM((POWER(2.0, rel) - 1.0) / LOG2(rank + 1)) AS dcg
+            FROM h2 GROUP BY query_id
+        ),
+        ideal AS (
+            SELECT query_id,
+                   SUM(CASE WHEN rel > 0 THEN 1.0 ELSE 0.0 END) AS nrel,
+                   SUM(CASE WHEN irank <= 10 THEN
+                           (POWER(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                           / LOG2(irank + 1)
+                       ELSE 0.0 END) AS idcg
+            FROM (SELECT query_id, rel, doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY rel DESC, doc_id ASC) AS irank
+                  FROM qrels)
+            GROUP BY query_id
+        )
+        SELECT p.query_id,
+               ROUND(p.nrel_hit / 10.0, 6) AS p_at_k,
+               ROUND(CASE WHEN i.nrel > 0 THEN p.nrel_hit / i.nrel
+                          ELSE 0.0 END, 6) AS recall_at_k,
+               ROUND(CASE WHEN p.first_rel IS NOT NULL
+                          THEN 1.0 / p.first_rel ELSE 0.0 END, 6) AS rr,
+               ROUND(CASE WHEN i.nrel > 0 THEN p.sum_p / i.nrel
+                          ELSE 0.0 END, 6) AS ap,
+               ROUND(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg
+                          ELSE 0.0 END, 6) AS ndcg
+        FROM perq p LEFT JOIN ideal i USING (query_id)
     """
     return sql
 

@@ -173,30 +173,54 @@ def main() -> None:
     shutil.rmtree(seg_dir, ignore_errors=True)
 
     # -- phase 3: warm query latencies --------------------------------------
+    # Query terms are drawn from the TESTDATA corpus's own vocabulary
+    # (join/hash/scan/...; ~9k postings per head term at sf0.1). Rounds
+    # 1-3 queried web-generator vocabulary ("market price growth") that
+    # the driver tables do not contain, so every phase-3 line measured
+    # the EMPTY-RESULT path — pruned scans + job overhead, zero scoring
+    # rows. Round-4 numbers are therefore slower AND honest; the web-
+    # vocabulary lines live on in phase 2b (q_wand*) where the index IS
+    # the web corpus. Documented in BENCH/BASELINE.md.
+    from search_engine_spark.operators import batchsearch as BS
+
+    _bt = ["join", "hash", "scan", "batch", "filter", "merge",
+           "stream", "column"]
+    batch_qf = spark.createDataFrame(
+        [(qid, _bt[(qid + j) % len(_bt)])
+         for qid in range(32) for j in range(3)],
+        "query_id long, term string")
     queries = {
-        "q_free_single": lambda: executor.execute(idx, "market").count(),
-        "q_free_multi": lambda: executor.execute(idx, "market price growth").count(),
-        "q_phrase": lambda: executor.execute(idx, '"germany economy"').count(),
-        "q_boolean": lambda: executor.execute(idx, "market AND (germany OR china)").count(),
-        "q_proximity": lambda: executor.execute(idx, "#5(market, price)").count(),
-        "q_lm": lambda: executor.execute(idx, "market price", model="lm-pyp").count(),
+        "q_free_single": lambda: executor.execute(idx, "join").count(),
+        "q_free_multi": lambda: executor.execute(idx, "join hash scan").count(),
+        "q_phrase": lambda: executor.execute(idx, '"merge hash"').count(),
+        "q_boolean": lambda: executor.execute(idx, "join AND (hash OR scan)").count(),
+        "q_proximity": lambda: executor.execute(idx, "#5(join, hash)").count(),
+        "q_lm": lambda: executor.execute(idx, "join hash", model="lm-pyp").count(),
         # q_vsm pays the one-time doc-norms materialization (a full-postings
         # aggregate, cached on the handle); q_vsm_warm is the steady-state
         # serving latency — a single Spark job since the in-plan query
         # weights rewrite
-        "q_vsm": lambda: executor.execute(idx, "market price", model="vsm").count(),
-        "q_vsm_warm": lambda: executor.execute(idx, "market price", model="vsm").count(),
-        # typo'd tokens (deletion typos: classic Levenshtein counts a
-        # transposition as 2): the expansion pass + boosted scoring
-        "q_fuzzy": lambda: S.search_fuzzy(idx, ["marke", "growt"],
+        "q_vsm": lambda: executor.execute(idx, "join hash", model="vsm").count(),
+        "q_vsm_warm": lambda: executor.execute(idx, "join hash", model="vsm").count(),
+        # typo'd tokens (deletion/substitution typos at Levenshtein 1):
+        # the expansion pass + boosted scoring
+        "q_fuzzy": lambda: S.search_fuzzy(idx, ["joi", "hask"],
                                           k=100).count(),
         "q_mlt": lambda: S.more_like_this(idx, 3, k=100).count(),
         # prefix query: 2 vocabulary expansions + literal term, one OR
         "q_prefix": lambda: S.search_prefix(
-            idx, ["market"], ["pri", "gro"], k=100).count(),
+            idx, ["join"], ["ha", "sc"], k=100).count(),
         # sloppy phrase: ordered-window chain matcher at slop 3
         "q_sloppy_phrase": lambda: executor.execute(
-            idx, '"market price"~3', k=100).count(),
+            idx, '"merge hash"~3', k=100).count(),
+        # minimum-should-match: ≥2 of 3 distinct terms, folded into the
+        # score aggregate
+        "q_min_match": lambda: executor.execute(
+            idx, "join hash scan", min_should_match=2).count(),
+        # batch retrieval: 32 three-term queries ranked in ONE job — the
+        # per-query cost amortizes to a single postings pass + per-query
+        # windows (compare against 32× q_free_multi)
+        "q_batch32": lambda: BS.batch_topk(idx, batch_qf, k=10).count(),
     }
     for name, fn in queries.items():
         if name == "q_vsm":

@@ -60,6 +60,11 @@ def main() -> None:
                     help="fuzzy term matching: expand each free-text "
                          "token to vocabulary terms within this "
                          "Levenshtein distance (0-2; relational path)")
+    ap.add_argument("--min-should-match", type=int, default=None,
+                    metavar="M",
+                    help="score only docs matching at least M distinct "
+                         "query terms (Lucene BooleanQuery mm; plain "
+                         "free-text, relational path)")
     ap.add_argument("--after-score", type=float, default=None,
                     help="cursor pagination: score of the previous "
                          "page's last row (with --after-doc)")
@@ -84,6 +89,12 @@ def main() -> None:
             ap.error("--fuzzy needs the relational path; drop --wand")
         if not 0 <= args.fuzzy <= 2:
             ap.error("--fuzzy must be in [0, 2]")
+    if args.min_should_match is not None:
+        if args.wand:
+            ap.error("--min-should-match needs the relational path; "
+                     "drop --wand")
+        if args.min_should_match < 1:
+            ap.error("--min-should-match must be >= 1")
     if (args.after_score is None) != (args.after_doc is None):
         ap.error("--after-score and --after-doc must be given together")
     if args.after_score is not None and args.wand:
@@ -155,6 +166,7 @@ def main() -> None:
             fuzzy_max_dist=args.fuzzy,
             after=((args.after_score, args.after_doc)
                    if args.after_score is not None else None),
+            min_should_match=args.min_should_match,
         )
         hits = [(r.doc_id, r.score) for r in df.collect()]
 

@@ -8,7 +8,7 @@ Endpoint parity (reference search/retrieval/urls.py:8-11, views.py):
                 [&model=bm25|bm25-reference|vsm|lm-dirichlet|lm-pyp]
                 [&k=100][&wand=1][&snippets=1]
                 [&collapse_host=N][&rm3=0.6]
-                [&fuzzy=1]                       → first-execution path
+                [&fuzzy=1][&mm=2]                → first-execution path
                                                    (spellcheck ON,
                                                    views.py:27-97;
                                                    collapse_host caps
@@ -119,7 +119,8 @@ def create_server(index, port: int = 0, spellchecker=None,
                   collapse_host: int = 0,
                   rm3_alpha: float | None = None,
                   fuzzy_max_dist: int | None = None,
-                  after: tuple | None = None) -> dict:
+                  after: tuple | None = None,
+                  min_should_match: int | None = None) -> dict:
         t0 = time.perf_counter()
         if not 1 <= k <= MAX_K:
             # negative k raises deep inside Spark's limit() (a 500), and
@@ -158,6 +159,13 @@ def create_server(index, port: int = 0, spellchecker=None,
                 raise ValueError(
                     f"fuzzy must be in [0, {MAX_FUZZY_DIST}], "
                     f"got {fuzzy_max_dist}")
+        if min_should_match is not None:
+            if use_wand:
+                raise ValueError(
+                    "mm requires the relational path (wand=0)")
+            if min_should_match < 1:
+                raise ValueError(
+                    f"mm must be >= 1, got {min_should_match}")
         if after is not None:
             if use_wand:
                 raise ValueError(
@@ -223,7 +231,8 @@ def create_server(index, port: int = 0, spellchecker=None,
                                       date_start=ds, date_end=de,
                                       prior=prior, prior_lam=prior_lam,
                                       rm3_alpha=rm3_alpha,
-                                      fuzzy_max_dist=fuzzy_max_dist)
+                                      fuzzy_max_dist=fuzzy_max_dist,
+                                      min_should_match=min_should_match)
                 div = serp.diversify_by_host(
                     df, doc_hosts, per_host=collapse_host, k=k)
                 hits = [(r.doc_id, r.score) for r in div.collect()]
@@ -233,7 +242,8 @@ def create_server(index, port: int = 0, spellchecker=None,
                                       prior=prior, prior_lam=prior_lam,
                                       rm3_alpha=rm3_alpha,
                                       fuzzy_max_dist=fuzzy_max_dist,
-                                      after=after)
+                                      after=after,
+                                      min_should_match=min_should_match)
                 hits = [(r.doc_id, r.score) for r in df.collect()]
         snips: dict[int, str] = {}
         if want_snippets and hits:
@@ -335,7 +345,9 @@ def create_server(index, port: int = 0, spellchecker=None,
                                    if "rm3" in q else None),
                         fuzzy_max_dist=(int(q["fuzzy"][0])
                                         if "fuzzy" in q else None),
-                        after=_parse_after(q)))
+                        after=_parse_after(q),
+                        min_should_match=(int(q["mm"][0])
+                                          if "mm" in q else None)))
                 elif parts[0] == "complete":
                     q = parse_qs(u.query)
                     prefix = q.get("prefix", [None])[0]

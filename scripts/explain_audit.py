@@ -860,6 +860,57 @@ def main() -> int:
         ],
     )
 
+    # 33. batch multi-query retrieval: per-query rank window partitions
+    # by query_id (millions of small independent partitions) — NEVER a
+    # global sort (no rangepartitioning, no TakeOrderedAndProject over
+    # the whole batch); under the term cap the batch vocabulary reaches
+    # the postings scan as a pushed IN-list
+    from search_engine_spark.operators import batchsearch as BSRCH
+
+    qf = spark.createDataFrame(
+        [(1, "market"), (1, "price"), (2, "growth")],
+        "query_id long, term string")
+    p33 = plan_of(BSRCH.batch_topk(idx, qf, k=10))
+    check(
+        "Batch multi-query top-k", p33,
+        [
+            ("rank window partitions by query_id",
+             r"hashpartitioning\(query_id", True),
+            ("no global sort (rangepartitioning)",
+             r"rangepartitioning", False),
+            ("no global TakeOrderedAndProject",
+             r"TakeOrderedAndProject", False),
+            ("batch term IN-list pushed to the segment scan",
+             r"PushedFilters: \[.*[Ii]n\(term", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
+    # 34. minimum-should-match: the distinct-term count folds into the
+    # existing score aggregate — same joins as the plain query (no extra
+    # join or shuffle stage beyond the score groupBy), mm applied as a
+    # post-aggregate filter
+    mm_plan = plan_of(S.search_freetext_tokens(
+        idx, ["market", "price", "growth"], k=100, min_should_match=2))
+    plain_plan = plan_of(S.search_freetext_tokens(
+        idx, ["market", "price", "growth"], k=100))
+    mm_joins = len(re.findall(r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin"
+                              r"|ShuffledHashJoin)", mm_plan))
+    plain_joins = len(re.findall(r"\(\d+\) (?:BroadcastHashJoin|"
+                                 r"SortMergeJoin|ShuffledHashJoin)",
+                                 plain_plan))
+    check(
+        "Minimum-should-match scoring", mm_plan,
+        [
+            ("same join count as the plain query "
+             f"(mm {mm_joins} vs plain {plain_joins})",
+             r".", mm_joins == plain_joins),
+            ("top-k is TakeOrderedAndProject", r"TakeOrderedAndProject",
+             True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -47,7 +47,8 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             rm3_alpha: float | None = None, rm3_fb_docs: int = 10,
             rm3_fb_terms: int = 10,
             fuzzy_max_dist: int | None = None,
-            after: tuple[float, int] | None = None) -> DataFrame:
+            after: tuple[float, int] | None = None,
+            min_should_match: int | None = None) -> DataFrame:
     """→ (doc_id, score) for ranked kinds; (doc_id, score=0.0) for
     proximity/boolean kinds (reference returns those unranked).
 
@@ -157,6 +158,23 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             "cursor pagination (after=) is defined over ranked free-text "
             "queries; proximity/boolean results are not score-ordered")
 
+    # Minimum-should-match is a clause-count policy over the free-text
+    # term bag (Lucene BooleanQuery mm). Phrase operands are separate
+    # clauses with their own matching rule, boolean/proximity kinds
+    # define their own set algebra, and the expansion rewrites
+    # (rm3/fuzzy/prefix) change the clause set mm would count over —
+    # each combination is refused explicitly, never silently ignored.
+    if min_should_match is not None:
+        if not isinstance(plan, planner.FreeTextPlan) or plan.phrases:
+            raise ValueError("min_should_match supports plain free-text "
+                             "queries only (no phrases/boolean/proximity)")
+        if rm3_alpha is not None or fuzzy_max_dist is not None \
+                or plan.prefixes:
+            raise ValueError(
+                "min_should_match does not compose with query expansions "
+                "(rm3/fuzzy/prefix) — the expansion rewrites the clause "
+                "set the match count is defined over; drop one")
+
     def _page(scored_frame):
         return (search_mod.page_after(scored_frame, after[0], after[1])
                 if after is not None else scored_frame)
@@ -263,6 +281,7 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
         scored = search_freetext_tokens(
             index, plan.terms, k=None,
             model=model, adaptive=adaptive, candidates=cand,
+            min_should_match=min_should_match,
         )
         frames.append(scored)
     slops = plan.phrase_slops or [0] * len(plan.phrases)

@@ -184,7 +184,8 @@ def search_freetext(index: InvertedIndex, query: str, k: int = 100,
 def search_freetext_tokens(index: InvertedIndex, toks: list[str],
                            k: int | None = 100, model: str = "bm25",
                            adaptive: bool = False,
-                           candidates: DataFrame | None = None) -> DataFrame:
+                           candidates: DataFrame | None = None,
+                           min_should_match: int | None = None) -> DataFrame:
     """Token-level free-text scoring — callers that already hold ANALYZED
     tokens (the executor's plan, boolean rescoring) MUST use this instead
     of re-joining tokens into a string: Porter stemming is not idempotent
@@ -195,7 +196,29 @@ def search_freetext_tokens(index: InvertedIndex, toks: list[str],
 
     ``k=None`` returns the UNRANKED (doc_id, score) aggregate — for
     callers that merge several score frames and apply one final top-k
-    (a ranked return here would be a full global sort holding every doc)."""
+    (a ranked return here would be a full global sort holding every doc).
+
+    ``min_should_match`` (Lucene BooleanQuery mm): score only docs
+    matching at least that many DISTINCT query terms — the middle
+    ground between OR (mm=1, the default semantics) and AND
+    (mm=|terms|). Folded into the existing score aggregate as a second
+    agg column + HAVING filter — zero extra joins or shuffles (the
+    plan-audit claim). mm greater than the distinct-term count matches
+    nothing (Lucene's contract: a doc cannot satisfy more clauses than
+    the query has). Refused with adaptive (two candidate policies over
+    the same tier counts) and defined over the term-weight models, not
+    vsm."""
+    if min_should_match is not None:
+        if min_should_match < 1:
+            raise ValueError(
+                f"min_should_match must be >= 1: {min_should_match}")
+        if adaptive:
+            raise ValueError(
+                "min_should_match does not compose with adaptive candidate "
+                "tiers — both are match-count candidate policies; drop one")
+        if model == "vsm":
+            raise ValueError("min_should_match is defined over the "
+                             "term-weight models (bm25/lm), not vsm")
     if model == "vsm":
         return search_vsm_tokens(index, toks, k=k, candidates=candidates,
                                  adaptive=adaptive)
@@ -220,7 +243,14 @@ def search_freetext_tokens(index: InvertedIndex, toks: list[str],
         # forced broadcast would collect them all to the driver. AQE
         # broadcasts at runtime when the frame is actually small.
         scored = scored.join(candidates, "doc_id", "left_semi")
-    agg = scored.groupBy("doc_id").agg(F.sum("weight").alias("score"))
+    if min_should_match is None:
+        agg = scored.groupBy("doc_id").agg(F.sum("weight").alias("score"))
+    else:
+        agg = (scored.groupBy("doc_id")
+               .agg(F.sum("weight").alias("score"),
+                    F.countDistinct("term").alias("_nt"))
+               .filter(F.col("_nt") >= min_should_match)
+               .select("doc_id", "score"))
     if model.startswith("lm-"):
         pyp = model == "lm-pyp"
         mu = scoring.LM_MU_PYP if pyp else scoring.LM_MU_DIRICHLET

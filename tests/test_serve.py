@@ -424,3 +424,28 @@ def test_executor_after_refusals_and_identity(built_index):
     with pytest.raises(ValueError, match="pagination"):
         executor.execute(built_index, "#5(market,price)", k=5,
                          after=(1.0, 3))
+
+
+def test_min_should_match_through_results(server):
+    import json as _json
+    import urllib.error
+
+    _, plain = _get(server + "/results?query=search%20index%20connect&k=10")
+    _, mm1 = _get(server + "/results?query=search%20index%20connect&k=10"
+                  "&mm=1")
+    assert [h["doc_id"] for h in plain["results"]] == \
+        [h["doc_id"] for h in mm1["results"]]
+    _, mm3 = _get(server + "/results?query=search%20index%20connect&k=100"
+                  "&mm=3")
+    assert 0 < len(mm3["results"]) <= len(_get(
+        server + "/results?query=search%20index%20connect&k=100")[1]
+        ["results"])
+    for bad in (
+        "/results?query=search&k=5&mm=0",          # below range
+        "/results?query=search&k=5&mm=2&wand=1",   # wand path
+        "/results?query=search%20AND%20index&k=5&mm=2",  # boolean kind
+        "/results?query=search&k=5&mm=2&rm3=0.6",  # expansion combo
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server + bad)
+        assert e.value.code == 400

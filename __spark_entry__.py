@@ -1160,6 +1160,34 @@ def q_batch_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _batch_run(spark, sf_dir)
 
 
+def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard term queries (search.search_patterns): 'sc*n' + 'ha?h'
+    expand against the vocabulary via SQL LIKE (the one pattern language
+    with identical cross-engine semantics), capped 3-deep per pattern by
+    (df DESC, term ASC), then scored with the literal term 'join' as one
+    boolean-OR BM25 query."""
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    scored = S.search_patterns(idx, ["join"], wildcards=["sc*n", "ha?h"],
+                               k=None, max_expansions=3)
+    return (scored.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
+
+
+def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym expansion (search.search_synonyms): query
+    [join, scan] with join→merge and scan→{filter, join} at weight 0.5 —
+    'join' sums its literal weight AND the synonym contribution (boost
+    1.5), the oracle derives the same fold from the rule rows."""
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    table = {"join": ["merge"], "scan": ["filter", "join"]}
+    scored = S.search_synonyms(idx, ["join", "scan"], table, k=None,
+                               weight=0.5)
+    return (scored.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
+
+
 def q_bm25_min_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-should-match (search_freetext_tokens(min_should_match=2)):
     BM25 over the 3-term fixture restricted to docs matching ≥2 distinct
@@ -1274,6 +1302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_bm25_topk": q_batch_bm25_topk,
         "ir_eval_metrics": q_ir_eval_metrics,
         "bm25_min_match": q_bm25_min_match,
+        "wildcard_topk": q_wildcard_topk,
+        "synonym_topk": q_synonym_topk,
     }
 
 
@@ -1354,6 +1384,78 @@ def oracle_sql() -> dict[str, str]:
                    * tf.tf * 2.2
                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
             FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        )
+        SELECT doc_id, ROUND(SUM(wt), 4) AS score
+        FROM w GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 100
+    """
+    # synonym expansion: originals at weight 1, rule targets at 0.5 per
+    # selecting original — the boost fold derived IN SQL from the rule
+    # rows, then the same clause-summed BM25 as the other expansions
+    sql["synonym_topk"] = f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        q(term) AS (VALUES ('join'), ('scan')),
+        syn(src, dst) AS (VALUES ('join', 'merge'), ('scan', 'filter'),
+                                 ('scan', 'join')),
+        boosts AS (
+            SELECT term, SUM(b) AS boost FROM (
+                SELECT term, 1.0 AS b FROM q
+                UNION ALL
+                SELECT syn.dst AS term, 0.5 AS b
+                FROM syn JOIN q ON q.term = syn.src
+            ) GROUP BY term
+        ),
+        w AS (
+            SELECT tf.doc_id,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                   * b.boost AS wt
+            FROM tf JOIN boosts b USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        )
+        SELECT doc_id, ROUND(SUM(wt), 4) AS score
+        FROM w GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 100
+    """
+    # wildcard queries: LIKE expansion (identical semantics both
+    # engines), 3-deep (df DESC, term ASC) cap per pattern, literal
+    # 'join' as one more OR clause, clause boosts summed per term
+    sql["wildcard_topk"] = f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        pat(qt, pat) AS (VALUES ('sc*n', 'sc%n'), ('ha?h', 'ha_h')),
+        cand AS (
+            SELECT pat.qt, df.term, df.df
+            FROM pat JOIN df ON df.term LIKE pat.pat
+        ),
+        ranked AS (
+            SELECT qt, term,
+                   ROW_NUMBER() OVER (PARTITION BY qt
+                       ORDER BY df DESC, term ASC) AS rn
+            FROM cand
+        ),
+        boosts AS (
+            SELECT term, SUM(b) AS boost FROM (
+                SELECT term, 1.0 AS b FROM ranked WHERE rn <= 3
+                UNION ALL SELECT 'join' AS term, 1.0 AS b
+            ) GROUP BY term
+        ),
+        w AS (
+            SELECT tf.doc_id,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                   * b.boost AS wt
+            FROM tf JOIN boosts b USING (term) JOIN df USING (term)
             JOIN dl USING (doc_id) CROSS JOIN stats s
         )
         SELECT doc_id, ROUND(SUM(wt), 4) AS score

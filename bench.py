@@ -217,6 +217,13 @@ def main() -> None:
         # score aggregate
         "q_min_match": lambda: executor.execute(
             idx, "join hash scan", min_should_match=2).count(),
+        # wildcard terms: anchored LIKE expansion + boolean-OR scoring
+        "q_wildcard": lambda: executor.execute(
+            idx, "jo?n sc*n").count(),
+        # query-time synonym expansion (driver-side fold, one OR query)
+        "q_synonym": lambda: executor.execute(
+            idx, "join scan", synonyms={"join": ["merge"]},
+            synonym_weight=0.5).count(),
         # batch retrieval: 32 three-term queries ranked in ONE job — the
         # per-query cost amortizes to a single postings pass + per-query
         # windows (compare against 32× q_free_multi)

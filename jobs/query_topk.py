@@ -60,6 +60,10 @@ def main() -> None:
                     help="fuzzy term matching: expand each free-text "
                          "token to vocabulary terms within this "
                          "Levenshtein distance (0-2; relational path)")
+    ap.add_argument("--synonyms", default=None, metavar="PATH",
+                    help="Solr-format synonyms.txt: query-time synonym "
+                         "expansion (plain free-text, relational path)")
+    ap.add_argument("--synonym-weight", type=float, default=0.7)
     ap.add_argument("--min-should-match", type=int, default=None,
                     metavar="M",
                     help="score only docs matching at least M distinct "
@@ -95,6 +99,8 @@ def main() -> None:
                      "drop --wand")
         if args.min_should_match < 1:
             ap.error("--min-should-match must be >= 1")
+    if args.synonyms is not None and args.wand:
+        ap.error("--synonyms needs the relational path; drop --wand")
     if (args.after_score is None) != (args.after_doc is None):
         ap.error("--after-score and --after-doc must be given together")
     if args.after_score is not None and args.wand:
@@ -128,6 +134,11 @@ def main() -> None:
     symbols = SP.load_symbols(args.symbols) if args.symbols else frozenset()
     abbreviations = (SP.load_abbreviations(args.abbreviations_json)
                      if args.abbreviations_json else None)
+    synonyms = None
+    if args.synonyms:
+        from search_engine_spark.plans.synonyms import load_synonyms
+
+        synonyms = load_synonyms(args.synonyms, idx.analyzer)
 
     if args.wand:
         query = args.query
@@ -167,6 +178,7 @@ def main() -> None:
             after=((args.after_score, args.after_doc)
                    if args.after_score is not None else None),
             min_should_match=args.min_should_match,
+            synonyms=synonyms, synonym_weight=args.synonym_weight,
         )
         hits = [(r.doc_id, r.score) for r in df.collect()]
 

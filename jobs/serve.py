@@ -8,7 +8,7 @@ Endpoint parity (reference search/retrieval/urls.py:8-11, views.py):
                 [&model=bm25|bm25-reference|vsm|lm-dirichlet|lm-pyp]
                 [&k=100][&wand=1][&snippets=1]
                 [&collapse_host=N][&rm3=0.6]
-                [&fuzzy=1][&mm=2]                → first-execution path
+                [&fuzzy=1][&mm=2][&syn=1]        → first-execution path
                                                    (spellcheck ON,
                                                    views.py:27-97;
                                                    collapse_host caps
@@ -78,6 +78,8 @@ def create_server(index, port: int = 0, spellchecker=None,
                   symbols: frozenset[str] = frozenset(),
                   abbreviations: dict[str, str] | None = None,
                   prior=None, prior_lam: float = 0.3,
+                  synonyms: dict[str, list[str]] | None = None,
+                  synonym_weight: float = 0.7,
                   ) -> ThreadingHTTPServer:
     """Build (without starting) the HTTP server around a loaded index.
     ``port=0`` binds an ephemeral port (see ``server.server_address``).
@@ -120,7 +122,8 @@ def create_server(index, port: int = 0, spellchecker=None,
                   rm3_alpha: float | None = None,
                   fuzzy_max_dist: int | None = None,
                   after: tuple | None = None,
-                  min_should_match: int | None = None) -> dict:
+                  min_should_match: int | None = None,
+                  use_synonyms: bool = False) -> dict:
         t0 = time.perf_counter()
         if not 1 <= k <= MAX_K:
             # negative k raises deep inside Spark's limit() (a 500), and
@@ -166,6 +169,14 @@ def create_server(index, port: int = 0, spellchecker=None,
             if min_should_match < 1:
                 raise ValueError(
                     f"mm must be >= 1, got {min_should_match}")
+        if use_synonyms:
+            if synonyms is None:
+                raise ValueError(
+                    "syn=1 requires the server to be started with "
+                    "--synonyms (no synonym table loaded)")
+            if use_wand:
+                raise ValueError(
+                    "syn requires the relational path (wand=0)")
         if after is not None:
             if use_wand:
                 raise ValueError(
@@ -232,7 +243,10 @@ def create_server(index, port: int = 0, spellchecker=None,
                                       prior=prior, prior_lam=prior_lam,
                                       rm3_alpha=rm3_alpha,
                                       fuzzy_max_dist=fuzzy_max_dist,
-                                      min_should_match=min_should_match)
+                                      min_should_match=min_should_match,
+                                      synonyms=(synonyms if use_synonyms
+                                                else None),
+                                      synonym_weight=synonym_weight)
                 div = serp.diversify_by_host(
                     df, doc_hosts, per_host=collapse_host, k=k)
                 hits = [(r.doc_id, r.score) for r in div.collect()]
@@ -243,7 +257,10 @@ def create_server(index, port: int = 0, spellchecker=None,
                                       rm3_alpha=rm3_alpha,
                                       fuzzy_max_dist=fuzzy_max_dist,
                                       after=after,
-                                      min_should_match=min_should_match)
+                                      min_should_match=min_should_match,
+                                      synonyms=(synonyms if use_synonyms
+                                                else None),
+                                      synonym_weight=synonym_weight)
                 hits = [(r.doc_id, r.score) for r in df.collect()]
         snips: dict[int, str] = {}
         if want_snippets and hits:
@@ -347,7 +364,8 @@ def create_server(index, port: int = 0, spellchecker=None,
                                         if "fuzzy" in q else None),
                         after=_parse_after(q),
                         min_should_match=(int(q["mm"][0])
-                                          if "mm" in q else None)))
+                                          if "mm" in q else None),
+                        use_synonyms=q.get("syn", ["0"])[0] == "1"))
                 elif parts[0] == "complete":
                     q = parse_qs(u.query)
                     prefix = q.get("prefix", [None])[0]
@@ -444,6 +462,11 @@ def main() -> None:
     ap.add_argument("--prior-lam", type=float, default=0.3,
                     help="mixture weight for the static prior "
                          "(score + lam*ln(rank))")
+    ap.add_argument("--synonyms",
+                    help="Solr-format synonyms.txt: enables syn=1 "
+                         "query-time expansion on /results")
+    ap.add_argument("--synonym-weight", type=float, default=0.7,
+                    help="OR-clause weight for expanded synonyms")
     args = ap.parse_args()
 
     from search_engine_spark.plans.spellcheck import (load_abbreviations,
@@ -470,9 +493,16 @@ def main() -> None:
 
     prior = (spark.read.parquet(args.prior_parquet)
              if args.prior_parquet else None)
+    synonyms = None
+    if args.synonyms:
+        from search_engine_spark.plans.synonyms import load_synonyms
+
+        synonyms = load_synonyms(args.synonyms, idx.analyzer)
     srv = create_server(idx, args.port, spellchecker=checker,
                         symbols=symbols, abbreviations=abbreviations,
-                        prior=prior, prior_lam=args.prior_lam)
+                        prior=prior, prior_lam=args.prior_lam,
+                        synonyms=synonyms,
+                        synonym_weight=args.synonym_weight)
     print(f"serving on http://127.0.0.1:{srv.server_address[1]}  "
           f"(index={args.index}, n_docs={idx.stats['n_docs']})", flush=True)
     srv.serve_forever()

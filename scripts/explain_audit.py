@@ -886,6 +886,22 @@ def main() -> int:
         ],
     )
 
+    # 35. wildcard expansion: the pattern's literal anchor reaches the
+    # term_stats scan as a pushed StringStartsWith (file-level min/max
+    # pruning on the term-sorted vocabulary); the LIKE residue is a JVM
+    # filter above it — no Python, no cartesian
+    p35 = plan_of(S.wildcard_candidates(idx, ["mar*et", "pr?ce"],
+                                        max_expansions=5))
+    check(
+        "Wildcard-query vocabulary expansion", p35,
+        [
+            ("anchored prefix pushed to the term_stats scan",
+             r"PushedFilters: \[.*StringStartsWith\(term", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+            ("no Python UDF", r"EvalPython", False),
+        ],
+    )
+
     # 34. minimum-should-match: the distinct-term count folds into the
     # existing score aggregate — same joins as the plain query (no extra
     # join or shuffle stage beyond the score groupBy), mm applied as a

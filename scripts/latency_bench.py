@@ -93,6 +93,9 @@ def main() -> None:
         # round-4 query kinds: prefix expansion + sloppy chain matcher
         "prefix": lambda i: executor.execute(
             idx, f"{head[i % 4]} {mid[i % 4][:3]}*").count(),
+        # wildcard expansion (anchored LIKE over the vocabulary)
+        "wildcard": lambda i: executor.execute(
+            idx, f"{head[i % 4][0]}?{head[i % 4][2:]}").count(),
         "sloppy_phrase": lambda i: executor.execute(
             idx, f'"{head[i % 4]} {mid[i % 4]}"~3').count(),
         # cursor page 2 of a head-term query (filtered top-k depth)

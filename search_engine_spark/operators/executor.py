@@ -48,7 +48,9 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             rm3_fb_terms: int = 10,
             fuzzy_max_dist: int | None = None,
             after: tuple[float, int] | None = None,
-            min_should_match: int | None = None) -> DataFrame:
+            min_should_match: int | None = None,
+            synonyms: dict[str, list[str]] | None = None,
+            synonym_weight: float = 0.7) -> DataFrame:
     """→ (doc_id, score) for ranked kinds; (doc_id, score=0.0) for
     proximity/boolean kinds (reference returns those unranked).
 
@@ -132,31 +134,55 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             raise ValueError("fuzzy is defined over the term-weight "
                              "models (bm25/lm), not vsm")
 
-    # Trailing-* prefix terms (planner.FreeTextPlan.prefixes) are a term-
-    # set rewrite like fuzzy: composition with other rewrites/models that
+    # Pattern terms — trailing-* prefixes and general wildcards
+    # (planner.FreeTextPlan.prefixes/.wildcards) — are a term-set
+    # rewrite like fuzzy: composition with other rewrites/models that
     # re-derive term statistics is refused explicitly, never ignored.
-    if isinstance(plan, planner.FreeTextPlan) and plan.prefixes:
+    if isinstance(plan, planner.FreeTextPlan) and (plan.prefixes
+                                                   or plan.wildcards):
         if plan.phrases:
-            raise ValueError("prefix terms (tok*) support plain free-text "
-                             "queries only (no phrases)")
+            raise ValueError("pattern terms (tok*/wildcards) support plain "
+                             "free-text queries only (no phrases)")
         if rm3_alpha is not None:
-            raise ValueError("prefix terms do not compose with RM3 — two "
+            raise ValueError("pattern terms do not compose with RM3 — two "
                              "query expansions; drop one")
         if fuzzy_max_dist is not None:
-            raise ValueError("prefix terms do not compose with fuzzy "
+            raise ValueError("pattern terms do not compose with fuzzy "
                              "matching — two term-set rewrites; drop one")
         if adaptive:
             raise ValueError(
-                "prefix terms do not compose with adaptive candidate "
+                "pattern terms do not compose with adaptive candidate "
                 "tiers — the tiers are defined over the literal terms")
         if model == "vsm":
-            raise ValueError("prefix terms are defined over the "
+            raise ValueError("pattern terms are defined over the "
                              "term-weight models (bm25/lm), not vsm")
 
     if after is not None and not isinstance(plan, planner.FreeTextPlan):
         raise ValueError(
             "cursor pagination (after=) is defined over ranked free-text "
             "queries; proximity/boolean results are not score-ordered")
+
+    # Query-time synonym expansion (plans.synonyms + search.search_synonyms)
+    # is a term-set rewrite like fuzzy/patterns: plain free-text only,
+    # and composition with the other rewrites (two expansions) or with
+    # policies defined over the literal clause set is refused explicitly.
+    if synonyms is not None:
+        if not isinstance(plan, planner.FreeTextPlan) or plan.phrases \
+                or plan.prefixes or plan.wildcards:
+            raise ValueError("synonym expansion supports plain free-text "
+                             "queries only (no phrases/patterns/boolean/"
+                             "proximity)")
+        if rm3_alpha is not None or fuzzy_max_dist is not None:
+            raise ValueError("synonym expansion does not compose with "
+                             "rm3/fuzzy — two query expansions; drop one")
+        if adaptive or min_should_match is not None:
+            raise ValueError(
+                "synonym expansion does not compose with adaptive tiers "
+                "or min_should_match — those policies are defined over "
+                "the literal clause set the expansion rewrites")
+        if model == "vsm":
+            raise ValueError("synonym expansion is defined over the "
+                             "term-weight models (bm25/lm), not vsm")
 
     # Minimum-should-match is a clause-count policy over the free-text
     # term bag (Lucene BooleanQuery mm). Phrase operands are separate
@@ -169,11 +195,11 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             raise ValueError("min_should_match supports plain free-text "
                              "queries only (no phrases/boolean/proximity)")
         if rm3_alpha is not None or fuzzy_max_dist is not None \
-                or plan.prefixes:
+                or plan.prefixes or plan.wildcards:
             raise ValueError(
                 "min_should_match does not compose with query expansions "
-                "(rm3/fuzzy/prefix) — the expansion rewrites the clause "
-                "set the match count is defined over; drop one")
+                "(rm3/fuzzy/prefix/wildcard) — the expansion rewrites the "
+                "clause set the match count is defined over; drop one")
 
     def _page(scored_frame):
         return (search_mod.page_after(scored_frame, after[0], after[1])
@@ -261,12 +287,25 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
         scored = _page(scored)
         return scored if k is None else topk(scored, k)
 
-    if plan.prefixes:
-        # literal terms + prefix expansions score as ONE boolean-OR
-        # query (search_prefix); refusals for this branch ran above
-        scored = search_mod.search_prefix(
-            index, plan.terms, plan.prefixes, k=None, model=model,
+    if plan.prefixes or plan.wildcards:
+        # literal terms + prefix/wildcard expansions score as ONE
+        # boolean-OR query (search_patterns); refusals ran above
+        scored = search_mod.search_patterns(
+            index, plan.terms, prefixes=plan.prefixes,
+            wildcards=plan.wildcards, k=None, model=model,
             candidates=cand)
+        if prior is not None:
+            scored = search_mod.blend_doc_prior(scored, prior, lam=prior_lam)
+        scored = _page(scored)
+        return scored if k is None else topk(scored, k)
+
+    if synonyms is not None:
+        if not plan.terms:
+            # all tokens analyzed away: identity with the plain path
+            return spark.createDataFrame([], "doc_id long, score double")
+        scored = search_mod.search_synonyms(
+            index, plan.terms, synonyms, k=None, weight=synonym_weight,
+            model=model, candidates=cand)
         if prior is not None:
             scored = search_mod.blend_doc_prior(scored, prior, lam=prior_lam)
         scored = _page(scored)

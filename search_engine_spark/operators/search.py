@@ -728,18 +728,105 @@ def prefix_expand(index: InvertedIndex, prefixes: list[str],
     return out
 
 
-def search_prefix(index: InvertedIndex, toks: list[str],
-                  prefixes: list[str], k: int | None = 100,
-                  max_expansions: int = 50, model: str = "bm25",
-                  candidates: DataFrame | None = None) -> DataFrame:
-    """Free-text retrieval with trailing-* prefix terms ('pri*'):
-    each prefix expands to its top-``max_expansions`` vocabulary terms
-    (``prefix_expand``) and the union of literal ``toks`` (weight 1
-    each, duplicates summing — the search_freetext bag semantics) and
+def wildcard_like(pattern: str) -> str:
+    """Lucene wildcard pattern → SQL LIKE pattern: '*'→'%', '?'→'_',
+    literal '%'/'_' escaped with '\\' (Spark's LIKE default escape; the
+    oracle emits an explicit ESCAPE clause). LIKE is the one pattern
+    language with IDENTICAL semantics in every SQL engine — choosing it
+    over rlike removes the Java-vs-RE2 regex dialect risk entirely.
+
+    A pattern must carry at least one literal character: a bare '*'
+    would expand to the whole vocabulary (Lucene refuses leading-only
+    wildcards for the same reason)."""
+    if not any(c not in "*?" for c in pattern):
+        raise ValueError(
+            f"wildcard pattern needs at least one literal character: "
+            f"{pattern!r}")
+    out = []
+    for c in pattern:
+        if c == "*":
+            out.append("%")
+        elif c == "?":
+            out.append("_")
+        elif c in ("%", "_", "\\"):
+            out.append("\\" + c)
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def wildcard_anchor(pattern: str) -> str:
+    """The literal run before the first metachar — pushed as a
+    ``startswith`` predicate so parquet min/max stats prune files on the
+    term-sorted vocabulary even though a general LIKE cannot push. Empty
+    for leading-wildcard patterns ('*ing'): those scan the vocabulary
+    (Lucene's documented leading-wildcard cost), still capped."""
+    i = 0
+    while i < len(pattern) and pattern[i] not in "*?":
+        i += 1
+    return pattern[:i]
+
+
+def wildcard_candidates(index: InvertedIndex, patterns: list[str],
+                        max_expansions: int = 50) -> DataFrame:
+    """The distributed half of ``wildcard_expand``: → (qt, term), the
+    capped per-pattern vocabulary expansion (Lucene WildcardQuery with
+    the top-terms rewrite). Each pattern filters term_stats with a
+    LIKE predicate (JVM-side, whole-stage codegen) AND — when the
+    pattern has a literal anchor — a startswith predicate that reaches
+    the parquet scan as StringStartsWith (plan-audited); the per-pattern
+    window caps at ``max_expansions`` by (df DESC, term ASC), the
+    prefix/fuzzy rewrite order."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    if max_expansions < 1:
+        raise ValueError(f"max_expansions must be >= 1: {max_expansions}")
+    uniq = list(dict.fromkeys(patterns))
+    if not uniq:
+        raise ValueError("patterns must be non-empty")
+    frames = []
+    for p in uniq:
+        like = wildcard_like(p)  # validates ≥1 literal char
+        cond = F.col("term").like(like)
+        anchor = wildcard_anchor(p)
+        if anchor:
+            cond = F.col("term").startswith(anchor) & cond
+        frames.append(index.term_stats.filter(cond)
+                      .select(F.lit(p).alias("qt"), "term", "df"))
+    cand = reduce(lambda a, b: a.unionByName(b), frames)
+    w = Window.partitionBy("qt").orderBy(F.desc("df"), F.asc("term"))
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_expansions)
+            .select("qt", "term"))
+
+
+def wildcard_expand(index: InvertedIndex, patterns: list[str],
+                    max_expansions: int = 50) -> dict[str, float]:
+    """→ {vocabulary term: Σ 1.0 per selecting pattern} — the bounded
+    collect (≤ |patterns|·max_expansions rows, the prefix_expand
+    idiom)."""
+    out: dict[str, float] = {}
+    for r in wildcard_candidates(index, patterns, max_expansions).collect():
+        out[r["term"]] = out.get(r["term"], 0.0) + 1.0
+    return out
+
+
+def search_patterns(index: InvertedIndex, toks: list[str],
+                    prefixes: list[str] = (), wildcards: list[str] = (),
+                    k: int | None = 100, max_expansions: int = 50,
+                    model: str = "bm25",
+                    candidates: DataFrame | None = None) -> DataFrame:
+    """Free-text retrieval with pattern terms — trailing-* prefixes
+    ('pri*', the cheaper startswith-only path) and general wildcards
+    ('te*t'/'t?st'): every pattern expands to its top-``max_expansions``
+    vocabulary terms and the union of literal ``toks`` (weight 1 each,
+    duplicates summing — the search_freetext bag semantics) and
     expansion terms scores as one boolean-OR query. → (doc_id, score)
-    top-k, ties (score DESC, doc_id ASC). A term that is both literal
-    and prefix-selected sums both contributions (two OR clauses, the
-    Lucene rewrite). Scoring reuses the literal-lookup plan: pushable
+    top-k, ties (score DESC, doc_id ASC). A term selected by several
+    clauses (literal + patterns) sums every contribution (the Lucene
+    rewrite). Scoring reuses the literal-lookup plan: pushable
     ``term IN (...)`` scan, one partial-agg'd groupBy(doc_id), a single
     TakeOrderedAndProject."""
     boosts: dict[str, float] = {}
@@ -748,6 +835,60 @@ def search_prefix(index: InvertedIndex, toks: list[str],
     if prefixes:
         for t, b in prefix_expand(index, prefixes, max_expansions).items():
             boosts[t] = boosts.get(t, 0.0) + b
+    if wildcards:
+        for t, b in wildcard_expand(index, wildcards,
+                                    max_expansions).items():
+            boosts[t] = boosts.get(t, 0.0) + b
+    if not boosts:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double")
+    scored = _scored_frame(index, sorted(boosts), model, boosts)
+    if candidates is not None:
+        scored = scored.join(candidates, "doc_id", "left_semi")
+    agg = scored.groupBy("doc_id").agg(F.sum("weight").alias("score"))
+    k = effective_k(index, k)
+    return agg if k is None else topk(agg, k)
+
+
+def search_prefix(index: InvertedIndex, toks: list[str],
+                  prefixes: list[str], k: int | None = 100,
+                  max_expansions: int = 50, model: str = "bm25",
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Trailing-* prefix retrieval — ``search_patterns`` with no general
+    wildcards (kept as the named PrefixQuery entry point)."""
+    return search_patterns(index, toks, prefixes=prefixes, k=k,
+                           max_expansions=max_expansions, model=model,
+                           candidates=candidates)
+
+
+def search_synonyms(index: InvertedIndex, toks: list[str],
+                    synonyms: dict[str, list[str]], k: int | None = 100,
+                    weight: float = 0.7, model: str = "bm25",
+                    candidates: DataFrame | None = None) -> DataFrame:
+    """Query-time synonym expansion (Lucene SynonymQuery as weighted
+    boolean-OR): every original token keeps its bag weight (1.0 per
+    occurrence, the search_freetext semantics) and each synonym of an
+    original adds ``weight`` per occurrence of that original — a
+    synonym shared by two query terms sums both contributions, and a
+    synonym that is ALSO a literal query term sums its literal weight
+    too (two OR clauses, the fuzzy/prefix rewrite rule). → (doc_id,
+    score) top-k, ties (score DESC, doc_id ASC).
+
+    The synonym table is a driver-side dict (plans.synonyms.load_synonyms
+    — Solr synonyms.txt format, analyzed into index vocabulary space);
+    the expansion itself costs NO Spark work, and scoring reuses the
+    literal-lookup plan: pushable ``term IN (...)`` scan, one
+    partial-agg'd groupBy(doc_id), a single TakeOrderedAndProject.
+    OOV synonyms match nothing and change nothing — query-time
+    expansion never touches df statistics (the reason this engine does
+    not inject synonyms at index time)."""
+    if weight <= 0.0:
+        raise ValueError(f"synonym weight must be > 0: {weight}")
+    boosts: dict[str, float] = {}
+    for t in toks:
+        boosts[t] = boosts.get(t, 0.0) + 1.0
+        for syn in synonyms.get(t, ()):
+            boosts[syn] = boosts.get(syn, 0.0) + weight
     if not boosts:
         return index.postings.sparkSession.createDataFrame(
             [], "doc_id long, score double")

@@ -95,7 +95,7 @@ def wand_eligible(plan) -> bool:
     from ..plans import planner
 
     return (isinstance(plan, planner.FreeTextPlan) and not plan.phrases
-            and not plan.prefixes)
+            and not plan.prefixes and not plan.wildcards)
 
 
 def search_wand(index, query: str, k: int = 100,

@@ -70,6 +70,12 @@ class FreeTextPlan:
     # against the (stemmed) vocabulary, exactly Lucene's
     # no-analysis-of-wildcard-terms rule
     prefixes: list[str] = field(default_factory=list)
+    #: general wildcard tokens ('te*t', 't?st', '*ing' — any '*'/'?'
+    #: placement EXCEPT the pure trailing-star form, which routes to
+    #: ``prefixes`` above for its cheaper pushdown). Same
+    #: no-analysis-of-wildcards rule: lowercased, never stemmed
+    #: (Lucene WildcardQuery; operators.search.search_patterns)
+    wildcards: list[str] = field(default_factory=list)
 
 
 def classify(query: str, conf: AnalyzerConfig = AnalyzerConfig.full()):
@@ -85,7 +91,12 @@ def classify(query: str, conf: AnalyzerConfig = AnalyzerConfig.full()):
     return _parse_freetext(query, conf)
 
 
-_PREFIX_TOK_RE = re.compile(r"^([^\s*]+)\*$")
+_PREFIX_TOK_RE = re.compile(r"^([^\s*?]+)\*$")
+
+#: any other token carrying a '*' or '?' (Lucene WildcardQuery syntax);
+#: pattern validity (≥1 literal char) is the OPERATOR's contract —
+#: the planner only routes
+_WILDCARD_TOK_RE = re.compile(r"^(?=.*[*?])\S+$")
 
 
 _SLOPPY_PHRASE_RE = re.compile(r'"([^"]+)"(?:~(\d+))?')
@@ -100,15 +111,18 @@ def _parse_freetext(query: str, conf: AnalyzerConfig) -> FreeTextPlan:
             plan.phrases.append(toks)
             plan.phrase_slops.append(int(m.group(2) or 0))
         rest = rest.replace(m.group(0), " ")
-    # trailing-* prefix tokens come out BEFORE analysis (the analyzer
-    # would strip the star and stem the stem-less pattern); mid-token
-    # stars are not an operator — those tokens stay literal
+    # wildcard tokens come out BEFORE analysis (the analyzer would
+    # strip the metachars and stem the pattern): the pure trailing-star
+    # form routes to the prefix path (pushdown-cheaper), every other
+    # '*'/'?' placement to the general wildcard path
     kept = []
     for tok in rest.split():
         m = _PREFIX_TOK_RE.match(tok)
         if m:
             p = m.group(1).lower() if conf.lowercase else m.group(1)
             plan.prefixes.append(p)
+        elif _WILDCARD_TOK_RE.match(tok):
+            plan.wildcards.append(tok.lower() if conf.lowercase else tok)
         else:
             kept.append(tok)
     plan.terms = analyze(" ".join(kept), conf)

@@ -449,3 +449,54 @@ def test_min_should_match_through_results(server):
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(server + bad)
         assert e.value.code == 400
+
+
+def test_synonyms_through_results(spark, corpus_sdf, tmp_path):
+    """syn=1 on a server started with a synonym table expands the
+    free-text query; without the flag the query runs literal; a server
+    without a table 400s the flag."""
+    import threading
+
+    from jobs.serve import create_server
+    from search_engine_spark.operators import search as S3
+
+    d = str(tmp_path / "syn_idx")
+    catalog.build_durable_index(spark, corpus_sdf, d, shards=2, buckets=16,
+                                block_span=64)
+    idx = catalog.load_index(spark, d, documents=corpus_sdf)
+    table = {"market": ["stock"]}
+    srv = create_server(idx, port=0, synonyms=table, synonym_weight=0.5)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        _, body = _get(base + "/results?query=market&k=100&syn=1")
+        want = [(r.doc_id, round(r.score, 4)) for r in S3.search_synonyms(
+            idx, ["market"], table, k=100, weight=0.5).collect()]
+        got = [(h["doc_id"], round(h["score"], 4)) for h in body["results"]]
+        assert got == want and got
+        _, plain = _get(base + "/results?query=market&k=100")
+        plain_rows = [(h["doc_id"], round(h["score"], 4))
+                      for h in plain["results"]]
+        # without syn=1 the query runs literal (matches the plain path
+        # exactly) and differs from the expanded page
+        plain_want = [(r.doc_id, round(r.score, 4))
+                      for r in S3.search_freetext_tokens(
+                          idx, ["market"], k=100).collect()]
+        assert plain_rows == plain_want
+        assert plain_rows != got
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base + "/results?query=market&k=5&syn=1&wand=1")
+        assert e.value.code == 400
+    finally:
+        srv.shutdown()
+    bare = create_server(idx, port=0)  # no table loaded
+    t2 = threading.Thread(target=bare.serve_forever, daemon=True)
+    t2.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(f"http://127.0.0.1:{bare.server_address[1]}"
+                 "/results?query=market&k=5&syn=1")
+        assert e.value.code == 400
+    finally:
+        bare.shutdown()

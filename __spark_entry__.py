@@ -1220,6 +1220,94 @@ def q_ir_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
           for c in ("p_at_k", "recall_at_k", "rr", "ap", "ndcg")])
 
 
+def q_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval (fusion.rrf_fuse): BM25 top-100 and
+    brute-force cosine top-100 (embeddings keyed by the same doc ids)
+    fused with Reciprocal Rank Fusion at rrf_k=60. Both runs round their
+    scores BEFORE the depth cut (BM25 4dp, cosine 6dp inside
+    similarity.cosine_topk) so ranks are cross-engine deterministic;
+    the oracle replays both ROW_NUMBER rankings and the 1/(60+rank)
+    sum."""
+    from search_engine_spark.operators import fusion
+    from search_engine_spark.operators import similarity
+    from search_engine_spark.sources.corpus import read_testdata
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    scored = S._scored_frame(idx, _BM25_QUERY_TERMS, "bm25")
+    sparse = (scored.groupBy("doc_id")
+              .agg(F.round(F.sum("weight"), 4).alias("score"))
+              .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    dense = (similarity.cosine_topk(emb, q, k=100)
+             .select(F.col("vec_id").alias("doc_id"),
+                     F.col("cosine").alias("score")))
+    fused = fusion.rrf_fuse([sparse, dense], k=1000, rrf_k=60)
+    return (fused.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"))
+            .orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(20))
+
+
+def q_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant-terms aggregation (serp.significant_terms): JLH-scored
+    over-represented terms in the 'spark' match set vs the corpus
+    background. k is left wide inside the operator and the entry
+    re-cuts at 20 on the ROUNDED jlh key so a 6dp tie at the boundary
+    cannot flip the cut between engines."""
+    from search_engine_spark.operators import serp
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    hits = idx.postings.filter(F.col("term") == "spark").select("doc_id")
+    out = serp.significant_terms(idx.postings, idx.term_stats,
+                                 idx.stats["n_docs"], hits,
+                                 k=10_000, min_fg_df=2)
+    return (out.select("term", "fg_df", "df",
+                       F.round("jlh", 6).alias("jlh"))
+            .orderBy(F.desc("jlh"), F.asc("term")).limit(20))
+
+
+def q_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-Explanation analog (search.explain_scores): the per-term
+    BM25 breakdown for the corpus' top-1 document of the standard bench
+    query — (term, tf, df, weight) rows that sum to the doc's retrieval
+    score. The doc is selected by the same rounded-score/doc_id rule as
+    bm25_topk on both engines."""
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    scored = S._scored_frame(idx, _BM25_QUERY_TERMS, "bm25")
+    agg = scored.groupBy("doc_id").agg(
+        F.round(F.sum("weight"), 4).alias("score"))
+    top1 = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(1).collect()
+    doc = top1[0].doc_id
+    out = S.explain_scores(idx, _BM25_QUERY_TERMS, doc)
+    return out.select("term", "tf", "df",
+                      F.round("weight", 4).alias("weight"))
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True BM25F (search.search_bm25f, Zaragoza et al. CIKM'04): body
+    (w=1.0, b=0.75) + anchor field (w=0.5, b=0.6) length-normalized tf
+    summed BEFORE one saturation, idf on document-level presence across
+    both fields. Same synthesized anchor corpus as anchor_bm25_topk, so
+    the gate isolates the F-combination from the fixture."""
+    from search_engine_spark.operators import graph
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    n = idx.stats["n_docs"]
+    edges = graph.synth_edges(docs.select("doc_id"), n).withColumn(
+        "anchor",
+        F.concat(F.lit("link w"),
+                 ((F.col("src") + F.col("dst")) % 13).cast("string")))
+    aidx = graph.anchor_index(edges)
+    merged = S.search_bm25f([(idx, 1.0, 0.75), (aidx, 0.5, 0.6)],
+                            ["spark", "w3", "link"], k=None)
+    return (merged.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_doc_tf": q_term_doc_tf,
@@ -1304,6 +1392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_min_match": q_bm25_min_match,
         "wildcard_topk": q_wildcard_topk,
         "synonym_topk": q_synonym_topk,
+        "rrf_hybrid_topk": q_rrf_hybrid_topk,
+        "sig_terms": q_sig_terms,
+        "score_explain": q_score_explain,
+        "bm25f_topk": q_bm25f_topk,
     }
 
 
@@ -1574,6 +1666,146 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg
                           ELSE 0.0 END, 6) AS ndcg
         FROM perq p LEFT JOIN ideal i USING (query_id)
+    """
+    # hybrid RRF: replay both runs' ROW_NUMBER rankings (BM25 rounded 4dp
+    # before its 100-cut, cosine rounded 6dp before its — exactly what the
+    # Spark entry ranks on) and sum 1/(60+rank); docs in one run only
+    # contribute that run's term alone (standard RRF, no imputed rank)
+    sql["rrf_hybrid_topk"] = f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        q(term) AS (VALUES {bm25_terms}),
+        w AS (
+            SELECT tf.doc_id,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        ),
+        sp AS (
+            SELECT doc_id, ROUND(SUM(wt), 4) AS score
+            FROM w GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 100
+        ),
+        spr AS (SELECT doc_id, ROW_NUMBER() OVER
+                    (ORDER BY score DESC, doc_id ASC) AS r FROM sp),
+        cs AS (
+            SELECT vec_id AS doc_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)), 6) AS score
+            FROM embeddings
+            ORDER BY score DESC, doc_id ASC LIMIT 100
+        ),
+        csr AS (SELECT doc_id, ROW_NUMBER() OVER
+                    (ORDER BY score DESC, doc_id ASC) AS r FROM cs),
+        u AS (SELECT doc_id, r FROM spr UNION ALL SELECT doc_id, r FROM csr)
+        SELECT doc_id, ROUND(SUM(1.0 / (60 + r)), 6) AS rrf_score
+        FROM u GROUP BY doc_id
+        ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+    """
+    # significant terms (JLH): fg% / bg% lifts with the SAME
+    # parenthesization and double casts as serp.significant_terms
+    sql["sig_terms"] = f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        st AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        hits AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),
+        msz AS (SELECT COUNT(*) AS m FROM hits),
+        fg AS (SELECT term, COUNT(*) AS fg_df
+               FROM tf JOIN hits USING (doc_id) GROUP BY term),
+        j AS (
+            SELECT fg.term, fg.fg_df, df.df,
+                   (CAST(fg.fg_df AS DOUBLE) / CAST(msz.m AS DOUBLE)
+                    - CAST(df.df AS DOUBLE) / CAST(st.n AS DOUBLE))
+                   * ((CAST(fg.fg_df AS DOUBLE) / CAST(msz.m AS DOUBLE))
+                      / (CAST(df.df AS DOUBLE) / CAST(st.n AS DOUBLE)))
+                       AS jlh
+            FROM fg JOIN df USING (term) CROSS JOIN msz CROSS JOIN st
+            WHERE fg.fg_df >= 2
+        )
+        SELECT term, CAST(fg_df AS BIGINT) AS fg_df,
+               CAST(df AS BIGINT) AS df, ROUND(jlh, 6) AS jlh
+        FROM j WHERE jlh > 0
+        ORDER BY jlh DESC, term ASC LIMIT 20
+    """
+    # Lucene-style explain: per-term BM25 contributions for the top-1 doc
+    # of the standard query (doc selected by the bm25_topk rounding rule)
+    sql["score_explain"] = f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        q(term) AS (VALUES {bm25_terms}),
+        w AS (
+            SELECT tf.term, tf.doc_id, tf.tf, df.df,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        ),
+        agg AS (SELECT doc_id, ROUND(SUM(wt), 4) AS score
+                FROM w GROUP BY doc_id),
+        sel AS (SELECT doc_id FROM agg
+                ORDER BY score DESC, doc_id ASC LIMIT 1)
+        SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               ROUND(wt, 4) AS weight
+        FROM w JOIN sel USING (doc_id)
+        ORDER BY term ASC
+    """
+    # true BM25F: per-field normalized tf summed BEFORE one saturation,
+    # idf on document-level presence across both fields; anchor corpus =
+    # the same deterministic link graph as anchor_bm25_topk
+    sql["bm25f_topk"] = f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        q(term) AS (VALUES ('spark'), ('w3'), ('link')),
+        ae AS (SELECT doc_id AS src,
+                      (doc_id * doc_id * 13 + j * 31 + 7)
+                          % (SELECT COUNT(*) FROM documents) AS dst
+               FROM documents, generate_series(1, 3) AS t(j)),
+        atok AS (SELECT dst AS doc_id,
+                        unnest(string_split(
+                            'link w' || ((src + dst) % 13), ' ')) AS term
+                 FROM ae),
+        atf AS (SELECT term, doc_id, COUNT(*) AS tf FROM atok GROUP BY 1, 2),
+        adl AS (SELECT doc_id, COUNT(*) AS dl FROM atok GROUP BY 1),
+        ast AS (SELECT AVG(dl) AS avgdl FROM adl),
+        btfn AS (
+            SELECT tf.term, tf.doc_id,
+                   1.0 * tf.tf / (0.25 + 0.75 * dl.dl / s.avgdl) AS tfn
+            FROM tf JOIN q USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        ),
+        atfn AS (
+            SELECT atf.term, atf.doc_id,
+                   0.5 * atf.tf / (0.4 + 0.6 * adl.dl / s.avgdl) AS tfn
+            FROM atf JOIN q USING (term)
+            JOIN adl USING (doc_id) CROSS JOIN ast s
+        ),
+        u AS (SELECT * FROM btfn UNION ALL SELECT * FROM atfn),
+        tfn AS (SELECT term, doc_id, SUM(tfn) AS tfn FROM u GROUP BY 1, 2),
+        cdf AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                FROM tfn GROUP BY 1),
+        w AS (
+            SELECT tfn.doc_id,
+                   LN(1 + (s.n - cdf.df + 0.5) / (cdf.df + 0.5))
+                   * tfn.tfn / (1.2 + tfn.tfn) AS wt
+            FROM tfn JOIN cdf USING (term) CROSS JOIN stats s
+        )
+        SELECT doc_id, ROUND(SUM(wt), 4) AS score
+        FROM w GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 100
     """
     return sql
 

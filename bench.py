@@ -325,6 +325,15 @@ def main() -> None:
         # PMI collocations (phrase mining) over the corpus
         "p_collocations": lambda: corpusstats.collocations(
             docs, k=50, min_count=5).count(),
+        # hybrid sparse+dense: BM25 top-100 + cosine top-100 fused (RRF)
+        "q_hybrid": lambda: _hybrid(emb, qvec),
+        # true BM25F over body + synthesized anchor field
+        "q_bm25f": lambda: _bm25f(docs, n_docs),
+        # Lucene-style per-term score explain (point lookup)
+        "q_explain": lambda: S.explain_scores(
+            idx, ["join", "hash", "scan"], 3).count(),
+        # significant-terms aggregation over the 'join' match set
+        "p_sig_terms": lambda: _sig_terms(),
     }
     def _hash_kmeans(docs_df):
         from search_engine_spark.operators import clustering, vectorize
@@ -384,6 +393,31 @@ def main() -> None:
         aidx = graph.anchor_index(edges, cache=False)
         return S.search_fielded(idx, aidx, ["market", "w3", "link"],
                                 k=100, w_anchor=0.5).count()
+
+    def _hybrid(emb_df, qv):
+        from search_engine_spark.operators import fusion
+
+        return fusion.search_hybrid(idx, emb_df, ["join", "hash"], qv,
+                                    k=10, depth=100).count()
+
+    def _bm25f(docs_df, n):
+        from search_engine_spark.operators import search as S
+
+        edges = graph.synth_edges(docs_df.select("doc_id"), n).withColumn(
+            "anchor",
+            F.concat(F.lit("link w"),
+                     ((F.col("src") + F.col("dst")) % 13).cast("string")))
+        aidx = graph.anchor_index(edges, cache=False)
+        return S.search_bm25f([(idx, 1.0, 0.75), (aidx, 0.5, 0.6)],
+                              ["join", "w3", "link"], k=100).count()
+
+    def _sig_terms():
+        from search_engine_spark.operators import serp
+
+        hits = idx.postings.filter(F.col("term") == "join").select("doc_id")
+        return serp.significant_terms(idx.postings, idx.term_stats,
+                                      idx.stats["n_docs"], hits,
+                                      k=25).count()
 
     for name, fn in pipeline_ops.items():
         timed_best(name, fn)

@@ -32,6 +32,19 @@ Endpoint parity (reference search/retrieval/urls.py:8-11, views.py):
                                                    top-tf·idf terms of the
                                                    doc as an OR query,
                                                    source excluded)
+    GET /explain?query=...&doc=<id>[&model=...]  → Lucene-Explanation
+                                                   analog: per-term
+                                                   (tf, df, weight)
+                                                   breakdown summing to
+                                                   the doc's retrieval
+                                                   score (LM models: the
+                                                   per-DOC prior is not a
+                                                   per-term quantity and
+                                                   is excluded). Plain
+                                                   free-text term queries
+                                                   only; vsm/phrase/
+                                                   prefix/wildcard are
+                                                   refused with 400.
 
 Responses are JSON (an engine serves data, not Django templates): the
 same context keys the reference renders — results, number_of_results,
@@ -420,6 +433,52 @@ def create_server(index, port: int = 0, spellchecker=None,
                              "score": float(r.score)}
                             for i, r in enumerate(rows, 1)],
                         "number_of_results": len(rows),
+                        "retrieval_time":
+                            round(time.perf_counter() - t0, 4),
+                    })
+                elif parts[0] == "explain":
+                    # Lucene-Explanation analog: per-term score breakdown
+                    # for one (query, doc) pair — GET /explain?query=&doc=
+                    # [&model=]. Free-text queries only (a phrase/boolean
+                    # score is not a per-term sum; refuse, never degrade).
+                    q = parse_qs(u.query)
+                    query = q.get("query", [None])[0]
+                    doc_s = q.get("doc", [None])[0]
+                    if not query or doc_s is None:
+                        raise ValueError("explain needs query= and doc=")
+                    model = q.get("model", ["bm25"])[0]
+                    if model == "vsm" or model not in _MODELS:
+                        raise ValueError(
+                            "explain supports the term-weight models "
+                            f"(bm25/bm25-reference/lm-*), got {model!r}")
+                    from search_engine_spark.operators import (
+                        search as _search)
+                    from search_engine_spark.plans import planner
+
+                    kind = planner.classify(query, index.analyzer)
+                    if not isinstance(kind, planner.FreeTextPlan):
+                        raise ValueError(
+                            "explain is defined for free-text queries; "
+                            f"got a {type(kind).__name__}")
+                    if (kind.phrases or kind.prefixes
+                            or getattr(kind, "wildcards", None)):
+                        raise ValueError(
+                            "explain is defined for plain term queries — "
+                            "phrase/prefix/wildcard scores are not "
+                            "per-term sums")
+                    toks = kind.terms
+                    t0 = time.perf_counter()
+                    with lock:
+                        rows = _search.explain_scores(
+                            index, toks, int(doc_s), model=model).collect()
+                    self._json(200, {
+                        "query": query, "doc_id": int(doc_s),
+                        "model": model,
+                        "terms": [
+                            {"term": r.term, "tf": int(r.tf),
+                             "df": int(r.df), "weight": float(r.weight)}
+                            for r in rows],
+                        "score": float(sum(r.weight for r in rows)),
                         "retrieval_time":
                             round(time.perf_counter() - t0, 4),
                     })

@@ -927,6 +927,81 @@ def main() -> int:
         ],
     )
 
+    # 36. hybrid RRF fusion: both runs cut distributed (two
+    # TakeOrderedAndProject) BEFORE the single-partition rank windows —
+    # the windows only ever see O(depth) rows; dense cosine is pure JVM
+    # column math (no Python UDF anywhere in the fused plan)
+    from search_engine_spark.operators import fusion as FUS
+
+    emb001 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv36 = [float(x) for x in emb001.limit(1).collect()[0].embedding]
+    p36 = plan_of(FUS.search_hybrid(mem, emb001, ["market", "price"],
+                                    qv36, k=10, depth=50))
+    n_top36 = len(set(re.findall(r"TakeOrderedAndProject \((\d+)\)", p36)))
+    check(
+        "Hybrid RRF fusion (sparse+dense)", p36,
+        [
+            ("both runs + the fuse cut via TakeOrderedAndProject "
+             f"(found {n_top36})", r".", n_top36 == 3),
+            # the corpus-build lineage keeps the (mandated) Arrow
+            # analyzer pUDF; what must NOT appear is row-at-a-time Python
+            ("no row-at-a-time Python UDF", r"BatchEvalPython", False),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
+    # 37. true BM25F: per-field frames union into ONE (term, doc_id)
+    # aggregate; document-presence df re-joined BROADCAST; exactly one
+    # final top-k
+    p37 = plan_of(S.search_bm25f([(mem, 1.0, 0.75), (aidx, 0.5, 0.6)],
+                                 ["market", "w3", "link"], k=10))
+    n_top37 = len(set(re.findall(r"TakeOrderedAndProject \((\d+)\)", p37)))
+    check(
+        "BM25F single-saturation fielded ranking", p37,
+        [
+            ("single final top-k (one TakeOrderedAndProject, "
+             f"found {n_top37})", r".", n_top37 == 1),
+            ("document-presence df joined broadcast",
+             r"BroadcastHashJoin", True),
+            ("no sort-merge join", r"SortMergeJoin", False),
+            ("no row-at-a-time Python UDF", r"BatchEvalPython", False),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
+    # 38. significant terms: the match set restricts postings via a
+    # LEFT-SEMI join; |hits| enters as a broadcast 1-row aggregate (the
+    # BroadcastNestedLoopJoin below is that single-row crossJoin, not a
+    # pairwise blowup); background df comes from the PRE-AGGREGATED
+    # term_stats table, so the corpus never re-aggregates at query time
+    from search_engine_spark.operators import serp as SERP
+
+    hits38 = mem.postings.filter(F.col("term") == "market").select("doc_id")
+    p38 = plan_of(SERP.significant_terms(
+        mem.postings, mem.term_stats, mem.stats["n_docs"], hits38, k=25))
+    check(
+        "Significant-terms aggregation", p38,
+        [
+            ("hit-set semi join restricts the postings side",
+             r"LeftSemi", True),
+            ("|hits| is a broadcast 1-row aggregate",
+             r"BroadcastNestedLoopJoin", True),
+            ("no row-at-a-time Python UDF", r"BatchEvalPython", False),
+        ],
+    )
+
+    # 39. score explain: the term IN-list reaches the postings scan as a
+    # pushed filter — a point lookup, O(|q|) rows to the driver
+    p39 = plan_of(S.explain_scores(idx, ["market", "price"], 3))
+    check(
+        "Per-term score explain (point lookup)", p39,
+        [
+            ("query terms pushed to the segment scan",
+             r"PushedFilters: \[.*[Ii]n\(term", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -293,6 +293,100 @@ def search_fielded(body_index: InvertedIndex, anchor_index: InvertedIndex,
     return merged if k is None else topk(merged, k)
 
 
+def search_bm25f(fields: list[tuple[InvertedIndex, float, float]],
+                 toks: list[str], k: int | None = 100,
+                 k1: float = 1.2) -> DataFrame:
+    """True BM25F (Zaragoza, Craswell, Taylor, Saria & Robertson,
+    CIKM 2004): per-field length-normalized term frequencies are
+    weight-summed into ONE pseudo-frequency per (term, doc) BEFORE the
+    BM25 saturation — unlike ``search_fielded``, which saturates each
+    field independently and sums scores (the "simple" combination the
+    BM25F paper shows is inferior: a term matching twice in two fields
+    should saturate once, not twice).
+
+        tf̃(t,d)  = Σ_f  w_f · tf_f(t,d) / B_f(d)
+        B_f(d)   = (1 − b_f) + b_f · dl_f(d) / avgdl_f
+        score(d) = Σ_t  idf(t) · tf̃ / (k1 + tf̃)
+
+    ``fields`` is a list of (index, w_f, b_f). idf uses DOCUMENT-level
+    presence — df(t) = #docs where t appears in ANY field — computed
+    from the unioned per-field postings, so anchor-only vocabulary
+    (terms that never occur in a body) still gets a well-defined idf;
+    n comes from the first field's corpus stats (the body index, whose
+    doc set IS the document set).
+
+    Plan shape: each field contributes one pruned postings lookup +
+    doc-stats join (narrow); the union aggregates per (term, doc_id) —
+    fine-grained keys, map-side partial agg — then the df agg reuses the
+    same shuffle's output, one final groupBy(doc_id) + single
+    TakeOrderedAndProject. No field count blows up the shuffle: rows in
+    flight = Σ_f |postings_f ∩ terms|, the same as querying each field.
+    """
+    if not fields:
+        raise ValueError("search_bm25f needs at least one field")
+    if not toks:
+        spark = fields[0][0].postings.sparkSession
+        return spark.createDataFrame([], "doc_id long, score double")
+    k = effective_k(fields[0][0], k)
+    terms = list(dict.fromkeys(toks))
+    per_field = []
+    for index, w_f, b_f in fields:
+        matched = index.lookup(terms)
+        if "dl" not in matched.columns:
+            matched = matched.join(index.doc_stats, "doc_id")
+        avgdl = index.stats["avgdl"]
+        bnorm = F.lit(1.0 - b_f) + F.lit(float(b_f)) * F.col("dl") / F.lit(float(avgdl))
+        per_field.append(matched.select(
+            "term", "doc_id",
+            (F.lit(float(w_f)) * F.col("tf") / bnorm).alias("tfn")))
+    merged = per_field[0]
+    for f_frame in per_field[1:]:
+        merged = merged.unionByName(f_frame)
+    # one shuffle on (term, doc_id); tf̃ and document-level df both come
+    # out of it (df = countDistinct over the same keys, second agg pass
+    # on the already-keyed frame)
+    tfn = merged.groupBy("term", "doc_id").agg(F.sum("tfn").alias("tfn"))
+    # read twice (df agg + scoring join): registered per-query cache,
+    # released by the next executor.execute() like every per-query frame
+    tfn = fields[0][0].register_query_cache(tfn)
+    df_frame = tfn.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n = fields[0][0].stats["n_docs"]
+    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    scored = (tfn.join(F.broadcast(df_frame), "term")
+              .select("doc_id",
+                      (idf * F.col("tfn")
+                       / (F.lit(float(k1)) + F.col("tfn"))).alias("w")))
+    agg = scored.groupBy("doc_id").agg(F.sum("w").alias("score"))
+    return agg if k is None else topk(agg, k)
+
+
+def explain_scores(index: InvertedIndex, toks: list[str], doc_id: int,
+                   model: str = "bm25") -> DataFrame:
+    """Lucene ``Explanation`` analog: the per-term score breakdown for
+    ONE document under the given model — (term, tf, df, weight) rows
+    whose weight column sums to exactly the document's retrieval score
+    (search_freetext_tokens pre-LM-prior; LM models additionally add the
+    per-doc prior, reported by the executor, not per-term).
+
+    Plan shape: the ``term IN (...)`` and ``doc_id = N`` predicates both
+    push to the postings scan — a point lookup, O(|q|) rows back. Query
+    tf folds into the weight exactly like retrieval does, so explain
+    output is trustworthy for debugging ranking deltas."""
+    if not toks:
+        return index.postings.sparkSession.createDataFrame(
+            [], "term string, tf long, df long, weight double")
+    q_tf: dict[str, int] = {}
+    for t in toks:
+        q_tf[t] = q_tf.get(t, 0) + 1
+    scored = _scored_frame(index, list(q_tf), model, q_tf)
+    return (scored.filter(F.col("doc_id") == int(doc_id))
+            .select("term", F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"), "weight")
+            .orderBy(F.asc("term")))
+
+
 def blend_doc_prior(scores: DataFrame, prior: DataFrame, lam: float = 0.3,
                     id_col: str = "node", prior_col: str = "rank",
                     default_prior: float = 1e-12) -> DataFrame:

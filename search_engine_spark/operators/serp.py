@@ -89,6 +89,55 @@ def facet_counts(hits: DataFrame, facets: DataFrame, facet_col: str,
     )
 
 
+def significant_terms(postings: DataFrame, term_stats: DataFrame,
+                      n_docs: int, hits: DataFrame, k: int = 10,
+                      min_fg_df: int = 1,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Elasticsearch-style ``significant_terms`` aggregation: the terms
+    that are unusually frequent in a query's match set relative to the
+    whole corpus — "what is this result set ABOUT" (SERP topic sidebar,
+    query-expansion candidates, cluster labeling).
+
+    Scoring is the JLH heuristic (the ES default):
+
+        fg% = fg_df / |hits|     bg% = df / n_docs
+        jlh = (fg% − bg%) · (fg% / bg%)
+
+    — the absolute lift times the relative lift; only terms with
+    fg% > bg% (actually over-represented) are emitted. → (term, fg_df,
+    df, jlh) ordered by (jlh desc, term asc).
+
+    Plan shape: hits dedup → semi-join restricts postings to the match
+    set (AQE broadcasts the hit set when small — the common case) → one
+    countDistinct agg per term (fg_df) → equi-join with term_stats for
+    the background df. |hits| is a broadcast 1-row aggregate crossJoin,
+    not a driver collect — the whole thing is one job. The corpus-side
+    df is pre-aggregated (term_stats), so corpus size enters only
+    through the already-built statistics table.
+    """
+    if min_fg_df < 1:
+        raise ValueError(f"min_fg_df must be >= 1: {min_fg_df}")
+    dedup = hits.select(id_col).dropDuplicates([id_col])
+    fg = (postings.join(dedup, postings["doc_id"] == dedup[id_col],
+                        "left_semi")
+          .groupBy("term")
+          .agg(F.countDistinct("doc_id").alias("fg_df"))
+          .filter(F.col("fg_df") >= min_fg_df))
+    fg_size = dedup.agg(F.count("*").alias("m"))
+    joined = (fg.join(term_stats.select("term", "df"), "term")
+              .crossJoin(F.broadcast(fg_size)))
+    fg_pct = F.col("fg_df").cast("double") / F.col("m").cast("double")
+    bg_pct = F.col("df").cast("double") / F.lit(float(n_docs))
+    jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    return (joined
+            .select("term", F.col("fg_df").cast("long").alias("fg_df"),
+                    F.col("df").cast("long").alias("df"),
+                    jlh.alias("jlh"))
+            .filter(F.col("jlh") > 0)
+            .orderBy(F.desc("jlh"), F.asc("term"))
+            .limit(k))
+
+
 def autocomplete(term_stats: DataFrame, prefix: str, k: int = 10) -> DataFrame:
     """Prefix completion from the index vocabulary: the ``k`` terms
     starting with ``prefix`` with the highest collection frequency

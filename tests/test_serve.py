@@ -500,3 +500,40 @@ def test_synonyms_through_results(spark, corpus_sdf, tmp_path):
         assert e.value.code == 400
     finally:
         bare.shutdown()
+
+
+def test_explain_endpoint(server):
+    """/explain returns the per-term breakdown whose weights sum to the
+    reported score, for a doc known to match (top-1 of /results)."""
+    _, res = _get(server + "/results?query=market&k=1")
+    doc = res["results"][0]["doc_id"]
+    status, body = _get(server + f"/explain?query=market&doc={doc}")
+    assert status == 200
+    assert body["doc_id"] == doc and body["model"] == "bm25"
+    assert len(body["terms"]) == 1
+    t = body["terms"][0]
+    assert t["term"] == "market" and t["tf"] >= 1 and t["df"] >= 1
+    assert body["score"] == pytest.approx(t["weight"])
+    assert body["score"] > 0
+    # doc that does NOT contain the term: empty breakdown, zero score
+    # (find one by probing a few ids outside the match set)
+    _, allres = _get(server + "/results?query=market&k=500")
+    matched = {r["doc_id"] for r in allres["results"]}
+    missing = next(d for d in range(1, 151) if d not in matched)
+    _, none = _get(server + f"/explain?query=market&doc={missing}")
+    assert none["terms"] == [] and none["score"] == 0
+
+
+def test_explain_error_surfaces(server):
+    for path in (
+        "/explain?query=market",                      # missing doc
+        "/explain?doc=1",                             # missing query
+        "/explain?query=market&doc=1&model=vsm",      # vsm refused
+        "/explain?query=market&doc=1&model=nope",     # unknown model
+        '/explain?query=%22germany%20economy%22&doc=1',  # phrase refused
+        "/explain?query=market%20AND%20stock&doc=1",  # boolean refused
+        "/explain?query=mark*&doc=1",                 # prefix refused
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server + path)
+        assert e.value.code == 400, path

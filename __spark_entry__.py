@@ -1308,6 +1308,44 @@ def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
 
 
+def q_recency_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-boosted BM25 (search.blend_recency): score × (0.1 +
+    0.9·2^(−age/30)) with ages from the deterministic warc_date fixture
+    (2022-01-01 + doc_id % 90 days) against as_of 2022-04-01 — so ages
+    span 1..90 days and the half-life actually bends the ranking. The
+    oracle replays the same date math and POWER decay."""
+    from datetime import date as _d
+
+    docs = _docs(spark, sf_dir)
+    dated = docs.select(
+        "doc_id",
+        F.date_add(F.lit("2022-01-01").cast("date"),
+                   (F.col("doc_id") % 90).cast("int")).alias("warc_date"))
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    scored = S._scored_frame(idx, _BM25_QUERY_TERMS, "bm25")
+    agg = scored.groupBy("doc_id").agg(F.sum("weight").alias("score"))
+    out = S.blend_recency(agg, dated, _d(2022, 4, 1),
+                          half_life_days=30.0, floor=0.1)
+    return (out.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
+
+
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-histogram facet (serp.date_histogram): monthly result counts
+    for the 'spark' match set over the same deterministic warc_date
+    fixture — calendar-ordered buckets, the ES date_histogram shape."""
+    from search_engine_spark.operators import serp
+
+    docs = _docs(spark, sf_dir)
+    dated = docs.select(
+        "doc_id",
+        F.date_add(F.lit("2022-01-01").cast("date"),
+                   (F.col("doc_id") % 90).cast("int")).alias("warc_date"))
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    hits = idx.postings.filter(F.col("term") == "spark").select("doc_id")
+    return serp.date_histogram(hits, dated, granularity="month")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_doc_tf": q_term_doc_tf,
@@ -1396,6 +1434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sig_terms": q_sig_terms,
         "score_explain": q_score_explain,
         "bm25f_topk": q_bm25f_topk,
+        "recency_bm25_topk": q_recency_bm25_topk,
+        "date_histogram": q_date_histogram,
     }
 
 
@@ -1666,6 +1706,52 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg
                           ELSE 0.0 END, 6) AS ndcg
         FROM perq p LEFT JOIN ideal i USING (query_id)
+    """
+    # freshness decay: score × (0.1 + 0.9 · 2^(−age/30)) with the same
+    # clamped date math as search.blend_recency; warc_date fixture shared
+    # with rm3_dates_identity
+    sql["recency_bm25_topk"] = f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        q(term) AS (VALUES {bm25_terms}),
+        w AS (
+            SELECT tf.doc_id,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        ),
+        agg AS (SELECT doc_id, SUM(wt) AS score FROM w GROUP BY doc_id),
+        dated AS (SELECT doc_id,
+                         DATE '2022-01-01' + (doc_id % 90)::INT AS warc_date
+                  FROM documents),
+        blended AS (
+            SELECT agg.doc_id,
+                   agg.score * (0.1 + 0.9 * POWER(2.0,
+                       -(GREATEST(datediff('day', dated.warc_date,
+                                           DATE '2022-04-01'), 0)::DOUBLE)
+                       / 30.0)) AS score
+            FROM agg JOIN dated USING (doc_id)
+        )
+        SELECT doc_id, ROUND(score, 4) AS score FROM blended
+        ORDER BY score DESC, doc_id ASC LIMIT 100
+    """
+    # date-histogram facet: monthly buckets over the 'spark' match set,
+    # calendar-ordered (the ES date_histogram contract)
+    sql["date_histogram"] = f"""
+        WITH tok AS ({_TOK}),
+        hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+        dated AS (SELECT doc_id,
+                         DATE '2022-01-01' + (doc_id % 90)::INT AS warc_date
+                  FROM documents)
+        SELECT date_trunc('month', dated.warc_date) AS bucket,
+               COUNT(*) AS cnt
+        FROM hits JOIN dated USING (doc_id)
+        GROUP BY 1 ORDER BY bucket ASC
     """
     # hybrid RRF: replay both runs' ROW_NUMBER rankings (BM25 rounded 4dp
     # before its 100-cut, cosine rounded 6dp before its — exactly what the

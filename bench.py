@@ -334,6 +334,10 @@ def main() -> None:
             idx, ["join", "hash", "scan"], 3).count(),
         # significant-terms aggregation over the 'join' match set
         "p_sig_terms": lambda: _sig_terms(),
+        # freshness-decayed BM25 (one date join + JVM decay)
+        "q_recency": lambda: _recency(docs),
+        # monthly results-over-time facet for the 'join' match set
+        "p_date_histogram": lambda: _date_hist(docs),
     }
     def _hash_kmeans(docs_df):
         from search_engine_spark.operators import clustering, vectorize
@@ -418,6 +422,28 @@ def main() -> None:
         return serp.significant_terms(idx.postings, idx.term_stats,
                                       idx.stats["n_docs"], hits,
                                       k=25).count()
+
+    def _dated(docs_df):
+        return docs_df.select(
+            "doc_id",
+            F.date_add(F.lit("2022-01-01").cast("date"),
+                       (F.col("doc_id") % 90).cast("int"))
+            .alias("warc_date"))
+
+    def _recency(docs_df):
+        from datetime import date as _d
+
+        from search_engine_spark.operators import search as S
+
+        agg = S.search_freetext_tokens(idx, ["join", "hash"], k=None)
+        return S.topk(S.blend_recency(agg, _dated(docs_df), _d(2022, 4, 1)),
+                      100).count()
+
+    def _date_hist(docs_df):
+        from search_engine_spark.operators import serp
+
+        hits = idx.postings.filter(F.col("term") == "join").select("doc_id")
+        return serp.date_histogram(hits, _dated(docs_df)).count()
 
     for name, fn in pipeline_ops.items():
         timed_best(name, fn)

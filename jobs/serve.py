@@ -32,6 +32,12 @@ Endpoint parity (reference search/retrieval/urls.py:8-11, views.py):
                                                    top-tf·idf terms of the
                                                    doc as an OR query,
                                                    source excluded)
+    GET /stats                                   → index statistics
+                                                   (n_docs, total_tokens,
+                                                   avgdl, n_terms; the
+                                                   vocabulary count is
+                                                   memoized after one
+                                                   job)
     GET /explain?query=...&doc=<id>[&model=...]  → Lucene-Explanation
                                                    analog: per-term
                                                    (tf, df, weight)
@@ -331,6 +337,9 @@ def create_server(index, port: int = 0, spellchecker=None,
         return {k: (v.isoformat() if hasattr(v, "isoformat") else v)
                 for k, v in rows[0].asDict().items()}
 
+    # memo for /stats derived scalars (one count job, then free)
+    stats_memo: dict = {}
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet server
             pass
@@ -351,6 +360,23 @@ def create_server(index, port: int = 0, spellchecker=None,
                     self._json(200, {"status": "ok",
                                      "n_docs": index.stats["n_docs"],
                                      "models": list(_MODELS)})
+                elif parts[0] == "stats":
+                    # index statistics (the _cat/indices analog): corpus
+                    # scalars are already broadcast on the handle;
+                    # vocabulary size is ONE count job, memoized so
+                    # monitoring pollers cost zero Spark work after the
+                    # first hit (the index handle is immutable — deletes
+                    # load a new handle)
+                    if "n_terms" not in stats_memo:
+                        with lock:
+                            stats_memo["n_terms"] = index.term_stats.count()
+                    self._json(200, {
+                        "n_docs": index.stats["n_docs"],
+                        "total_tokens": int(index.stats["total_len"]),
+                        "avgdl": float(index.stats["avgdl"]),
+                        "n_terms": int(stats_memo["n_terms"]),
+                        "documents_loaded": index.documents is not None,
+                    })
                 elif parts[0] == "results":
                     q = parse_qs(u.query)
                     query = q.get("query", [None])[0]

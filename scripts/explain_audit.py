@@ -1002,6 +1002,43 @@ def main() -> int:
         ],
     )
 
+    # 40. recency decay: ONE date join above the aggregated candidate
+    # frame (never against postings) + pure JVM decay math; final cut
+    # stays a TakeOrderedAndProject
+    from datetime import date as _d40
+
+    dated40 = docs.select(
+        "doc_id",
+        F.date_add(F.lit("2022-01-01").cast("date"),
+                   (F.col("doc_id") % 90).cast("int")).alias("warc_date"))
+    agg40 = S.search_freetext_tokens(mem, ["market", "price"], k=None)
+    p40 = plan_of(S.topk(
+        S.blend_recency(agg40, dated40, _d40(2022, 4, 1)), 10))
+    check(
+        "Recency-decayed ranking", p40,
+        [
+            ("decay join sits above the score aggregate "
+             "(one HashAggregate below the date join)",
+             r"HashAggregate", True),
+            ("final cut is TakeOrderedAndProject",
+             r"TakeOrderedAndProject", True),
+            ("no row-at-a-time Python UDF", r"BatchEvalPython", False),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
+    # 41. date histogram: the facet_counts shape with a JVM date_trunc —
+    # hit dedup + one join + one group-agg, no Python
+    p41 = plan_of(SERP.date_histogram(hits38, dated40))
+    check(
+        "Date-histogram facet", p41,
+        [
+            ("one facet group-agg", r"HashAggregate", True),
+            ("no row-at-a-time Python UDF", r"BatchEvalPython", False),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

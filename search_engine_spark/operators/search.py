@@ -293,6 +293,38 @@ def search_fielded(body_index: InvertedIndex, anchor_index: InvertedIndex,
     return merged if k is None else topk(merged, k)
 
 
+def blend_recency(scores: DataFrame, doc_dates: DataFrame, as_of: date,
+                  half_life_days: float = 30.0, floor: float = 0.1,
+                  date_col: str = "warc_date") -> DataFrame:
+    """Freshness-boosted ranking (the function_score date-decay every web
+    engine ships; the reference's rerank has a fixed recency term —
+    helpers.py:147-173 — this is the tunable corpus-wide form):
+
+        score' = score · (floor + (1 − floor) · 2^(−age_days / half_life))
+
+    Multiplicative half-life decay: a doc ``half_life_days`` old keeps
+    floor + (1−floor)/2 of its relevance; ``floor`` bounds how far age
+    can demote (floor=1 disables decay; floor=0 lets age zero a score).
+    Ages clamp at 0 — crawl timestamps ahead of ``as_of`` (clock skew)
+    get no future-boost. ``as_of`` is an explicit pin, not now(): rerank
+    learned this (quirk 4) — a moving clock makes rankings
+    irreproducible.
+
+    Plan shape: one equi-join with the (doc_id, date) sidecar + pure JVM
+    column math; joined AFTER aggregation so it touches candidate rows,
+    not postings."""
+    if not 0.0 <= floor <= 1.0:
+        raise ValueError(f"floor must be in [0, 1]: {floor}")
+    if half_life_days <= 0:
+        raise ValueError(f"half_life_days must be > 0: {half_life_days}")
+    age = F.greatest(
+        F.datediff(F.lit(as_of), F.col(date_col)), F.lit(0)).cast("double")
+    decay = F.pow(F.lit(2.0), -age / F.lit(float(half_life_days)))
+    factor = F.lit(float(floor)) + F.lit(1.0 - float(floor)) * decay
+    return (scores.join(doc_dates.select("doc_id", date_col), "doc_id")
+            .select("doc_id", (F.col("score") * factor).alias("score")))
+
+
 def search_bm25f(fields: list[tuple[InvertedIndex, float, float]],
                  toks: list[str], k: int | None = 100,
                  k1: float = 1.2) -> DataFrame:

@@ -89,6 +89,32 @@ def facet_counts(hits: DataFrame, facets: DataFrame, facet_col: str,
     )
 
 
+def date_histogram(hits: DataFrame, doc_dates: DataFrame,
+                   granularity: str = "month",
+                   date_col: str = "warc_date",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Date-histogram facet over a query's match set (the ES
+    ``date_histogram`` aggregation / every SERP's "results over time"
+    sidebar): → (bucket, cnt) ordered by bucket ASC — calendar order,
+    not count order, is this aggregation's contract.
+
+    Same plan shape as facet_counts (hit dedup → one join + one
+    group-agg; AQE broadcasts the small hit set); the facet value is
+    date_trunc(granularity) computed as a JVM column. NULL dates are
+    outside the histogram's domain, matching SQL GROUP BY over an
+    inner join."""
+    if granularity not in ("day", "week", "month", "quarter", "year"):
+        raise ValueError(f"unsupported granularity: {granularity!r}")
+    dedup = hits.select(id_col).dropDuplicates([id_col])
+    dated = doc_dates.select(
+        id_col,
+        F.date_trunc(granularity, F.col(date_col)).cast("date")
+        .alias("bucket")).filter(F.col("bucket").isNotNull())
+    return (dedup.join(dated, id_col)
+            .groupBy("bucket").agg(F.count("*").alias("cnt"))
+            .orderBy(F.asc("bucket")))
+
+
 def significant_terms(postings: DataFrame, term_stats: DataFrame,
                       n_docs: int, hits: DataFrame, k: int = 10,
                       min_fg_df: int = 1,

@@ -217,3 +217,75 @@ def test_significant_terms_validation(spark):
     with pytest.raises(ValueError):
         serp.significant_terms(idx.postings, idx.term_stats, 1, hits,
                                min_fg_df=0)
+
+
+# ---------------------------------------------------------------------------
+# recency decay + date histogram
+# ---------------------------------------------------------------------------
+
+def test_blend_recency_hand_computed(spark):
+    from datetime import date
+
+    scores = _run(spark, [(1, 10.0), (2, 10.0), (3, 10.0)])
+    dates = spark.createDataFrame(
+        [(1, date(2022, 4, 1)),    # age 0  → factor 1.0
+         (2, date(2022, 3, 2)),    # age 30 → factor 0.1 + 0.9/2
+         (3, date(2022, 5, 1))],   # future → clamped to age 0
+        "doc_id long, warc_date date")
+    out = {r.doc_id: r.score
+           for r in S.blend_recency(scores, dates, date(2022, 4, 1),
+                                    half_life_days=30.0,
+                                    floor=0.1).collect()}
+    assert out[1] == pytest.approx(10.0)
+    assert out[2] == pytest.approx(10.0 * (0.1 + 0.9 * 0.5))
+    assert out[3] == pytest.approx(10.0)  # no future boost
+
+
+def test_blend_recency_floor_one_is_identity(spark):
+    from datetime import date
+
+    scores = _run(spark, [(1, 7.0)])
+    dates = spark.createDataFrame([(1, date(2000, 1, 1))],
+                                  "doc_id long, warc_date date")
+    out = S.blend_recency(scores, dates, date(2022, 4, 1),
+                          floor=1.0).collect()
+    assert out[0].score == pytest.approx(7.0)
+
+
+def test_blend_recency_validation(spark):
+    from datetime import date
+
+    scores = _run(spark, [(1, 1.0)])
+    with pytest.raises(ValueError):
+        S.blend_recency(scores, scores, date(2022, 1, 1), floor=1.5)
+    with pytest.raises(ValueError):
+        S.blend_recency(scores, scores, date(2022, 1, 1),
+                        half_life_days=0)
+
+
+def test_date_histogram_hand_computed(spark):
+    from datetime import date
+
+    hits = spark.createDataFrame([(1,), (1,), (2,), (3,), (9,)],
+                                 "doc_id long")  # dup + unknown id
+    dates = spark.createDataFrame(
+        [(1, date(2022, 1, 5)), (2, date(2022, 1, 20)),
+         (3, date(2022, 3, 2)), (4, date(2022, 2, 1)),  # 4 not a hit
+         (5, None)],
+        "doc_id long, warc_date date")
+    out = serp.date_histogram(hits, dates, granularity="month").collect()
+    assert [(r.bucket, r.cnt) for r in out] == [
+        (date(2022, 1, 1), 2), (date(2022, 3, 1), 1)]
+
+
+def test_date_histogram_day_granularity_and_validation(spark):
+    from datetime import date
+
+    hits = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    dates = spark.createDataFrame(
+        [(1, date(2022, 1, 5)), (2, date(2022, 1, 5))],
+        "doc_id long, warc_date date")
+    out = serp.date_histogram(hits, dates, granularity="day").collect()
+    assert [(r.bucket, r.cnt) for r in out] == [(date(2022, 1, 5), 2)]
+    with pytest.raises(ValueError):
+        serp.date_histogram(hits, dates, granularity="fortnight")

@@ -537,3 +537,16 @@ def test_explain_error_surfaces(server):
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(server + path)
         assert e.value.code == 400, path
+
+
+def test_stats_endpoint(server):
+    status, body = _get(server + "/stats")
+    assert status == 200
+    assert body["n_docs"] > 0 and body["total_tokens"] > 0
+    assert body["avgdl"] == pytest.approx(body["total_tokens"]
+                                          / body["n_docs"])
+    assert body["n_terms"] > 0
+    assert body["documents_loaded"] is True
+    # memoized: second call returns the identical scalars
+    _, again = _get(server + "/stats")
+    assert again == body

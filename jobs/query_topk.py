@@ -75,6 +75,14 @@ def main() -> None:
     ap.add_argument("--after-doc", type=int, default=None,
                     help="cursor pagination: doc_id of the previous "
                          "page's last row (with --after-score)")
+    ap.add_argument("--recency-half-life", type=float, default=None,
+                    metavar="DAYS",
+                    help="freshness decay: score × (0.1 + 0.9·2^(−age/HL));"
+                         " needs --recency-as-of and --documents with a"
+                         " warc_ts/warc_date column")
+    ap.add_argument("--recency-as-of", default=None, metavar="YYYY-MM-DD",
+                    help="explicit decay origin (now() is refused for"
+                         " reproducibility)")
     ap.add_argument("--as-of-batch", type=int, default=None,
                     help="time-travel the delete state: apply only "
                          "tombstone batches with id <= this (-1 = the "
@@ -140,6 +148,28 @@ def main() -> None:
 
         synonyms = load_synonyms(args.synonyms, idx.analyzer)
 
+    doc_dates = None
+    if args.recency_half_life is not None:
+        if args.wand:
+            raise SystemExit(
+                "--recency-half-life requires the relational path "
+                "(drop --wand)")
+        if args.recency_as_of is None:
+            raise SystemExit(
+                "--recency-half-life requires --recency-as-of")
+        dcols = idx.documents.columns if idx.documents is not None else []
+        from pyspark.sql import functions as F
+
+        if "warc_date" in dcols:
+            doc_dates = idx.documents.select("doc_id", "warc_date")
+        elif "warc_ts" in dcols:
+            doc_dates = idx.documents.select(
+                "doc_id", F.to_date("warc_ts").alias("warc_date"))
+        else:
+            raise SystemExit(
+                "--recency-half-life requires --documents with a "
+                "warc_ts/warc_date column")
+
     if args.wand:
         query = args.query
         if checker is not None or abbreviations:
@@ -179,6 +209,10 @@ def main() -> None:
                    if args.after_score is not None else None),
             min_should_match=args.min_should_match,
             synonyms=synonyms, synonym_weight=args.synonym_weight,
+            recency=doc_dates,
+            recency_as_of=(date.fromisoformat(args.recency_as_of)
+                           if args.recency_as_of else None),
+            recency_half_life=args.recency_half_life or 30.0,
         )
         hits = [(r.doc_id, r.score) for r in df.collect()]
 

@@ -8,7 +8,8 @@ Endpoint parity (reference search/retrieval/urls.py:8-11, views.py):
                 [&model=bm25|bm25-reference|vsm|lm-dirichlet|lm-pyp]
                 [&k=100][&wand=1][&snippets=1]
                 [&collapse_host=N][&rm3=0.6]
-                [&fuzzy=1][&mm=2][&syn=1]        → first-execution path
+                [&fuzzy=1][&mm=2][&syn=1]
+                [&recency=HL&as_of=YYYY-MM-DD]   → first-execution path
                                                    (spellcheck ON,
                                                    views.py:27-97;
                                                    collapse_host caps
@@ -134,6 +135,19 @@ def create_server(index, port: int = 0, spellchecker=None,
         doc_hosts = index.documents.select(
             "doc_id", _hosts.host_of(F.col("url")).alias("host"))
 
+    # (doc_id, warc_date) sidecar for freshness decay (recency=HL):
+    # derivable whenever the corpus table ships a crawl timestamp
+    doc_dates = None
+    if index.documents is not None:
+        from pyspark.sql import functions as F
+
+        _dcols = index.documents.columns
+        if "warc_date" in _dcols:
+            doc_dates = index.documents.select("doc_id", "warc_date")
+        elif "warc_ts" in _dcols:
+            doc_dates = index.documents.select(
+                "doc_id", F.to_date("warc_ts").alias("warc_date"))
+
     def run_query(query: str, k: int, model: str, ds, de,
                   first_execution: bool, use_wand: bool,
                   want_snippets: bool = False,
@@ -142,7 +156,9 @@ def create_server(index, port: int = 0, spellchecker=None,
                   fuzzy_max_dist: int | None = None,
                   after: tuple | None = None,
                   min_should_match: int | None = None,
-                  use_synonyms: bool = False) -> dict:
+                  use_synonyms: bool = False,
+                  recency_hl: float | None = None,
+                  recency_as_of=None) -> dict:
         t0 = time.perf_counter()
         if not 1 <= k <= MAX_K:
             # negative k raises deep inside Spark's limit() (a 500), and
@@ -188,6 +204,18 @@ def create_server(index, port: int = 0, spellchecker=None,
             if min_should_match < 1:
                 raise ValueError(
                     f"mm must be >= 1, got {min_should_match}")
+        if recency_hl is not None:
+            if use_wand:
+                raise ValueError(
+                    "recency requires the relational path (wand=0)")
+            if recency_as_of is None:
+                raise ValueError(
+                    "recency=HL requires as_of=YYYY-MM-DD — an implicit "
+                    "now() makes rankings irreproducible")
+            if doc_dates is None:
+                raise ValueError(
+                    "recency requires --documents with a warc_ts/"
+                    "warc_date column")
         if use_synonyms:
             if synonyms is None:
                 raise ValueError(
@@ -265,7 +293,12 @@ def create_server(index, port: int = 0, spellchecker=None,
                                       min_should_match=min_should_match,
                                       synonyms=(synonyms if use_synonyms
                                                 else None),
-                                      synonym_weight=synonym_weight)
+                                      synonym_weight=synonym_weight,
+                                      recency=(doc_dates
+                                               if recency_hl is not None
+                                               else None),
+                                      recency_as_of=recency_as_of,
+                                      recency_half_life=recency_hl or 30.0)
                 div = serp.diversify_by_host(
                     df, doc_hosts, per_host=collapse_host, k=k)
                 hits = [(r.doc_id, r.score) for r in div.collect()]
@@ -279,7 +312,12 @@ def create_server(index, port: int = 0, spellchecker=None,
                                       min_should_match=min_should_match,
                                       synonyms=(synonyms if use_synonyms
                                                 else None),
-                                      synonym_weight=synonym_weight)
+                                      synonym_weight=synonym_weight,
+                                      recency=(doc_dates
+                                               if recency_hl is not None
+                                               else None),
+                                      recency_as_of=recency_as_of,
+                                      recency_half_life=recency_hl or 30.0)
                 hits = [(r.doc_id, r.score) for r in df.collect()]
         snips: dict[int, str] = {}
         if want_snippets and hits:
@@ -404,7 +442,11 @@ def create_server(index, port: int = 0, spellchecker=None,
                         after=_parse_after(q),
                         min_should_match=(int(q["mm"][0])
                                           if "mm" in q else None),
-                        use_synonyms=q.get("syn", ["0"])[0] == "1"))
+                        use_synonyms=q.get("syn", ["0"])[0] == "1",
+                        recency_hl=(float(q["recency"][0])
+                                    if "recency" in q else None),
+                        recency_as_of=_parse_date(
+                            q.get("as_of", [None])[0])))
                 elif parts[0] == "complete":
                     q = parse_qs(u.query)
                     prefix = q.get("prefix", [None])[0]

@@ -50,7 +50,11 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             after: tuple[float, int] | None = None,
             min_should_match: int | None = None,
             synonyms: dict[str, list[str]] | None = None,
-            synonym_weight: float = 0.7) -> DataFrame:
+            synonym_weight: float = 0.7,
+            recency: DataFrame | None = None,
+            recency_as_of: date | None = None,
+            recency_half_life: float = 30.0,
+            recency_floor: float = 0.1) -> DataFrame:
     """→ (doc_id, score) for ranked kinds; (doc_id, score=0.0) for
     proximity/boolean kinds (reference returns those unranked).
 
@@ -72,7 +76,15 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
     once to the merged score frame BEFORE the final top-k. Unranked
     kinds (proximity, boolean fallback) ignore it (their score is a
     constant 0.0 by reference semantics, and re-ranking them by prior
-    alone would invent an ordering the reference does not define)."""
+    alone would invent an ordering the reference does not define).
+
+    ``recency`` (a (doc_id, warc_date) frame) multiplies RANKED scores
+    by the half-life freshness decay (search.blend_recency), applied at
+    the same sites as ``prior`` — after score merging, before the final
+    top-k. ``recency_as_of`` is MANDATORY with it: an implicit now()
+    would make rankings irreproducible (quirk 4, same reason rerank
+    pins as_of_date). Unranked kinds ignore it like they ignore
+    ``prior``."""
     # ``after`` = (score, doc_id) cursor of the previous page's last row
     # (search.page_after): deep paging as one filtered top-k instead of
     # an offset that buffers offset+k rows per partition. Defined over
@@ -97,6 +109,24 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
         if rewritten != query:
             plan = planner.classify(rewritten, index.analyzer)
     spark = index.postings.sparkSession
+
+    if recency is not None and recency_as_of is None:
+        raise ValueError(
+            "recency requires an explicit recency_as_of date — an "
+            "implicit now() makes rankings irreproducible")
+
+    def _blend(scored: DataFrame) -> DataFrame:
+        """prior + recency blends, applied once to every RANKED score
+        frame right before its final top-k (the shared site for all
+        query-independent score adjustments)."""
+        if prior is not None:
+            scored = search_mod.blend_doc_prior(scored, prior,
+                                                lam=prior_lam)
+        if recency is not None:
+            scored = search_mod.blend_recency(
+                scored, recency, recency_as_of,
+                half_life_days=recency_half_life, floor=recency_floor)
+        return scored
 
     cand = None
     if date_start is not None and date_end is not None:
@@ -224,9 +254,7 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             scored = search_freetext_tokens(
                 index, terms, k=None, model=model, candidates=docs
             )
-            if prior is not None:
-                scored = search_mod.blend_doc_prior(scored, prior,
-                                                    lam=prior_lam)
+            scored = _blend(scored)
             if k is not None:
                 scored = search_mod.topk(scored, k)
             # cache before the emptiness probe: the probe executes the
@@ -269,8 +297,7 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
         scored = search_mod.search_rm3(
             index, plan.terms, k=None, fb_docs=rm3_fb_docs,
             fb_terms=rm3_fb_terms, alpha=rm3_alpha, candidates=cand)
-        if prior is not None:
-            scored = search_mod.blend_doc_prior(scored, prior, lam=prior_lam)
+        scored = _blend(scored)
         scored = _page(scored)
         return scored if k is None else topk(scored, k)
 
@@ -282,8 +309,7 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
         scored = search_mod.search_fuzzy(
             index, plan.terms, k=None, max_dist=fuzzy_max_dist,
             model=model, candidates=cand)
-        if prior is not None:
-            scored = search_mod.blend_doc_prior(scored, prior, lam=prior_lam)
+        scored = _blend(scored)
         scored = _page(scored)
         return scored if k is None else topk(scored, k)
 
@@ -294,8 +320,7 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             index, plan.terms, prefixes=plan.prefixes,
             wildcards=plan.wildcards, k=None, model=model,
             candidates=cand)
-        if prior is not None:
-            scored = search_mod.blend_doc_prior(scored, prior, lam=prior_lam)
+        scored = _blend(scored)
         scored = _page(scored)
         return scored if k is None else topk(scored, k)
 
@@ -306,8 +331,7 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
         scored = search_mod.search_synonyms(
             index, plan.terms, synonyms, k=None, weight=synonym_weight,
             model=model, candidates=cand)
-        if prior is not None:
-            scored = search_mod.blend_doc_prior(scored, prior, lam=prior_lam)
+        scored = _blend(scored)
         scored = _page(scored)
         return scored if k is None else topk(scored, k)
 
@@ -340,8 +364,7 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
         merged = merged.unionByName(f)
     if len(frames) > 1:
         merged = merged.groupBy("doc_id").agg(F.sum("score").alias("score"))
-    if prior is not None:
-        merged = search_mod.blend_doc_prior(merged, prior, lam=prior_lam)
+    merged = _blend(merged)
     merged = _page(merged)
     # k=None → the FULL scored frame (df-bounded, never corpus-scale),
     # unsorted: a global sort without a limit is a scale hazard, and the

@@ -289,3 +289,23 @@ def test_date_histogram_day_granularity_and_validation(spark):
     assert [(r.bucket, r.cnt) for r in out] == [(date(2022, 1, 5), 2)]
     with pytest.raises(ValueError):
         serp.date_histogram(hits, dates, granularity="fortnight")
+
+
+def test_executor_recency_parity_and_refusal(spark, built_index, corpus_sdf):
+    from datetime import date
+
+    from search_engine_spark.operators import executor as EX
+
+    dates = corpus_sdf.select(
+        "doc_id", F.to_date("warc_ts").alias("warc_date"))
+    as_of = date(2022, 6, 1)
+    got = {(r.doc_id, round(r.score, 9)) for r in EX.execute(
+        built_index, "market price", k=20, recency=dates,
+        recency_as_of=as_of).collect()}
+    manual = S.topk(S.blend_recency(
+        S.search_freetext_tokens(built_index, ["market", "price"], k=None),
+        dates, as_of), 20)
+    want = {(r.doc_id, round(r.score, 9)) for r in manual.collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="recency_as_of"):
+        EX.execute(built_index, "market", recency=dates)

@@ -550,3 +550,25 @@ def test_stats_endpoint(server):
     # memoized: second call returns the identical scalars
     _, again = _get(server + "/stats")
     assert again == body
+
+
+def test_recency_through_results(server):
+    """recency=HL&as_of= reorders by freshness decay; half-lives and the
+    explicit as_of change scores monotonically (fresher ≥ same doc at a
+    longer age); parameter misuse is a 400, never silently ignored."""
+    _, plain = _get(server + "/results?query=market&k=5")
+    status, fresh = _get(
+        server + "/results?query=market&k=5&recency=30&as_of=2022-06-01")
+    assert status == 200 and fresh["number_of_results"] > 0
+    plain_scores = {r["doc_id"]: r["score"] for r in plain["results"]}
+    for r in fresh["results"]:
+        if r["doc_id"] in plain_scores:
+            # multiplicative decay with floor 0.1 never raises a score
+            assert r["score"] <= plain_scores[r["doc_id"]] + 1e-9
+    for path in (
+        "/results?query=market&recency=30",              # missing as_of
+        "/results?query=market&recency=30&as_of=2022-06-01&wand=1",
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server + path)
+        assert e.value.code == 400, path

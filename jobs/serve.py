@@ -33,6 +33,11 @@ Endpoint parity (reference search/retrieval/urls.py:8-11, views.py):
                                                    top-tf·idf terms of the
                                                    doc as an OR query,
                                                    source excluded)
+    GET /hybrid?query=...&vec_id=N | &vec=f,... → sparse+dense RRF
+                [&k=10][&depth=100]                fusion (needs
+                                                   --embeddings; plain
+                                                   free-text term
+                                                   queries only)
     GET /stats                                   → index statistics
                                                    (n_docs, total_tokens,
                                                    avgdl, n_terms; the
@@ -100,6 +105,7 @@ def create_server(index, port: int = 0, spellchecker=None,
                   prior=None, prior_lam: float = 0.3,
                   synonyms: dict[str, list[str]] | None = None,
                   synonym_weight: float = 0.7,
+                  embeddings=None,
                   ) -> ThreadingHTTPServer:
     """Build (without starting) the HTTP server around a loaded index.
     ``port=0`` binds an ephemeral port (see ``server.server_address``).
@@ -113,7 +119,10 @@ def create_server(index, port: int = 0, spellchecker=None,
     WAND kernel via its iterative-deepening blend (round-4: wand=1 used
     to ignore the prior; now the two paths stay rank-identical with a
     prior configured — the kernel pays one bounded Spark lookup per
-    query for the candidates' prior rows)."""
+    query for the candidates' prior rows).
+    ``embeddings`` (a (vec_id, embedding) DataFrame keyed by doc_id)
+    enables GET /hybrid — sparse+dense RRF fusion; without it the
+    endpoint answers 400."""
     from search_engine_spark.operators import executor, wand
 
     lock = threading.Lock()
@@ -504,6 +513,79 @@ def create_server(index, port: int = 0, spellchecker=None,
                         "retrieval_time":
                             round(time.perf_counter() - t0, 4),
                     })
+                elif parts[0] == "hybrid":
+                    # hybrid sparse+dense retrieval (fusion.search_hybrid):
+                    # GET /hybrid?query=...&vec_id=N[&k=10][&depth=100]
+                    # or &vec=f1,f2,... for an inline query vector. The
+                    # dense run is the exact cosine scan over the loaded
+                    # embedding table; both runs fuse with RRF (rrf_k=60).
+                    if embeddings is None:
+                        raise ValueError(
+                            "hybrid requires the server to be started "
+                            "with --embeddings (no vector table loaded)")
+                    q = parse_qs(u.query)
+                    query = q.get("query", [None])[0]
+                    if not query:
+                        raise ValueError("query parameter required")
+                    kk = int(q.get("k", ["10"])[0])
+                    depth = int(q.get("depth", ["100"])[0])
+                    if not 1 <= kk <= MAX_K:
+                        raise ValueError(
+                            f"k must be in [1, {MAX_K}], got {kk}")
+                    if not kk <= depth <= MAX_K:
+                        raise ValueError(
+                            f"depth must be in [k, {MAX_K}], got {depth}")
+                    from pyspark.sql import functions as _F
+
+                    from search_engine_spark.operators import fusion
+                    from search_engine_spark.plans import planner
+
+                    kind = planner.classify(query, index.analyzer)
+                    if (not isinstance(kind, planner.FreeTextPlan)
+                            or kind.phrases or kind.prefixes
+                            or getattr(kind, "wildcards", None)):
+                        raise ValueError(
+                            "hybrid is defined for plain free-text "
+                            "term queries")
+                    if not kind.terms:
+                        raise ValueError(
+                            "hybrid needs at least one indexable term "
+                            "(query analyzed to nothing)")
+                    if "vec" in q:
+                        qvec = [float(x)
+                                for x in q["vec"][0].split(",") if x]
+                        if not qvec:
+                            raise ValueError("vec= must carry floats")
+                    elif "vec_id" in q:
+                        with lock:
+                            rows = embeddings.filter(
+                                _F.col("vec_id") == int(q["vec_id"][0])
+                            ).limit(1).collect()
+                        if not rows:
+                            self._json(404, {
+                                "error": "vec_id not in the embedding "
+                                         "table"})
+                            return
+                        qvec = [float(x) for x in rows[0].embedding]
+                    else:
+                        raise ValueError(
+                            "hybrid needs vec= (inline floats) or "
+                            "vec_id= (lookup)")
+                    t0 = time.perf_counter()
+                    with lock:
+                        rows = fusion.search_hybrid(
+                            index, embeddings, kind.terms, qvec,
+                            k=kk, depth=depth).collect()
+                    self._json(200, {
+                        "query": query,
+                        "results": [
+                            {"rank": i, "doc_id": int(r.doc_id),
+                             "rrf_score": float(r.rrf_score)}
+                            for i, r in enumerate(rows, 1)],
+                        "number_of_results": len(rows),
+                        "retrieval_time":
+                            round(time.perf_counter() - t0, 4),
+                    })
                 elif parts[0] == "explain":
                     # Lucene-Explanation analog: per-term score breakdown
                     # for one (query, doc) pair — GET /explain?query=&doc=
@@ -592,6 +674,9 @@ def main() -> None:
     ap.add_argument("--synonyms",
                     help="Solr-format synonyms.txt: enables syn=1 "
                          "query-time expansion on /results")
+    ap.add_argument("--embeddings",
+                    help="(vec_id, embedding) parquet keyed by doc_id: "
+                         "enables GET /hybrid sparse+dense RRF fusion")
     ap.add_argument("--synonym-weight", type=float, default=0.7,
                     help="OR-clause weight for expanded synonyms")
     args = ap.parse_args()
@@ -625,11 +710,14 @@ def main() -> None:
         from search_engine_spark.plans.synonyms import load_synonyms
 
         synonyms = load_synonyms(args.synonyms, idx.analyzer)
+    embeddings = (spark.read.parquet(args.embeddings)
+                  if args.embeddings else None)
     srv = create_server(idx, args.port, spellchecker=checker,
                         symbols=symbols, abbreviations=abbreviations,
                         prior=prior, prior_lam=args.prior_lam,
                         synonyms=synonyms,
-                        synonym_weight=args.synonym_weight)
+                        synonym_weight=args.synonym_weight,
+                        embeddings=embeddings)
     print(f"serving on http://127.0.0.1:{srv.server_address[1]}  "
           f"(index={args.index}, n_docs={idx.stats['n_docs']})", flush=True)
     srv.serve_forever()

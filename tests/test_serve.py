@@ -572,3 +572,73 @@ def test_recency_through_results(server):
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(server + path)
         assert e.value.code == 400, path
+
+
+def test_hybrid_through_results(spark, corpus_sdf, tmp_path):
+    """GET /hybrid fuses the BM25 run with the dense cosine run over a
+    loaded embedding table and matches fusion.search_hybrid exactly;
+    vec_id lookup and inline vec= agree; misuse surfaces as 400/404."""
+    import threading
+
+    from jobs.serve import create_server
+    from search_engine_spark.operators import fusion
+
+    d = str(tmp_path / "hyb_idx")
+    catalog.build_durable_index(spark, corpus_sdf, d, shards=2, buckets=16,
+                                block_span=64)
+    idx = catalog.load_index(spark, d, documents=corpus_sdf)
+    # deterministic 4-dim vectors keyed by doc_id (test_fusion's shape)
+    from pyspark.sql import functions as F
+    emb = corpus_sdf.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*[(F.col("doc_id") * (i + 1) % 17).cast("float") + 1.0
+                  for i in range(4)]).alias("embedding"))
+    srv = create_server(idx, port=0, embeddings=emb)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        status, body = _get(base + "/hybrid?query=market&vec_id=1&k=10"
+                                   "&depth=50")
+        assert status == 200 and body["number_of_results"] > 0
+        qvec = [float((1 * (i + 1)) % 17 + 1.0) for i in range(4)]
+        want = [(r.doc_id, round(r.rrf_score, 10))
+                for r in fusion.search_hybrid(idx, emb, ["market"], qvec,
+                                              k=10, depth=50).collect()]
+        got = [(h["doc_id"], round(h["rrf_score"], 10))
+               for h in body["results"]]
+        assert got == want
+        # inline vec= carries the same vector → identical page
+        _, inline = _get(base + "/hybrid?query=market&k=10&depth=50&vec="
+                         + ",".join(str(x) for x in qvec))
+        assert [(h["doc_id"], round(h["rrf_score"], 10))
+                for h in inline["results"]] == want
+        # vec_id not present in the table → 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base + "/hybrid?query=market&vec_id=999999")
+        assert e.value.code == 404
+        for path in (
+            "/hybrid?vec_id=1",                          # missing query
+            "/hybrid?query=market",                      # missing vector
+            "/hybrid?query=market&vec_id=1&k=0",         # bad k
+            "/hybrid?query=market&vec_id=1&k=10&depth=5",  # depth < k
+            '/hybrid?query=%22germany%20economy%22&vec_id=1',  # phrase
+            "/hybrid?query=market%20AND%20stock&vec_id=1",  # boolean
+            "/hybrid?query=the&vec_id=1",            # stopword-only
+        ):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _get(base + path)
+            assert e.value.code == 400, path
+    finally:
+        srv.shutdown()
+    # no embedding table loaded → 400
+    bare = create_server(idx, port=0)
+    t2 = threading.Thread(target=bare.serve_forever, daemon=True)
+    t2.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(f"http://127.0.0.1:{bare.server_address[1]}"
+                 "/hybrid?query=market&vec_id=1")
+        assert e.value.code == 400
+    finally:
+        bare.shutdown()

@@ -1346,6 +1346,42 @@ def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serp.date_histogram(hits, dated, granularity="month")
 
 
+def _cori_setup(spark: SparkSession, sf_dir: str):
+    """Shared setup for the federation entries: 4 md5 hash shards +
+    routing tables over the simple-analyzer index."""
+    from search_engine_spark.operators import federation as fed
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    assignment = fed.assign_shards(docs, 4)
+    ts, sizes = fed.shard_stats(idx.postings, idx.doc_stats, assignment)
+    return fed, idx, ts, sizes
+
+
+def q_cori_shard_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORI resource-selection scores (operators/federation.py) for the
+    bench query over 4 deterministic md5 doc shards — the published
+    belief formula (b=0.4, T·I with shard-size normalization), value-
+    gated against DuckDB computing the identical formula."""
+    fed, _, ts, sizes = _cori_setup(spark, sf_dir)
+    return fed.cori_scores(ts, sizes, _BM25_QUERY_TERMS)
+
+
+def q_cori_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective search end-to-end: CORI-route the bench query to the
+    top-2 of 4 shards, then BM25 with GLOBAL stats over the selected
+    docs only. The oracle re-derives shard choice + restricted scoring
+    in SQL, so routing AND scoring are both value-gated."""
+    fed, idx, ts, sizes = _cori_setup(spark, sf_dir)
+    chosen = fed.select_shards(
+        fed.cori_scores(ts, sizes, _BM25_QUERY_TERMS), 2)
+    sub = fed.restrict_index_hash(idx, 4, chosen)
+    scored = S._scored_frame(sub, _BM25_QUERY_TERMS, "bm25")
+    agg = scored.groupBy("doc_id").agg(
+        F.round(F.sum("weight"), 4).alias("score"))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_doc_tf": q_term_doc_tf,
@@ -1436,6 +1472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": q_bm25f_topk,
         "recency_bm25_topk": q_recency_bm25_topk,
         "date_histogram": q_date_histogram,
+        "cori_shard_scores": q_cori_shard_scores,
+        "cori_routed_topk": q_cori_routed_topk,
     }
 
 
@@ -1517,6 +1555,63 @@ def oracle_sql() -> dict[str, str]:
                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
             FROM tf JOIN q USING (term) JOIN df USING (term)
             JOIN dl USING (doc_id) CROSS JOIN stats s
+        )
+        SELECT doc_id, ROUND(SUM(wt), 4) AS score
+        FROM w GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 100
+    """
+    # CORI resource selection: 4 md5 doc shards (the sampling.hash_bucket
+    # idiom with purpose salt 'shard:'), published belief formula
+    # b + (1-b)·T·I with T = df_s/(df_s + 50 + 150·cw_s/avg_cw) and
+    # I = ln((S+0.5)/cf_t)/ln(S+1); shards holding no query term score
+    # the floor |q|·b
+    cori_cte = f"""
+        WITH tok AS ({_TOK}),
+        sh AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                               || 'shard:'), 1, 8))
+                           AS BIGINT) % 4 AS shard
+               FROM documents),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        st AS (SELECT sh.shard, tf.term, COUNT(*) AS df_s
+               FROM tf JOIN sh USING (doc_id) GROUP BY 1, 2),
+        sizes AS (SELECT sh.shard, COUNT(*) AS cw_s
+                  FROM tok JOIN sh USING (doc_id) GROUP BY 1),
+        a AS (SELECT AVG(cw_s) AS avg_cw, COUNT(*) AS s FROM sizes),
+        q(term) AS (VALUES {bm25_terms}),
+        cf AS (SELECT term, COUNT(*) AS cf_t
+               FROM st JOIN q USING (term) GROUP BY 1),
+        ti AS (SELECT st.shard,
+                      (st.df_s / (st.df_s + 50.0
+                                  + 150.0 * sizes.cw_s / a.avg_cw))
+                      * (LN((a.s + 0.5) / cf.cf_t) / LN(a.s + 1.0)) AS ti
+               FROM st JOIN q USING (term) JOIN cf USING (term)
+               JOIN sizes USING (shard) CROSS JOIN a),
+        cori AS (SELECT sizes.shard,
+                        ROUND(3 * 0.4 + 0.6 * COALESCE(SUM(ti.ti), 0),
+                              6) AS score
+                 FROM sizes LEFT JOIN ti USING (shard) GROUP BY 1)
+    """
+    sql["cori_shard_scores"] = cori_cte + "SELECT shard, score FROM cori"
+    # routed top-k: top-2 shards by (rounded CORI score desc, shard asc),
+    # then the standard GLOBAL-stats BM25 restricted to their docs —
+    # routing changes recall only, never a retrieved doc's score
+    sql["cori_routed_topk"] = cori_cte + f""",
+        top2 AS (SELECT shard FROM cori
+                 ORDER BY score DESC, shard ASC LIMIT 2),
+        sel AS (SELECT doc_id FROM sh
+                WHERE shard IN (SELECT shard FROM top2)),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        w AS (
+            SELECT tf.doc_id,
+                   LN(1 + (s.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+            FROM tf JOIN q USING (term) JOIN dfx USING (term)
+            JOIN dl USING (doc_id) JOIN sel USING (doc_id)
+            CROSS JOIN stats s
         )
         SELECT doc_id, ROUND(SUM(wt), 4) AS score
         FROM w GROUP BY doc_id

@@ -189,6 +189,15 @@ def main() -> None:
         [(qid, _bt[(qid + j) % len(_bt)])
          for qid in range(32) for j in range(3)],
         "query_id long, term string")
+    # federated routing tables are index-time artifacts: built once per
+    # index, cached — q_cori_routed times the per-query work only (the
+    # |q|·|S| CORI routing job + retrieval restricted to the top shards)
+    from search_engine_spark.operators import federation as fed
+
+    _fts, _fsz = fed.shard_stats(idx.postings, idx.doc_stats,
+                                 fed.assign_shards(idx.doc_stats, 8))
+    _fts, _fsz = _fts.cache(), _fsz.cache()
+    _fts.count(), _fsz.count()
     queries = {
         "q_free_single": lambda: executor.execute(idx, "join").count(),
         "q_free_multi": lambda: executor.execute(idx, "join hash scan").count(),
@@ -228,6 +237,12 @@ def main() -> None:
         # per-query cost amortizes to a single postings pass + per-query
         # windows (compare against 32× q_free_multi)
         "q_batch32": lambda: BS.batch_topk(idx, batch_qf, k=10).count(),
+        # selective search: CORI-route to the top-2 of 8 hash shards,
+        # then BM25 with global stats over the selected docs only —
+        # compare q_free_multi (the unrouted 3-term query)
+        "q_cori_routed": lambda: fed.search_routed(
+            idx, ["join", "hash", "scan"], _fts, _fsz,
+            n_shards=8, m=2).count(),
     }
     for name, fn in queries.items():
         if name == "q_vsm":

@@ -1039,6 +1039,49 @@ def main() -> int:
         ],
     )
 
+    # 42. CORI resource selection: the routing tables are index-time
+    # artifacts — persisted here so the audit sees the serving shape.
+    # Query-time cost is |q|·|S| rows: the term filter pushes into the
+    # routing-table scan, cf and shard sizes are broadcast.
+    from search_engine_spark.operators import federation as FED
+
+    tmp42 = tempfile.mkdtemp(prefix="audit_cori_")
+    asg42 = FED.assign_shards(docs, 4)
+    ts_mem, sz_mem = FED.shard_stats(mem.postings, mem.doc_stats, asg42)
+    ts_mem.write.parquet(os.path.join(tmp42, "ts"))
+    sz_mem.write.parquet(os.path.join(tmp42, "sizes"))
+    ts42 = spark.read.parquet(os.path.join(tmp42, "ts"))
+    sz42 = spark.read.parquet(os.path.join(tmp42, "sizes"))
+    p42 = plan_of(FED.cori_scores(ts42, sz42, ["market", "price"]))
+    check(
+        "CORI shard resource selection", p42,
+        [
+            ("query terms pushed to the routing-table scan",
+             r"PushedFilters: \[.*[Ii]n\(term", True),
+            ("cf / shard-size joins are broadcast",
+             r"BroadcastHashJoin", True),
+            ("no SortMergeJoin on the |q|·|S| frame", r"SortMergeJoin", False),
+            ("no row-at-a-time Python UDF", r"BatchEvalPython", False),
+        ],
+    )
+
+    # 43. routed search over hash shards: the shard restriction is a
+    # pure deterministic-expression FILTER — it adds NO join and no
+    # exchange relative to the unrouted query plan, so routing costs
+    # nothing beyond skipping (S-m)/S of the postings
+    sub43 = FED.restrict_index_hash(mem, 4, [0, 2])
+    p43 = plan_of(S.search_freetext_tokens(sub43, ["market", "price"], k=100))
+    check(
+        "CORI-routed search (hash-shard restriction)", p43,
+        [
+            ("restriction is a filter, not a join (no semi join)",
+             r"LeftSemi", False),
+            ("final cut is TakeOrderedAndProject",
+             r"TakeOrderedAndProject", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -266,6 +266,19 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type co-occurrence with lift
+    (operators/events.py) — min_sessions=2 prunes noise pairs; the
+    oracle replays the session CTE + pair self-join + lift in SQL."""
+    from search_engine_spark.operators import events as EV
+    from search_engine_spark.sources.corpus import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events")
+    return EV.session_cooccurrence(ev, 30, min_sessions=2).select(
+        "type_a", "type_b",
+        F.col("n_sessions").cast("long").alias("n_sessions"), "lift")
+
+
 def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators import events as EV
     from search_engine_spark.sources.corpus import read_testdata
@@ -1403,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "tumbling_counts": q_tumbling_counts,
         "sessionize": q_sessionize,
+        "session_cooccurrence": q_session_cooccurrence,
         "user_stats": q_user_stats,
         "window_topk": q_window_topk,
         "lm_mixed_phrase": q_lm_mixed_phrase,
@@ -2317,6 +2331,45 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
                    MAX(ts) AS session_end, COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS total_value
             FROM numbered GROUP BY user_id, session_id
+        """,
+        "session_cooccurrence": """
+            WITH marked AS (
+                SELECT *,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+                SELECT *, SUM(new_session) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            ),
+            mem AS (SELECT DISTINCT user_id, session_id, event_type
+                    FROM numbered),
+            tot AS (SELECT COUNT(*) AS n_total FROM
+                    (SELECT DISTINCT user_id, session_id FROM mem)),
+            singles AS (SELECT event_type, COUNT(*) AS n_type
+                        FROM mem GROUP BY 1),
+            pairs AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       COUNT(*) AS n_sessions
+                FROM mem a JOIN mem b
+                  ON a.user_id = b.user_id
+                 AND a.session_id = b.session_id
+                 AND a.event_type < b.event_type
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 2
+            )
+            SELECT type_a, type_b, n_sessions,
+                   ROUND(n_sessions * (SELECT n_total FROM tot) * 1.0
+                         / (sa.n_type * sb.n_type), 6) AS lift
+            FROM pairs
+            JOIN singles sa ON sa.event_type = type_a
+            JOIN singles sb ON sb.event_type = type_b
         """,
         "user_stats": """
             SELECT user_id, COUNT(*) AS n_events,

@@ -13,6 +13,8 @@ for the DuckDB oracle:
 * sessionize      — gap-based sessions: lag + cumulative-sum-of-breaks
                     (the batch formulation of session windows; the
                     streaming formulation lives in streaming/incremental)
+* session_cooccurrence — within-session type co-occurrence with lift
+                    (the "related searches" / market-basket shape)
 * user_stats      — per-user aggregates incl. exact value percentiles
 * decayed_counts  — exponentially time-decayed event counts (recency-
                     weighted activity, the freshness signal rankers and
@@ -50,9 +52,8 @@ def sliding_topk(events: DataFrame, minutes: int = 60, k: int = 3) -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Gap-based sessionization → (user_id, session_id, session_start,
-    session_end, n_events, total_value).
+def with_session_ids(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Events + a per-user ``session_id`` column (gap-based).
 
     lag over (user_id, ts) marks breaks; a running sum of breaks numbers
     the sessions — the standard batch windowing identity. One shuffle
@@ -67,13 +68,21 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     # oracle's epoch_us; integer µs arithmetic has no float boundary.
     epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = epoch - F.lag(epoch).over(byu)
-    marked = events.withColumn(
+    return events.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1)
         .otherwise(0),
-    ).withColumn("session_id", F.sum("new_session").over(byu))
+    ).withColumn("session_id", F.sum("new_session").over(byu)) \
+     .drop("new_session")
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization → (user_id, session_id, session_start,
+    session_end, n_events, total_value). See ``with_session_ids`` for
+    the windowing identity and its scale shape."""
     return (
-        marked.groupBy("user_id", "session_id")
+        with_session_ids(events, gap_minutes)
+        .groupBy("user_id", "session_id")
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
@@ -81,6 +90,52 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+def session_cooccurrence(events: DataFrame, gap_minutes: int = 30,
+                         min_sessions: int = 1) -> DataFrame:
+    """Within-session co-occurrence of event types with lift — the
+    "related searches" / market-basket shape over a behavior log:
+    → (type_a, type_b, n_sessions, lift), type_a < type_b.
+
+    ``n_sessions`` = sessions containing BOTH types;
+    ``lift`` = P(a,b) / (P(a)·P(b)) with probabilities over sessions —
+    >1 means the pair co-occurs more than independent popularity
+    predicts (the signal that separates "related" from "both popular").
+
+    Scale shape: session membership is deduped to (user, session, type)
+    FIRST, so the self-join that forms pairs is keyed on the session and
+    bounded by |event-type alphabet| rows per session — linear in
+    sessions, never quadratic in events. Per-type session counts are a
+    tiny frame (|alphabet| rows) broadcast into the lift join; the
+    session total is one O(1) driver aggregate. ``min_sessions`` prunes
+    noise pairs before the broadcast joins.
+    """
+    if min_sessions < 1:
+        raise ValueError(f"min_sessions must be >= 1: {min_sessions}")
+    mem = (with_session_ids(events, gap_minutes)
+           .select("user_id", "session_id", "event_type")
+           .distinct())
+    # bounded driver scalar: total distinct sessions
+    n_total = (mem.select("user_id", "session_id").distinct().count())
+    singles = mem.groupBy("event_type").agg(
+        F.count("*").alias("n_type"))
+    a, b = mem.alias("a"), mem.alias("b")
+    pairs = (a.join(b, ["user_id", "session_id"])
+             .filter(F.col("a.event_type") < F.col("b.event_type"))
+             .groupBy(F.col("a.event_type").alias("type_a"),
+                      F.col("b.event_type").alias("type_b"))
+             .agg(F.count("*").alias("n_sessions"))
+             .filter(F.col("n_sessions") >= min_sessions))
+    sa = F.broadcast(singles.select(F.col("event_type").alias("type_a"),
+                                    F.col("n_type").alias("n_a")))
+    sb = F.broadcast(singles.select(F.col("event_type").alias("type_b"),
+                                    F.col("n_type").alias("n_b")))
+    return (pairs.join(sa, "type_a").join(sb, "type_b")
+            .select("type_a", "type_b", "n_sessions",
+                    F.round(F.col("n_sessions") * F.lit(float(n_total))
+                            / (F.col("n_a") * F.col("n_b")), 6)
+                    .alias("lift")))
 
 
 def user_stats(events: DataFrame) -> DataFrame:

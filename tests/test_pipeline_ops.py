@@ -248,6 +248,38 @@ def test_events_sessionize(spark):
     assert topk.groupBy("window_start").count().agg(F.max("count")).collect()[0][0] <= 2
 
 
+def test_session_cooccurrence_hand_computed(spark):
+    from datetime import datetime as DT
+
+    # user 1: one session {a,b,a} -> types {a,b}; a second session {a}
+    # (gap > 30 min). user 2: one session {b,c}.  Sessions: S=3,
+    # n(a)=2, n(b)=2, n(c)=1; pairs: (a,b)=1, (b,c)=1.
+    rows = [
+        (0, DT(2024, 1, 1, 10, 0), 1, "a", 0.0, None),
+        (1, DT(2024, 1, 1, 10, 5), 1, "b", 0.0, None),
+        (2, DT(2024, 1, 1, 10, 6), 1, "a", 0.0, None),
+        (3, DT(2024, 1, 1, 12, 0), 1, "a", 0.0, None),
+        (4, DT(2024, 1, 1, 9, 0), 2, "b", 0.0, None),
+        (5, DT(2024, 1, 1, 9, 1), 2, "c", 0.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r.type_a, r.type_b): (r.n_sessions, r.lift)
+           for r in events.session_cooccurrence(ev, 30).collect()}
+    # lift(a,b) = 1·3/(2·2) = 0.75 ; lift(b,c) = 1·3/(2·1) = 1.5
+    assert got == {("a", "b"): (1, 0.75), ("b", "c"): (1, 1.5)}
+    # min_sessions prunes singleton pairs
+    assert events.session_cooccurrence(ev, 30, min_sessions=2).count() == 0
+    # widening the gap merges user 1's sessions: S=2, n(a)=1, n(b)=2,
+    # n(c)=1 -> both lifts 1·2/(1·2) = 1.0 (independence)
+    wide = {(r.type_a, r.type_b): (r.n_sessions, r.lift)
+            for r in events.session_cooccurrence(ev, 300).collect()}
+    assert wide == {("a", "b"): (1, 1.0), ("b", "c"): (1, 1.0)}
+    with pytest.raises(ValueError, match="min_sessions"):
+        events.session_cooccurrence(ev, 30, min_sessions=0)
+
+
 def test_ivf_exact_when_probing_all_cells(spark, emb):
     q = list(emb.collect()[5].embedding)
     cent = similarity.ivf_fit(emb, n_centroids=8, iters=5)

@@ -323,6 +323,36 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textquality.language_id(_docs(spark, sf_dir))
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule features + pass flag (textquality.gopher_quality,
+    Rae et al. 2021 §A1.1 thresholds). The synthetic corpus fails the
+    ≥2-function-words rule corpus-wide, so the gate's discrimination
+    comes from the per-doc FEATURE columns (n_words 10–99, mean word
+    length, ratios); the pass-flag semantics are pinned per-rule by
+    hand-built docs in tests/test_analysis.py."""
+    from search_engine_spark.operators import textquality
+
+    return textquality.gopher_quality(_docs(spark, sf_dir))
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page cleanup (textquality.c4_line_filter, Raffel et al. 2020
+    §2.2). The synthetic corpus has no sentence punctuation, so the
+    driver gate runs the documented no-punctuation parameterization
+    (require_terminal_punct=False, min_words_per_line=35,
+    min_kept_lines=1): the word-count line rule splits the corpus
+    358 survivors / 142 killed and the rebuilt text varies per doc;
+    the punctuation/javascript/brace/lorem rules are pinned by
+    hand-built docs in tests/test_analysis.py."""
+    from search_engine_spark.operators import textquality
+
+    return textquality.c4_line_filter(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        min_words_per_line=35, min_kept_lines=1,
+        require_terminal_punct=False,
+    ).select("doc_id", "text", "n_lines", "n_lines_kept", "killed_by")
+
+
 def q_wand_bm25_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end durable-index serving path: build the segment store on
     disk, run the Block-Max WAND kernel over the encoded blocks (varint
@@ -1422,6 +1452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_mixed_phrase": q_lm_mixed_phrase,
         "curated_corpus": q_curated_corpus,
         "quality_score": q_quality_score,
+        "gopher_quality": q_gopher_quality,
+        "c4_filters": q_c4_line_filter,
         "near_dup_pairs": q_near_dup_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "minhash_survivors": q_minhash_survivors,
@@ -2394,6 +2426,92 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
             ) WHERE rnk <= 3
         """,
         "quality_score": _quality_score_sql(),
+        # Gopher rules (Rae et al. 2021 §A1.1): every feature recomputed
+        # from scratch in DuckDB — word split is the same ASCII \s+
+        # class, ellipsis counts both '...' (non-overlapping, via the
+        # replace-length trick both engines share) and U+2026.
+        "gopher_quality": r"""
+            WITH feats AS (
+                SELECT doc_id, coalesce(text, '') AS t,
+                       list_filter(string_split_regex(coalesce(text, ''),
+                                                      '\s+'),
+                                   x -> x != '') AS words,
+                       string_split(coalesce(text, ''), chr(10)) AS lines
+                FROM documents
+            ), agg AS (
+                SELECT doc_id, len(words) AS n_words, len(lines) AS n_lines,
+                       length(regexp_replace(t, '\s+', '', 'g')) AS char_sum,
+                       len(list_filter(words,
+                           w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+                       len(list_intersect(
+                           list_distinct(list_transform(words,
+                                                        w -> lower(w))),
+                           ['the','be','to','of','and','that','have','with']
+                       )) AS n_stop,
+                       length(t) - length(replace(t, '#', '')) AS n_hash,
+                       (length(t) - length(replace(t, '...', ''))) / 3
+                           AS n_dots,
+                       length(t) - length(replace(t, '…', '')) AS n_uell,
+                       len(list_filter(lines,
+                           l -> regexp_matches(l, '^[ \t]*[-*•]')))
+                           AS n_bullet,
+                       len(list_filter(lines,
+                           l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$')))
+                           AS n_ell_end
+                FROM feats
+            ), cols AS (
+                SELECT doc_id, n_words,
+                       CASE WHEN n_words > 0
+                            THEN round(char_sum * 1.0 / n_words, 6)
+                            ELSE 0.0 END AS mean_word_len,
+                       CASE WHEN n_words > 0
+                            THEN round(n_alpha * 1.0 / n_words, 6)
+                            ELSE 0.0 END AS frac_alpha,
+                       n_stop AS n_stop_hits,
+                       CASE WHEN n_words > 0
+                            THEN round((n_hash + n_dots + n_uell) * 1.0
+                                       / n_words, 6)
+                            ELSE 0.0 END AS symbol_ratio,
+                       round(n_bullet * 1.0 / n_lines, 6) AS bullet_frac,
+                       round(n_ell_end * 1.0 / n_lines, 6) AS ellipsis_frac
+                FROM agg
+            )
+            SELECT *,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                    AND ellipsis_frac <= 0.3 AND frac_alpha >= 0.8
+                    AND n_stop_hits >= 2) AS gopher_pass
+            FROM cols
+        """,
+        # C4 cleanup, the q_c4_line_filter parameterization: line rule =
+        # ≥35 ASCII-\s+ words AND no 'javascript'; page rule chain
+        # brace → lorem_ipsum → too_few_lines(<1 kept).
+        "c4_filters": r"""
+            WITH ln AS (
+                SELECT doc_id, coalesce(text, '') AS t,
+                       string_split(coalesce(text, ''), chr(10)) AS lines
+                FROM documents
+            ), k AS (
+                SELECT doc_id, t, lines,
+                       list_filter(lines, l ->
+                           len(list_filter(string_split_regex(l, '\s+'),
+                                           x -> x != '')) >= 35
+                           AND NOT contains(lower(l), 'javascript')) AS kept
+                FROM ln
+            )
+            SELECT doc_id,
+                   -- array_to_string([]) is NULL in DuckDB but
+                   -- array_join([]) is '' in Spark; pin ''
+                   coalesce(array_to_string(kept, chr(10)), '') AS text,
+                   len(lines) AS n_lines, len(kept) AS n_lines_kept,
+                   CASE WHEN contains(t, '{') THEN 'brace'
+                        WHEN contains(lower(t), 'lorem ipsum')
+                             THEN 'lorem_ipsum'
+                        WHEN len(kept) < 1 THEN 'too_few_lines'
+                   END AS killed_by
+            FROM k
+        """,
         # mirrors classifier.classifier_scores(QUALITY_CLF_W) over
         # doc_features(quality_score): σ of the LEFT-FOLD dot product
         # (addition order matters at the ulp level — the SQL mirrors the

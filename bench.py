@@ -353,6 +353,16 @@ def main() -> None:
         "q_recency": lambda: _recency(docs),
         # monthly results-over-time facet for the 'join' match set
         "p_date_histogram": lambda: _date_hist(docs),
+        # Gopher rule battery (7 rules, pure JVM expressions)
+        "p_gopher_rules": lambda: textquality.gopher_quality(docs)
+        .filter(F.col("gopher_pass")).count(),
+        # C4 page cleanup (line rules + kill chain, row-local)
+        "p_c4_cleanup": lambda: textquality.c4_line_filter(
+            docs, min_words_per_line=35, min_kept_lines=1,
+            require_terminal_punct=False)
+        .filter(F.col("killed_by").isNull()).count(),
+        # within-session event-type co-occurrence + lift
+        "p_session_cooc": lambda: _session_cooc(),
     }
     def _hash_kmeans(docs_df):
         from search_engine_spark.operators import clustering, vectorize
@@ -371,6 +381,12 @@ def main() -> None:
 
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return EV2.decayed_counts(ev, half_life_minutes=1440.0).count()
+
+    def _session_cooc():
+        from search_engine_spark.operators import events as EV2
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return EV2.session_cooccurrence(ev, 30, min_sessions=2).count()
 
     def _quality_clf(docs_df):
         from search_engine_spark.operators import classifier

@@ -50,6 +50,9 @@ def curate(
     classifier_weights: list[float] | None = None,
     min_clf_prob: float = 0.5,
     minhash_threshold: float | None = None,
+    gopher: bool = False,
+    c4_min_kept_lines: int | None = None,
+    c4_require_terminal_punct: bool = True,
     max_dup_line_ratio: float | None = None,
     max_top_bigram_frac: float | None = None,
     max_bits_per_token: float | None = None,
@@ -74,6 +77,15 @@ def curate(
     (operators.classifier, FineWeb-style) right after the rule-based
     one: docs with σ(w·x) < ``min_clf_prob`` are dropped. Weights come
     from a prior ``train_quality_classifier`` run.
+    ``gopher=True`` runs the published Gopher rule battery
+    (textquality.gopher_quality, Rae et al. §A1.1) right after the
+    rule-based quality filter — row-local, so it stays pre-shuffle.
+    ``c4_min_kept_lines`` enables C4 page cleanup
+    (textquality.c4_line_filter): line-level pruning rewrites the text
+    and page-level kills drop rows, BEFORE language/quality so every
+    later signal sees the cleaned text; pass
+    ``c4_require_terminal_punct=False`` for corpora without sentence
+    punctuation.
     ``max_dup_line_ratio``/``max_top_bigram_frac`` enable the Gopher-style
     repetition filter (textquality.repetition_stats) between the quality
     filter and dedup — boilerplate pruning belongs before the
@@ -176,6 +188,17 @@ def curate(
             cur, min_docs=dedup_line_min_docs, text_col=text_col
         ).drop("n_lines_dropped")
         checkpoint("dedup_lines")
+    if c4_min_kept_lines is not None:
+        # C4 page cleanup (textquality.c4_line_filter): row-local text
+        # rewrite + page kills, so it belongs with the other pre-shuffle
+        # text hygiene — every later signal sees the cleaned text
+        c4f = textquality.c4_line_filter(
+            cur, min_kept_lines=c4_min_kept_lines,
+            require_terminal_punct=c4_require_terminal_punct,
+            text_col=text_col)
+        cur = (c4f.filter(F.col("killed_by").isNull())
+               .drop("n_lines", "n_lines_kept", "killed_by"))
+        checkpoint("c4_cleanup")
     if languages:
         keep = (
             textquality.language_id(cur, text_col)
@@ -194,6 +217,16 @@ def curate(
     )
     cur = cur.join(keep, "doc_id", "left_semi")
     checkpoint("quality")
+    if gopher:
+        # Gopher rule set (textquality.gopher_quality): the published
+        # web-corpus filter battery; row-local like the quality stage
+        keep = (
+            textquality.gopher_quality(cur, text_col=text_col)
+            .filter(F.col("gopher_pass"))
+            .select("doc_id")
+        )
+        cur = cur.join(keep, "doc_id", "left_semi")
+        checkpoint("gopher")
     if classifier_weights is not None:
         # learned quality filter (operators.classifier) right after the
         # rule-based one: σ(w·x) over the same quality_score features —

@@ -496,3 +496,148 @@ def bigram_logprob(docs: DataFrame, lam: float = 0.8,
             .alias("bits_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1) — the
+# published rule set most large webtext pipelines (MassiveWeb,
+# RefinedWeb, Dolma) start from. Pure JVM column expressions: every
+# feature is a per-row array/string computation, so the operator is
+# shuffle-free and whole-stage-codegen'd end to end.
+# ---------------------------------------------------------------------------
+
+#: Gopher's "must contain at least 2 of" function-word list (§A1.1).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame, min_words: int = 50,
+                   max_words: int = 100_000,
+                   text_col: str = "text") -> DataFrame:
+    """Per-doc Gopher rule features + the composite pass flag →
+    (doc_id, n_words, mean_word_len, frac_alpha, n_stop_hits,
+    symbol_ratio, bullet_frac, ellipsis_frac, gopher_pass).
+
+    Published thresholds (Rae et al. §A1.1), all pinned here:
+    ``min_words ≤ n_words ≤ max_words``; mean word length in [3, 10];
+    symbol-to-word ratio ('#' or ellipsis) ≤ 0.1; ≤ 90% of lines start
+    with a bullet; ≤ 30% of lines end with an ellipsis; ≥ 80% of words
+    contain an alphabetic character; ≥ 2 of the 8 Gopher function words
+    present. Ratios are rounded to 6 for DuckDB-oracle parity; empty/
+    NULL text fails the word-count rule with every ratio 0.0. Word split
+    is the ASCII ``\\s+`` class ``_tokens`` uses; ellipses count both
+    the three-dot spelling and U+2026."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = _tokens(text_col)
+    lines = F.split(t, "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)  # split never yields an empty array
+    # Σ word lengths == chars left after deleting every whitespace run
+    char_sum = F.length(F.regexp_replace(t, r"\s+", ""))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+    ))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_dots = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    n_uell = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    n_bullet = F.size(F.filter(
+        lines, lambda l: l.rlike(r"^[ \t]*[-*•]")))
+    n_ellipsis_end = F.size(F.filter(
+        lines, lambda l: l.rlike(r"(\.\.\.|…)[ \t]*$")))
+
+    def ratio(num, den):
+        return F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
+
+    d = docs.select(
+        "doc_id",
+        n_words.cast(LongType()).alias("n_words"),
+        ratio(char_sum, n_words).alias("mean_word_len"),
+        ratio(n_alpha, n_words).alias("frac_alpha"),
+        n_stop.cast(LongType()).alias("n_stop_hits"),
+        ratio(n_hash + n_dots + n_uell, n_words).alias("symbol_ratio"),
+        F.round(n_bullet / n_lines, 6).alias("bullet_frac"),
+        F.round(n_ellipsis_end / n_lines, 6).alias("ellipsis_frac"),
+    )
+    gopher_pass = (
+        F.col("n_words").between(int(min_words), int(max_words))
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_frac") <= 0.9)
+        & (F.col("ellipsis_frac") <= 0.3)
+        & (F.col("frac_alpha") >= 0.8)
+        & (F.col("n_stop_hits") >= 2)
+    )
+    return d.withColumn("gopher_pass", gopher_pass)
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic cleanup (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning...", §2.2) — the line-level + page-level rules the
+# C4 corpus was built with. Row-local like gopher_quality: one
+# shuffle-free projection.
+# ---------------------------------------------------------------------------
+
+#: C4's terminal punctuation set: period, exclamation mark, question
+#: mark, end quotation mark (straight + curly).
+C4_TERMINALS = (".", "!", "?", '"', "”")
+
+
+def c4_line_filter(docs: DataFrame, min_words_per_line: int = 3,
+                   min_kept_lines: int = 5,
+                   require_terminal_punct: bool = True,
+                   badwords: list[str] | None = None,
+                   text_col: str = "text") -> DataFrame:
+    """C4's page cleanup → the input columns with ``text_col`` rebuilt
+    from the KEPT lines, plus (n_lines, n_lines_kept, killed_by).
+
+    Line rules (a line survives iff ALL hold): ≥ ``min_words_per_line``
+    words; does not contain the word "javascript" (case-insensitive);
+    with ``require_terminal_punct`` (the paper's rule — pass False for
+    corpora without sentence punctuation), ends in one of
+    ``C4_TERMINALS`` after right-trim. Empty lines are dropped (unlike
+    ``dedup_lines``: C4 rebuilds pages from surviving sentences, it does
+    not preserve spacing).
+
+    Page rules (``killed_by``, first match; NULL = survivor): 'brace'
+    (contains "{" — the paper's code/JS heuristic), 'lorem_ipsum',
+    'badword' (any of ``badwords`` as a substring of the lowercased
+    text — the paper uses a public blocklist; ship your own, none is
+    bundled), 'too_few_lines' (fewer than ``min_kept_lines`` surviving
+    lines — the paper's ≥5-sentence rule with kept lines as the
+    sentence proxy). The doc set is preserved — dropping killed rows is
+    downstream policy, mirroring ``dedup_lines``."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(t)
+    lines = F.split(t, "\n")
+
+    def line_ok(l):
+        n_w = F.size(F.filter(F.split(l, r"\s+"), lambda x: x != ""))
+        ok = (n_w >= int(min_words_per_line)) \
+            & ~F.contains(F.lower(l), F.lit("javascript"))
+        if require_terminal_punct:
+            term = F.lit(False)
+            for p in C4_TERMINALS:
+                term = term | F.endswith(F.rtrim(l), F.lit(p))
+            ok = ok & term
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    killed = F.when(F.contains(t, F.lit("{")), "brace") \
+        .when(F.contains(low, F.lit("lorem ipsum")), "lorem_ipsum")
+    if badwords:
+        bad = F.lit(False)
+        for w in badwords:
+            bad = bad | F.contains(low, F.lit(str(w).lower()))
+        killed = killed.when(bad, "badword")
+    killed = killed.when(F.size(kept) < int(min_kept_lines),
+                         "too_few_lines")
+    others = [c for c in docs.columns if c != text_col]
+    return docs.select(
+        *others,
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(lines).cast(LongType()).alias("n_lines"),
+        F.size(kept).cast(LongType()).alias("n_lines_kept"),
+        killed.cast(StringType()).alias("killed_by"),
+    )

@@ -389,6 +389,37 @@ def q_wand_bm25_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
 
 
+def q_maxscore_bm25_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable-index serving path #2: the MaxScore kernel
+    (operators/maxscore.py, Turtle & Flood 1995) over the same on-disk
+    segment store, gated against the SAME BM25 SQL oracle as WAND and
+    the relational path. Exhaustive k decodes every block, so this gate
+    pins the end-to-end decode+score path; pruning exactness at small k
+    is pinned by the fuzzed three-way identity in tests/test_maxscore.py."""
+    import shutil
+    import tempfile
+
+    from search_engine_spark.operators import maxscore as MS
+    from search_engine_spark.sources import catalog
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ms_contract_")
+    try:
+        d = tmp + "/idx"
+        catalog.build_durable_index(spark, docs, d, conf=SIMPLE, shards=2,
+                                    buckets=16, block_span=64,
+                                    positional=False)
+        idx = catalog.load_index(spark, d)
+        hits = MS.search_maxscore(idx, " ".join(_BM25_QUERY_TERMS),
+                                  k=1 << 30)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    raw = spark.createDataFrame(
+        [(int(doc), float(s)) for doc, s in hits], "doc_id long, raw double")
+    return (raw.select("doc_id", F.round("raw", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (collapsed representation). The md5-based
     hash construction is reproduced bit-for-bit by the DuckDB oracle, so
@@ -1459,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_survivors": q_minhash_survivors,
         "language_id": q_language_id,
         "wand_bm25_identity": q_wand_bm25_identity,
+        "maxscore_bm25_identity": q_maxscore_bm25_identity,
         "train_split": q_train_split,
         "pack_sequences": q_pack_sequences,
         "knn_join": q_knn_join,
@@ -1533,6 +1565,9 @@ def oracle_sql() -> dict[str, str]:
     # the WAND serving path must reproduce EXACTLY the relational BM25
     # oracle — same query terms, same formula, same rounding/tie-break
     sql["wand_bm25_identity"] = sql["bm25_topk"]
+    # the MaxScore kernel (operators.maxscore) is the second serving
+    # kernel over the same segments — same oracle, same contract
+    sql["maxscore_bm25_identity"] = sql["bm25_topk"]
     # RM3 at alpha=1 must reproduce plain BM25 exactly (zero-weight
     # expansion terms dropped, unnormalized q_tf) — same oracle
     sql["rm3_alpha1_identity"] = sql["bm25_topk"]

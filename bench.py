@@ -170,6 +170,16 @@ def main() -> None:
 
     timed("q_wand_cold", q_wand)
     timed("q_wand_warm", q_wand)
+
+    def q_ms():
+        from search_engine_spark.operators import maxscore as MS
+
+        return len(MS.search_maxscore(seg_idx, "market price growth",
+                                      k=100))
+
+    # warm mini-index (shared LRU with WAND): pure driver kernel time —
+    # the head-to-head the two dynamic-pruning families are compared on
+    timed("q_maxscore_warm", q_ms)
     shutil.rmtree(seg_dir, ignore_errors=True)
 
     # -- phase 3: warm query latencies --------------------------------------

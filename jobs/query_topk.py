@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--model", default="bm25")
     ap.add_argument("--wand", action="store_true")
+    ap.add_argument("--kernel", choices=["wand", "maxscore"], default=None,
+                    help="segment serving kernel (implies the --wand "
+                         "path; --wand alone means --kernel wand)")
     ap.add_argument("--date-start")
     ap.add_argument("--date-end")
     ap.add_argument("--documents")
@@ -88,6 +91,11 @@ def main() -> None:
                          "tombstone batches with id <= this (-1 = the "
                          "pre-delete snapshot; default = live view)")
     args = ap.parse_args()
+    # --kernel maxscore rides the segment-kernel path: every --wand
+    # guard below (rm3/fuzzy/mm/synonyms/cursor/date/recency refusals)
+    # applies identically to both kernels
+    if args.kernel is not None:
+        args.wand = True
     if args.rm3_alpha is not None:
         if args.wand:
             ap.error("--rm3-alpha needs the relational path; drop --wand")
@@ -170,7 +178,8 @@ def main() -> None:
                 "--recency-half-life requires --documents with a "
                 "warc_ts/warc_date column")
 
-    if args.wand:
+    kernel = args.kernel or ("wand" if args.wand else None)
+    if kernel:
         query = args.query
         if checker is not None or abbreviations:
             # Classify BEFORE correcting (mirrors jobs/serve.py): a
@@ -191,8 +200,15 @@ def main() -> None:
         # prior blends on the WAND path too (round-4 parity): the kernel
         # pays one bounded Spark lookup per query for candidate priors
         prior = spark.read.parquet(args.prior) if args.prior else None
-        hits = wand.search_wand(idx, query, k=args.k,
-                                prior=prior, prior_lam=args.prior_lam)
+        if kernel == "maxscore":
+            from search_engine_spark.operators import maxscore as MS
+
+            hits = MS.search_maxscore(idx, query, k=args.k,
+                                      prior=prior,
+                                      prior_lam=args.prior_lam)
+        else:
+            hits = wand.search_wand(idx, query, k=args.k,
+                                    prior=prior, prior_lam=args.prior_lam)
     else:
         prior = spark.read.parquet(args.prior) if args.prior else None
         df = executor.execute(

@@ -6,7 +6,7 @@ Endpoint parity (reference search/retrieval/urls.py:8-11, views.py):
     GET /                                        → liveness/info
     GET /results?query=...[&date_start=YYYY-MM-DD&date_end=...]
                 [&model=bm25|bm25-reference|vsm|lm-dirichlet|lm-pyp]
-                [&k=100][&wand=1][&snippets=1]
+                [&k=100][&wand=1|&kernel=wand|maxscore][&snippets=1]
                 [&collapse_host=N][&rm3=0.6]
                 [&fuzzy=1][&mm=2][&syn=1]
                 [&recency=HL&as_of=YYYY-MM-DD]   → first-execution path
@@ -62,10 +62,13 @@ Responses are JSON (an engine serves data, not Django templates): the
 same context keys the reference renders — results, number_of_results,
 retrieval_time, term_been_corrected, corrected_query, original_query.
 
-``wand=1`` routes free-text queries through the Block-Max WAND kernel +
-driver mini-index LRU (repeat-term queries answer in ~15 ms with zero
-Spark jobs — serving-grade latency); it is rejected for date-filtered
-requests for the same reason jobs/query_topk.py rejects the combination.
+``wand=1`` (alias ``kernel=wand``) routes free-text queries through the
+Block-Max WAND kernel + driver mini-index LRU (repeat-term queries
+answer in ~15 ms with zero Spark jobs — serving-grade latency);
+``kernel=maxscore`` picks the MaxScore kernel over the same mini-index
+(operators.maxscore — rank-identical, decodes fewer blocks on
+head-term-heavy queries). Both are rejected for date-filtered requests
+for the same reason jobs/query_topk.py rejects the combination.
 
 A single lock serializes query execution: one Spark driver serves the
 plans, and the WAND kernel mutates the driver-side LRU.
@@ -158,7 +161,7 @@ def create_server(index, port: int = 0, spellchecker=None,
                 "doc_id", F.to_date("warc_ts").alias("warc_date"))
 
     def run_query(query: str, k: int, model: str, ds, de,
-                  first_execution: bool, use_wand: bool,
+                  first_execution: bool, kernel: str | None,
                   want_snippets: bool = False,
                   collapse_host: int = 0,
                   rm3_alpha: float | None = None,
@@ -169,6 +172,13 @@ def create_server(index, port: int = 0, spellchecker=None,
                   recency_hl: float | None = None,
                   recency_as_of=None) -> dict:
         t0 = time.perf_counter()
+        # kernel: None = relational path; "wand"/"maxscore" = the two
+        # segment serving kernels (same guards — both are bag-of-words
+        # BM25 heaps over the driver mini-index)
+        if kernel not in (None, "wand", "maxscore"):
+            raise ValueError(
+                f"kernel must be 'wand' or 'maxscore', got {kernel!r}")
+        use_wand = kernel is not None
         if not 1 <= k <= MAX_K:
             # negative k raises deep inside Spark's limit() (a 500), and
             # an unbounded k lets one request collect the whole index
@@ -286,8 +296,17 @@ def create_server(index, port: int = 0, spellchecker=None,
                     raise ValueError(
                         "wand=1 does not support date filtering; "
                         "use the relational path")
-                hits = wand.search_wand(index, executed, k=k,
-                                        prior=prior, prior_lam=prior_lam)
+                if kernel == "maxscore":
+                    from search_engine_spark.operators import (
+                        maxscore as _ms)
+
+                    hits = _ms.search_maxscore(
+                        index, executed, k=k,
+                        prior=prior, prior_lam=prior_lam)
+                else:
+                    hits = wand.search_wand(index, executed, k=k,
+                                            prior=prior,
+                                            prior_lam=prior_lam)
             elif collapse_host:
                 from search_engine_spark.operators import serp
 
@@ -440,7 +459,9 @@ def create_server(index, port: int = 0, spellchecker=None,
                         _parse_date(q.get("date_start", [None])[0]),
                         _parse_date(q.get("date_end", [None])[0]),
                         first_execution=True,
-                        use_wand=q.get("wand", ["0"])[0] == "1",
+                        kernel=(q.get("kernel", [None])[0]
+                                or ("wand" if q.get("wand", ["0"])[0]
+                                    == "1" else None)),
                         want_snippets=q.get("snippets", ["0"])[0] == "1",
                         collapse_host=int(
                             q.get("collapse_host", ["0"])[0]),
@@ -482,7 +503,7 @@ def create_server(index, port: int = 0, spellchecker=None,
                         unquote(parts[1]), 100, "bm25",
                         _parse_date(unquote(parts[2])),
                         _parse_date(unquote(parts[3])),
-                        first_execution=False, use_wand=False))
+                        first_execution=False, kernel=None))
                 elif parts[0] == "mlt" and len(parts) == 2:
                     # related documents: GET /mlt/<doc_id>?k=&terms=
                     q = parse_qs(u.query)

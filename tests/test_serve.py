@@ -642,3 +642,26 @@ def test_hybrid_through_results(spark, corpus_sdf, tmp_path):
         assert e.value.code == 400
     finally:
         bare.shutdown()
+
+
+def test_maxscore_kernel_matches_relational(server):
+    _, rel = _get(server + "/results?query=market%20price&k=10")
+    _, ms = _get(server + "/results?query=market%20price&k=10"
+                 "&kernel=maxscore")
+    assert [r["doc_id"] for r in ms["results"]] == \
+        [r["doc_id"] for r in rel["results"]]
+    for a, b in zip(ms["results"], rel["results"]):
+        assert a["score"] == pytest.approx(b["score"], abs=1e-9)
+
+
+def test_kernel_param_validation(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server + "/results?query=market&k=5&kernel=bogus")
+    assert e.value.code == 400
+    # kernel=maxscore inherits every wand-path refusal
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server + "/results?query=gdp%20AND%20growth&k=5"
+             "&kernel=maxscore")
+    assert e.value.code == 400

@@ -82,6 +82,7 @@ def build_durable_index(
     shards: int = 1,
     positional: bool = True,
     resume: bool = True,
+    block_codec: str = "vb",
 ) -> str:
     """Build (or resume building) the segment index under ``index_dir``.
 
@@ -108,7 +109,7 @@ def build_durable_index(
     # to the manifest up front and every re-run validates against it.
     config = {
         "buckets": buckets, "block_span": block_span, "shards": shards,
-        "positional": positional,
+        "positional": positional, "block_codec": block_codec,
         "analyzer": {"lowercase": conf.lowercase,
                      "remove_stopwords": conf.remove_stopwords,
                      "stem": conf.stem},
@@ -117,6 +118,9 @@ def build_durable_index(
     if os.path.exists(cfg_path):
         with open(cfg_path) as f:
             prev = json.load(f).get("config")
+        if prev is not None:
+            # indexes recorded before the codec knob existed are varint
+            prev.setdefault("block_codec", "vb")
         if prev != config:
             raise ValueError(
                 f"resume of {index_dir} with a DIFFERENT build config "
@@ -265,7 +269,8 @@ def build_durable_index(
                 (F.col("doc_id") / F.lit(block_span)).cast("long")) \
                 .repartitionByRange(parts, "bucket", "term", "block_id") \
                 .sortWithinPartitions("bucket", "term", "block_id", "doc_id")
-        seg = SEG.encode_sorted(src, positional=positional) \
+        seg = SEG.encode_sorted(src, positional=positional,
+                                block_codec=block_codec) \
             .persist(StorageLevel.MEMORY_AND_DISK)
         out = os.path.join(index_dir, "segments")
         try:
@@ -308,7 +313,8 @@ def build_durable_index(
         part = _staged().filter(
             (F.col("bucket") >= lo) & (F.col("bucket") < hi))
         seg = SEG.encode_segments(part, buckets=buckets, block_span=block_span,
-                                  positional=positional)
+                                  positional=positional,
+                                  block_codec=block_codec)
         out = os.path.join(index_dir, "segments", f"shard={k}")
         from pyspark import StorageLevel
         seg = seg.persist(StorageLevel.MEMORY_AND_DISK)  # sampling reuse

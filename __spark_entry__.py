@@ -1248,6 +1248,23 @@ def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
 
 
+def q_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp term queries (search.search_patterns via the executor's
+    /pat/ route): 'sc[a-z]n' + 'ha.h' expand against the vocabulary
+    with whole-term-anchored rlike (patterns restricted to the
+    cross-engine Java/RE2 dialect subset — search.regexp_validate),
+    capped 3-deep per pattern by (df DESC, term ASC), then scored with
+    the literal term 'join' as one boolean-OR BM25 query — the same
+    shape as wildcard_topk with LIKE swapped for the automaton."""
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    scored = S.search_patterns(idx, ["join"],
+                               regexps=["sc[a-z]n", "ha.h"],
+                               k=None, max_expansions=3)
+    return (scored.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
+
+
 def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-time synonym expansion (search.search_synonyms): query
     [join, scan] with join→merge and scan→{filter, join} at weight 0.5 —
@@ -1543,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_eval_metrics": q_ir_eval_metrics,
         "bm25_min_match": q_bm25_min_match,
         "wildcard_topk": q_wildcard_topk,
+        "regexp_topk": q_regexp_topk,
         "synonym_topk": q_synonym_topk,
         "rrf_hybrid_topk": q_rrf_hybrid_topk,
         "sig_terms": q_sig_terms,
@@ -1744,6 +1762,47 @@ def oracle_sql() -> dict[str, str]:
         cand AS (
             SELECT pat.qt, df.term, df.df
             FROM pat JOIN df ON df.term LIKE pat.pat
+        ),
+        ranked AS (
+            SELECT qt, term,
+                   ROW_NUMBER() OVER (PARTITION BY qt
+                       ORDER BY df DESC, term ASC) AS rn
+            FROM cand
+        ),
+        boosts AS (
+            SELECT term, SUM(b) AS boost FROM (
+                SELECT term, 1.0 AS b FROM ranked WHERE rn <= 3
+                UNION ALL SELECT 'join' AS term, 1.0 AS b
+            ) GROUP BY term
+        ),
+        w AS (
+            SELECT tf.doc_id,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                   * b.boost AS wt
+            FROM tf JOIN boosts b USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        )
+        SELECT doc_id, ROUND(SUM(wt), 4) AS score
+        FROM w GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 100
+    """
+    # regexp term queries: the wildcard oracle with LIKE swapped for
+    # regexp_full_match (whole-term anchoring, same as the engine's
+    # ^(?:...)$ rlike) — patterns stay inside the dialect-identical
+    # Java/RE2 subset by construction
+    sql["regexp_topk"] = f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        pat(qt, pat) AS (VALUES ('sc[a-z]n', 'sc[a-z]n'),
+                                ('ha.h', 'ha.h')),
+        cand AS (
+            SELECT pat.qt, df.term, df.df
+            FROM pat JOIN df ON regexp_full_match(df.term, pat.pat)
         ),
         ranked AS (
             SELECT qt, term,

@@ -164,15 +164,18 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             raise ValueError("fuzzy is defined over the term-weight "
                              "models (bm25/lm), not vsm")
 
-    # Pattern terms — trailing-* prefixes and general wildcards
-    # (planner.FreeTextPlan.prefixes/.wildcards) — are a term-set
-    # rewrite like fuzzy: composition with other rewrites/models that
-    # re-derive term statistics is refused explicitly, never ignored.
+    # Pattern terms — trailing-* prefixes, general wildcards, and
+    # /regexp/ tokens (planner.FreeTextPlan.prefixes/.wildcards/
+    # .regexps) — are a term-set rewrite like fuzzy: composition with
+    # other rewrites/models that re-derive term statistics is refused
+    # explicitly, never ignored.
     if isinstance(plan, planner.FreeTextPlan) and (plan.prefixes
-                                                   or plan.wildcards):
+                                                   or plan.wildcards
+                                                   or plan.regexps):
         if plan.phrases:
-            raise ValueError("pattern terms (tok*/wildcards) support plain "
-                             "free-text queries only (no phrases)")
+            raise ValueError("pattern terms (tok*/wildcards/regexps) "
+                             "support plain free-text queries only "
+                             "(no phrases)")
         if rm3_alpha is not None:
             raise ValueError("pattern terms do not compose with RM3 — two "
                              "query expansions; drop one")
@@ -198,7 +201,7 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
     # policies defined over the literal clause set is refused explicitly.
     if synonyms is not None:
         if not isinstance(plan, planner.FreeTextPlan) or plan.phrases \
-                or plan.prefixes or plan.wildcards:
+                or plan.prefixes or plan.wildcards or plan.regexps:
             raise ValueError("synonym expansion supports plain free-text "
                              "queries only (no phrases/patterns/boolean/"
                              "proximity)")
@@ -225,11 +228,12 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
             raise ValueError("min_should_match supports plain free-text "
                              "queries only (no phrases/boolean/proximity)")
         if rm3_alpha is not None or fuzzy_max_dist is not None \
-                or plan.prefixes or plan.wildcards:
+                or plan.prefixes or plan.wildcards or plan.regexps:
             raise ValueError(
                 "min_should_match does not compose with query expansions "
-                "(rm3/fuzzy/prefix/wildcard) — the expansion rewrites the "
-                "clause set the match count is defined over; drop one")
+                "(rm3/fuzzy/prefix/wildcard/regexp) — the expansion "
+                "rewrites the clause set the match count is defined "
+                "over; drop one")
 
     def _page(scored_frame):
         return (search_mod.page_after(scored_frame, after[0], after[1])
@@ -313,12 +317,13 @@ def execute(index: InvertedIndex, query: str, k: int | None = 100,
         scored = _page(scored)
         return scored if k is None else topk(scored, k)
 
-    if plan.prefixes or plan.wildcards:
-        # literal terms + prefix/wildcard expansions score as ONE
+    if plan.prefixes or plan.wildcards or plan.regexps:
+        # literal terms + prefix/wildcard/regexp expansions score as ONE
         # boolean-OR query (search_patterns); refusals ran above
         scored = search_mod.search_patterns(
             index, plan.terms, prefixes=plan.prefixes,
-            wildcards=plan.wildcards, k=None, model=model,
+            wildcards=plan.wildcards, regexps=plan.regexps,
+            k=None, model=model,
             candidates=cand)
         scored = _blend(scored)
         scored = _page(scored)

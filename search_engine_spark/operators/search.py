@@ -22,6 +22,7 @@ Tie-break everywhere: (score desc, doc_id asc) — SURVEY §2.8 decision 3.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from datetime import date
 
@@ -939,8 +940,106 @@ def wildcard_expand(index: InvertedIndex, patterns: list[str],
     return out
 
 
+#: the cross-dialect-safe regexp alphabet: lowercase ASCII literals +
+#: the automaton constructs Java regex and RE2 interpret IDENTICALLY.
+#: No backslash (escape dialects differ), no '(?...' (flags/lookaround
+#: — RE2 has neither), no '$'/'^' (Lucene RegexpQuery is implicitly
+#: anchored; the engine adds the anchors itself).
+_REGEXP_SAFE_RE = re.compile(r"^[a-z0-9\[\]\(\)\{\}\.\*\+\?\|,\-]+$")
+
+
+def regexp_validate(pattern: str) -> str:
+    """Validate a Lucene-RegexpQuery-style pattern against the
+    dialect-identical subset (see _REGEXP_SAFE_RE) → the pattern.
+
+    The wildcard path chose LIKE precisely to dodge Java-vs-RE2 regex
+    divergence; the regexp path keeps that guarantee by CONSTRUCTION:
+    only constructs with identical semantics in both engines pass.
+    Patterns must keep at least one literal character ('.*' would
+    expand to the whole vocabulary — Lucene's leading-wildcard rule)."""
+    if not pattern:
+        raise ValueError("regexp pattern must be non-empty")
+    if "(?" in pattern:
+        raise ValueError(
+            f"regexp pattern {pattern!r}: '(?...' groups (flags/"
+            "lookaround) are not in the cross-engine dialect")
+    if not _REGEXP_SAFE_RE.match(pattern):
+        raise ValueError(
+            f"regexp pattern {pattern!r} uses characters outside the "
+            "cross-engine subset [a-z0-9 [](){}.*+?|,-] — no backslash "
+            "escapes, no anchors (patterns are whole-term anchored "
+            "already)")
+    if not re.search(r"[a-z0-9]", pattern):
+        raise ValueError(
+            f"regexp pattern needs at least one literal character: "
+            f"{pattern!r}")
+    try:
+        re.compile(pattern)
+    except re.error as e:
+        raise ValueError(f"invalid regexp pattern {pattern!r}: {e}")
+    return pattern
+
+
+def regexp_anchor(pattern: str) -> str:
+    """The literal prefix pushed as ``startswith`` for parquet min/max
+    pruning (wildcard_anchor's regexp sibling): the run of literal
+    chars before the first metachar, minus the final one when a
+    quantifier follows (in 'gro*up' the 'o' is quantified — only 'gr'
+    is a guaranteed prefix)."""
+    i = 0
+    while i < len(pattern) and pattern[i] not in "[](){}.*+?|":
+        i += 1
+    lit = pattern[:i]
+    if lit and i < len(pattern) and pattern[i] in "*+?{":
+        lit = lit[:-1]
+    return lit
+
+
+def regexp_candidates(index: InvertedIndex, patterns: list[str],
+                      max_expansions: int = 50) -> DataFrame:
+    """→ (qt, term): per-pattern whole-term regexp expansion against the
+    vocabulary (Lucene RegexpQuery, top-terms rewrite) — rlike with the
+    engine-added ^(?:...)$ anchors, plus the literal-prefix startswith
+    pushdown when the pattern has one; capped per pattern by
+    (df DESC, term ASC) like the wildcard/prefix/fuzzy rewrites."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    if max_expansions < 1:
+        raise ValueError(f"max_expansions must be >= 1: {max_expansions}")
+    uniq = list(dict.fromkeys(patterns))
+    if not uniq:
+        raise ValueError("patterns must be non-empty")
+    frames = []
+    for p in uniq:
+        regexp_validate(p)
+        cond = F.col("term").rlike(f"^(?:{p})$")
+        anchor = regexp_anchor(p)
+        if anchor:
+            cond = F.col("term").startswith(anchor) & cond
+        frames.append(index.term_stats.filter(cond)
+                      .select(F.lit(p).alias("qt"), "term", "df"))
+    cand = reduce(lambda a, b: a.unionByName(b), frames)
+    w = Window.partitionBy("qt").orderBy(F.desc("df"), F.asc("term"))
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_expansions)
+            .select("qt", "term"))
+
+
+def regexp_expand(index: InvertedIndex, patterns: list[str],
+                  max_expansions: int = 50) -> dict[str, float]:
+    """→ {vocabulary term: Σ 1.0 per selecting pattern} — the bounded
+    collect (≤ |patterns|·max_expansions rows)."""
+    out: dict[str, float] = {}
+    for r in regexp_candidates(index, patterns, max_expansions).collect():
+        out[r["term"]] = out.get(r["term"], 0.0) + 1.0
+    return out
+
+
 def search_patterns(index: InvertedIndex, toks: list[str],
                     prefixes: list[str] = (), wildcards: list[str] = (),
+                    regexps: list[str] = (),
                     k: int | None = 100, max_expansions: int = 50,
                     model: str = "bm25",
                     candidates: DataFrame | None = None) -> DataFrame:
@@ -964,6 +1063,10 @@ def search_patterns(index: InvertedIndex, toks: list[str],
     if wildcards:
         for t, b in wildcard_expand(index, wildcards,
                                     max_expansions).items():
+            boosts[t] = boosts.get(t, 0.0) + b
+    if regexps:
+        for t, b in regexp_expand(index, regexps,
+                                  max_expansions).items():
             boosts[t] = boosts.get(t, 0.0) + b
     if not boosts:
         return index.postings.sparkSession.createDataFrame(

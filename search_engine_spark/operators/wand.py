@@ -95,7 +95,8 @@ def wand_eligible(plan) -> bool:
     from ..plans import planner
 
     return (isinstance(plan, planner.FreeTextPlan) and not plan.phrases
-            and not plan.prefixes and not plan.wildcards)
+            and not plan.prefixes and not plan.wildcards
+            and not plan.regexps)
 
 
 def search_wand(index, query: str, k: int = 100,

@@ -76,6 +76,12 @@ class FreeTextPlan:
     #: no-analysis-of-wildcards rule: lowercased, never stemmed
     #: (Lucene WildcardQuery; operators.search.search_patterns)
     wildcards: list[str] = field(default_factory=list)
+    #: slash-delimited regexp tokens ('/gro.p/', Lucene RegexpQuery
+    #: syntax), slashes stripped. Lowercased, never analyzed; pattern
+    #: DIALECT validity (cross-engine subset, ≥1 literal) is the
+    #: operator's contract (search.regexp_validate) — the planner only
+    #: routes
+    regexps: list[str] = field(default_factory=list)
 
 
 def classify(query: str, conf: AnalyzerConfig = AnalyzerConfig.full()):
@@ -101,6 +107,9 @@ _WILDCARD_TOK_RE = re.compile(r"^(?=.*[*?])\S+$")
 
 _SLOPPY_PHRASE_RE = re.compile(r'"([^"]+)"(?:~(\d+))?')
 
+#: Lucene RegexpQuery token: /pattern/ (non-empty body, no spaces)
+_REGEXP_TOK_RE = re.compile(r"^/([^/\s]+)/$")
+
 
 def _parse_freetext(query: str, conf: AnalyzerConfig) -> FreeTextPlan:
     plan = FreeTextPlan()
@@ -117,6 +126,13 @@ def _parse_freetext(query: str, conf: AnalyzerConfig) -> FreeTextPlan:
     # '*'/'?' placement to the general wildcard path
     kept = []
     for tok in rest.split():
+        rm = _REGEXP_TOK_RE.match(tok)
+        if rm:
+            # regexp tokens FIRST: a pattern may contain '*'/'?', which
+            # would otherwise mis-route it to the wildcard path
+            p = rm.group(1)
+            plan.regexps.append(p.lower() if conf.lowercase else p)
+            continue
         m = _PREFIX_TOK_RE.match(tok)
         if m:
             p = m.group(1).lower() if conf.lowercase else m.group(1)

@@ -142,6 +142,13 @@ def correct_query(query: str, checker: VocabularySpellchecker,
         if not tok or low in symbols or any(low in s for s in symbols):
             out.append(tok)
             continue
+        if len(tok) > 2 and tok.startswith("/") and tok.endswith("/"):
+            # /regexp/ tokens (planner._REGEXP_TOK_RE) are surface
+            # patterns — the no-analysis-of-patterns rule that already
+            # protects wildcard tokens (which dodge correction via
+            # their interior metachar) applies by construction here
+            out.append(tok)
+            continue
         # correct only the alpha CORE and reattach surrounding
         # punctuation: '"germani' → '"germany' keeps the quote (phrase
         # structure survives re-classification) while 'merket,' still

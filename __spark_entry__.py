@@ -1265,6 +1265,19 @@ def q_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
 
 
+def q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene DisjunctionMaxQuery (search.search_dismax): clauses
+    [join, hash] and [scan, sort] scored independently with BM25, per
+    doc max(clause) + 0.3·(sum − max) — the best-aspect-wins combiner;
+    round 4 then the standard (score DESC, doc_id ASC) cut."""
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    scored = S.search_dismax(idx, [["join", "hash"], ["scan", "sort"]],
+                             tie_breaker=0.3, k=None)
+    return (scored.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
+
+
 def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-time synonym expansion (search.search_synonyms): query
     [join, scan] with join→merge and scan→{filter, join} at weight 0.5 —
@@ -1561,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_min_match": q_bm25_min_match,
         "wildcard_topk": q_wildcard_topk,
         "regexp_topk": q_regexp_topk,
+        "dismax_topk": q_dismax_topk,
         "synonym_topk": q_synonym_topk,
         "rrf_hybrid_topk": q_rrf_hybrid_topk,
         "sig_terms": q_sig_terms,
@@ -1827,6 +1841,31 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, ROUND(SUM(wt), 4) AS score
         FROM w GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 100
+    """
+    # DisjunctionMax: per-clause BM25 sums, then max + tie·(sum−max)
+    sql["dismax_topk"] = f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        q(clause, term) AS (VALUES (0, 'join'), (0, 'hash'),
+                                   (1, 'scan'), (1, 'sort')),
+        w AS (
+            SELECT q.clause, tf.doc_id,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        ),
+        cs AS (SELECT doc_id, clause, SUM(wt) AS cscore
+               FROM w GROUP BY 1, 2)
+        SELECT doc_id,
+               ROUND(MAX(cscore) + 0.3 * (SUM(cscore) - MAX(cscore)), 4)
+                   AS score
+        FROM cs GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 100
     """
     # minimum-should-match: same BM25 weights, docs matching ≥2 distinct

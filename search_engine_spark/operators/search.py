@@ -940,6 +940,53 @@ def wildcard_expand(index: InvertedIndex, patterns: list[str],
     return out
 
 
+def search_dismax(index: InvertedIndex, clauses: list[list[str]],
+                  tie_breaker: float = 0.0, k: int | None = 100,
+                  model: str = "bm25",
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Lucene DisjunctionMaxQuery: per-doc score =
+    max(clause scores) + tie_breaker · Σ(other clause scores) —
+    the "best field/aspect wins" combiner that keeps multi-aspect
+    queries from rewarding docs that merely mention every aspect
+    weakly (BM25's plain OR sum does). tie_breaker=0 is the pure max;
+    tie_breaker=1 degenerates to the OR sum.
+
+    Each clause is an ANALYZED token list scored independently
+    (search_freetext_tokens semantics, k=None unranked aggregates);
+    the union-by-clause then aggregates max and sum per doc_id in ONE
+    groupBy — max + tie·(sum − max) is algebraically the Lucene
+    formula and needs no per-clause ranking or join. Docs absent from
+    a clause contribute nothing to it (score 0 — Lucene's disjunction
+    semantics). Empty clauses (all tokens OOV/stopworded) drop out; if
+    every clause is empty the result is empty. Scale shape: one
+    scoring aggregate per clause (|clauses| is query-sized) + one
+    final combine aggregate; a single TakeOrderedAndProject cut."""
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(
+            f"tie_breaker must be in [0, 1]: {tie_breaker}")
+    if not clauses:
+        raise ValueError("dis_max needs at least one clause")
+    frames = []
+    for toks in clauses:
+        if not toks:
+            continue
+        f = search_freetext_tokens(index, toks, k=None, model=model,
+                                   candidates=candidates)
+        frames.append(f)
+    spark_df = index.postings.sparkSession
+    if not frames:
+        return spark_df.createDataFrame([], "doc_id long, score double")
+    from functools import reduce
+
+    union = reduce(lambda a, b: a.unionByName(b), frames)
+    agg = union.groupBy("doc_id").agg(
+        (F.max("score")
+         + F.lit(float(tie_breaker)) * (F.sum("score") - F.max("score")))
+        .alias("score"))
+    k = effective_k(index, k)
+    return agg if k is None else topk(agg, k)
+
+
 #: the cross-dialect-safe regexp alphabet: lowercase ASCII literals +
 #: the automaton constructs Java regex and RE2 interpret IDENTICALLY.
 #: No backslash (escape dialects differ), no '(?...' (flags/lookaround

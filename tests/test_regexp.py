@@ -127,3 +127,53 @@ def test_spellcheck_never_corrects_slash_tokens(rx_index):
 
     checker = VocabularySpellchecker({"cat": 5, "cart": 3, "market": 9})
     assert correct_query("/cas/ merket", checker) == "/cas/ market"
+
+
+# --- DisjunctionMax (lives here with the other Lucene query-type ops) ------
+
+def test_dismax_hand_computed(rx_index):
+    s1 = {r.doc_id: r.score for r in S.search_freetext_tokens(
+        rx_index, ["cat"], k=None).collect()}
+    s2 = {r.doc_id: r.score for r in S.search_freetext_tokens(
+        rx_index, ["cart"], k=None).collect()}
+    got = {r.doc_id: r.score for r in S.search_dismax(
+        rx_index, [["cat"], ["cart"]], tie_breaker=0.3, k=None).collect()}
+    import pytest as _pt
+    for d in set(s1) | set(s2):
+        a, b = s1.get(d, 0.0), s2.get(d, 0.0)
+        want = max(a, b) + 0.3 * (a + b - max(a, b))
+        assert got[d] == _pt.approx(want, abs=1e-9), d
+
+
+def test_dismax_tie_breaker_extremes(rx_index):
+    # tie=0: pure max; tie=1: the OR sum over disjoint clauses
+    zero = {r.doc_id: r.score for r in S.search_dismax(
+        rx_index, [["cat"], ["dog"]], tie_breaker=0.0, k=None).collect()}
+    s1 = {r.doc_id: r.score for r in S.search_freetext_tokens(
+        rx_index, ["cat"], k=None).collect()}
+    s2 = {r.doc_id: r.score for r in S.search_freetext_tokens(
+        rx_index, ["dog"], k=None).collect()}
+    for d, v in zero.items():
+        assert v == pytest.approx(max(s1.get(d, 0.0), s2.get(d, 0.0)),
+                                  abs=1e-9)
+    one = {r.doc_id: r.score for r in S.search_dismax(
+        rx_index, [["cat"], ["dog"]], tie_breaker=1.0, k=None).collect()}
+    merged = {r.doc_id: r.score for r in S.search_freetext_tokens(
+        rx_index, ["cat", "dog"], k=None).collect()}
+    assert set(one) == set(merged)
+    for d, v in one.items():
+        assert v == pytest.approx(merged[d], abs=1e-9)
+
+
+def test_dismax_validation_and_empties(rx_index):
+    with pytest.raises(ValueError, match="tie_breaker"):
+        S.search_dismax(rx_index, [["cat"]], tie_breaker=1.5)
+    with pytest.raises(ValueError, match="clause"):
+        S.search_dismax(rx_index, [])
+    # all-empty clauses -> empty frame; empty clauses drop out
+    assert S.search_dismax(rx_index, [[], []]).count() == 0
+    partial = {r.doc_id: r.score for r in S.search_dismax(
+        rx_index, [["cat"], []], tie_breaker=0.5, k=None).collect()}
+    alone = {r.doc_id: r.score for r in S.search_freetext_tokens(
+        rx_index, ["cat"], k=None).collect()}
+    assert partial == alone

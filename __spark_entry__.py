@@ -1234,6 +1234,22 @@ def q_batch_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _batch_run(spark, sf_dir)
 
 
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR feature extraction (operators/ltr.py): the 3-query batch
+    fixture's per-(query, candidate) feature block — BM25 +
+    LM-Dirichlet + match count + tf mass + doc length in ONE postings
+    pass, candidates cut to the per-query BM25 top-5 on the 4dp
+    display-rounded score (the argmax-gate rule; rank is part of the
+    contract)."""
+    from search_engine_spark.operators import ltr
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    qf = spark.createDataFrame(_BATCH_QUERY_ROWS,
+                               "query_id long, term string")
+    return ltr.extract_features(idx, qf, k=5, score_round=4)
+
+
 def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wildcard term queries (search.search_patterns): 'sc*n' + 'ha?h'
     expand against the vocabulary via SQL LIKE (the one pattern language
@@ -1570,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_prior_identity": q_wand_prior_identity,
         "vacuum_identity": q_vacuum_identity,
         "batch_bm25_topk": q_batch_bm25_topk,
+        "ltr_features": q_ltr_features,
         "ir_eval_metrics": q_ir_eval_metrics,
         "bm25_min_match": q_bm25_min_match,
         "wildcard_topk": q_wildcard_topk,
@@ -1842,6 +1859,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, ROUND(SUM(wt), 4) AS score
         FROM w GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 100
+    """
+    # LTR features: every column of the feature block recomputed —
+    # both scorers share the tf/df/dl CTEs, ranking on the 4dp-rounded
+    # bm25 with the engine tie-break
+    batch_vals = ", ".join(f"({q}, '{t}')" for q, t in _BATCH_QUERY_ROWS)
+    sql["ltr_features"] = f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl, SUM(dl) AS lc
+                  FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        q(query_id, term) AS (VALUES {batch_vals}),
+        qtf AS (SELECT query_id, term, COUNT(*) AS qtf FROM q GROUP BY 1, 2),
+        qlen AS (SELECT query_id, COUNT(*) AS qlen FROM q GROUP BY 1),
+        w AS (
+            SELECT qtf.query_id, tf.doc_id, tf.term, tf.tf, dl.dl,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                   * qtf.qtf AS bw,
+                   LN((tf.tf / 1089.0) * (s.lc * 1.0 / df.df) + 1.0)
+                   * qtf.qtf AS lw
+            FROM tf JOIN qtf USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        ),
+        f AS (
+            SELECT query_id, doc_id,
+                   ROUND(SUM(bw), 4) AS bm25, SUM(lw) AS lmm,
+                   COUNT(DISTINCT term) AS n_matched,
+                   SUM(tf) AS sum_tf, ANY_VALUE(dl) AS dl
+            FROM w GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT f.query_id, f.doc_id, f.bm25, f.n_matched, f.sum_tf,
+                   f.dl,
+                   ROUND(f.lmm + qlen.qlen
+                         * LN(1089.0 / (f.dl + 1089.0)), 4)
+                       AS lm_dirichlet
+            FROM f JOIN qlen USING (query_id)
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY bm25 DESC, doc_id ASC) AS rank
+            FROM g
+        )
+        SELECT query_id, doc_id, rank, bm25, lm_dirichlet, n_matched,
+               sum_tf, dl
+        FROM r WHERE rank <= 5
     """
     # DisjunctionMax: per-clause BM25 sums, then max + tie·(sum−max)
     sql["dismax_topk"] = f"""

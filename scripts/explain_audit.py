@@ -1082,6 +1082,92 @@ def main() -> int:
         ],
     )
 
+    # 44. within-session co-occurrence: membership dedup BEFORE the
+    # pair self-join bounds it by the type alphabet; the per-type count
+    # frames broadcast into the lift join
+    from search_engine_spark.operators import events as EV
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p44 = plan_of(EV.session_cooccurrence(ev, 30, min_sessions=2))
+    check(
+        "Session co-occurrence + lift", p44,
+        [
+            ("per-type counts broadcast into the lift join",
+             r"BroadcastHashJoin", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+            ("no row-at-a-time Python UDF", r"BatchEvalPython", False),
+        ],
+    )
+
+    # 45/46. Gopher rules + C4 cleanup: row-local projections — the
+    # whole rule battery must stay shuffle-free and JVM-side
+    from search_engine_spark.operators import textquality as TQ
+
+    p45 = plan_of(TQ.gopher_quality(docs))
+    check(
+        "Gopher quality rules", p45,
+        [
+            ("shuffle-free (no Exchange)", r"Exchange", False),
+            ("no Python in the plan", r"EvalPython", False),
+        ],
+    )
+    p46 = plan_of(TQ.c4_line_filter(docs))
+    check(
+        "C4 page cleanup", p46,
+        [
+            ("shuffle-free (no Exchange)", r"Exchange", False),
+            ("no Python in the plan", r"EvalPython", False),
+        ],
+    )
+
+    # 47. regexp vocabulary expansion: the literal-prefix anchor must
+    # reach the parquet term_stats scan as StringStartsWith (the rlike
+    # itself cannot push — the anchor is what prunes files)
+    p47 = plan_of(S.regexp_candidates(idx, ["mark.t", "pri.*e"]))
+    check(
+        "Regexp vocabulary expansion", p47,
+        [
+            ("literal anchor pushed as StringStartsWith",
+             r"PushedFilters: \[.*StringStartsWith", True),
+            ("no row-at-a-time Python UDF", r"BatchEvalPython", False),
+        ],
+    )
+
+    # 48. DisjunctionMax: clause aggregates union into ONE combine
+    # aggregate and a single final top-k
+    p48 = plan_of(S.search_dismax(idx, [["market", "price"], ["growth"]],
+                                  tie_breaker=0.3, k=100))
+    check(
+        "DisjunctionMax combiner", p48,
+        [
+            ("single final TakeOrderedAndProject",
+             r"TakeOrderedAndProject", True),
+            ("no CartesianProduct", r"CartesianProduct", False),
+            ("no SortMergeJoin in the query path", r"SortMergeJoin", False),
+        ],
+    )
+
+    # 49. LTR feature block: one postings pass computes every scorer
+    # column; the per-query candidate cut is a query-partitioned window
+    # (no global TakeOrdered), query frames broadcast
+    from search_engine_spark.operators import ltr as LTR
+
+    qf49 = spark.createDataFrame(
+        [(1, "market"), (1, "price"), (2, "growth")],
+        "query_id long, term string")
+    p49 = plan_of(LTR.extract_features(idx, qf49, k=10))
+    check(
+        "LTR feature extraction", p49,
+        [
+            ("query-term frame joins broadcast", r"BroadcastHashJoin", True),
+            ("batch terms pushed into the postings scan",
+             r"PushedFilters: \[.*[Ii]n\(term", True),
+            ("no global top-k (window cut per query)",
+             r"TakeOrderedAndProject", False),
+            ("no CartesianProduct", r"CartesianProduct", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -1250,6 +1250,20 @@ def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ltr.extract_features(idx, qf, k=5, score_round=4)
 
 
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator (operators/percolate.py): three stored queries
+    matched conjunctively against every document — distinct-term
+    coverage counting over one broadcast join. The oracle replays
+    registration (dedup + n_required) and the coverage rule in SQL."""
+    from search_engine_spark.operators import percolate as PC
+
+    docs = _docs(spark, sf_dir)
+    stored = PC.register_queries(
+        spark, [(1, "join hash"), (2, "scan"), (3, "join scan sort")],
+        conf=SIMPLE)
+    return PC.percolate(docs, stored, conf=SIMPLE)
+
+
 def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wildcard term queries (search.search_patterns): 'sc*n' + 'ha?h'
     expand against the vocabulary via SQL LIKE (the one pattern language
@@ -1587,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vacuum_identity": q_vacuum_identity,
         "batch_bm25_topk": q_batch_bm25_topk,
         "ltr_features": q_ltr_features,
+        "percolate_matches": q_percolate,
         "ir_eval_metrics": q_ir_eval_metrics,
         "bm25_min_match": q_bm25_min_match,
         "wildcard_topk": q_wildcard_topk,
@@ -1908,6 +1923,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, doc_id, rank, bm25, lm_dirichlet, n_matched,
                sum_tf, dl
         FROM r WHERE rank <= 5
+    """
+    # Percolator: conjunctive coverage counting — a doc matches a
+    # stored query iff it contains ALL the query's distinct terms
+    sql["percolate_matches"] = f"""
+        WITH tok AS ({_TOK}),
+        dt AS (SELECT DISTINCT doc_id, term FROM tok),
+        sq(query_id, term, n_required) AS (VALUES
+            (1, 'join', 2), (1, 'hash', 2),
+            (2, 'scan', 1),
+            (3, 'join', 3), (3, 'scan', 3), (3, 'sort', 3)),
+        m AS (
+            SELECT doc_id, query_id, COUNT(*) AS n_matched,
+                   ANY_VALUE(n_required) AS req
+            FROM dt JOIN sq USING (term) GROUP BY 1, 2
+        )
+        SELECT doc_id, query_id, n_matched FROM m WHERE n_matched = req
     """
     # DisjunctionMax: per-clause BM25 sums, then max + tie·(sum−max)
     sql["dismax_topk"] = f"""

@@ -1264,6 +1264,61 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PC.percolate(docs, stored, conf=SIMPLE)
 
 
+_ROBOTS_FIXTURE = [
+    ("a.com", "# crawler policy\n"
+              "User-agent: GoodBot\n"
+              "User-agent: *\n"
+              "Disallow: /private\n"
+              "Allow: /private/ok\n"
+              "\n"
+              "User-agent: evilbot\n"
+              "Disallow: /\n"),
+    ("b.com", "User-Agent: Foo\n"
+              "Crawl-delay: 10\n"
+              "DISALLOW: /x\n"
+              "Sitemap: https://b.com/s.xml\n"),
+    ("c.com", "User-agent: *\n"
+              "Disallow:\n"),
+]
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parser (operators/robots.py parse_robots) over a
+    fixture covering comments, multi-UA groups, group breaks,
+    case-insensitive directives, ignored non-rule directives
+    (Crawl-delay/Sitemap), and the bare-Disallow allow-everything
+    idiom. Golden oracle: the RFC-derived expected rules as VALUES."""
+    from search_engine_spark.operators import robots as RB
+
+    rb = spark.createDataFrame(_ROBOTS_FIXTURE, "host string, content string")
+    return RB.parse_robots(rb)
+
+
+def q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness filter (operators/robots.py robots_filter) over
+    the synthetic URL table: spam hosts disallow everything, block.org
+    hosts disallow /p/1 but allow the longer /p/12 (longest-match
+    precedence — RFC 9309 §2.2.2), keep.com hosts disallow an unused
+    /private. The oracle independently encodes those rules (the allow
+    prefix strictly contains the disallow prefix, so the CASE is the
+    longest-match result) over the same host/path extraction."""
+    from search_engine_spark.operators import robots as RB
+    from search_engine_spark.operators.hosts import host_of
+
+    urls = _synth_urls(spark, sf_dir)
+    hosts = urls.select(host_of(F.col("url")).alias("host")).distinct()
+    content = (
+        F.when(F.col("host").endswith(".spam.co.uk"),
+               "User-agent: *\nDisallow: /")
+        .when(F.col("host").endswith(".block.org"),
+              "User-agent: *\nDisallow: /p/1\nAllow: /p/12")
+        .otherwise("User-agent: *\nDisallow: /private")
+    )
+    rules = RB.parse_robots(hosts.withColumn("content", content))
+    return (RB.robots_filter(urls, rules, keep_allowed=False)
+            .select("doc_id", "allowed"))
+
+
 def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wildcard term queries (search.search_patterns): 'sc*n' + 'ha?h'
     expand against the vocabulary via SQL LIKE (the one pattern language
@@ -1602,6 +1657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_bm25_topk": q_batch_bm25_topk,
         "ltr_features": q_ltr_features,
         "percolate_matches": q_percolate,
+        "robots_rules": q_robots_rules,
+        "robots_allowed": q_robots_allowed,
         "ir_eval_metrics": q_ir_eval_metrics,
         "bm25_min_match": q_bm25_min_match,
         "wildcard_topk": q_wildcard_topk,
@@ -1939,6 +1996,48 @@ def oracle_sql() -> dict[str, str]:
             FROM dt JOIN sq USING (term) GROUP BY 1, 2
         )
         SELECT doc_id, query_id, n_matched FROM m WHERE n_matched = req
+    """
+    # robots.txt parser: golden rules derived by hand from RFC 9309
+    # over the fixture (comments stripped, consecutive UA lines share a
+    # group, rules fan out to every group agent, non-rule directives
+    # and empty Disallow dropped)
+    sql["robots_rules"] = """
+        SELECT * FROM (VALUES
+            ('a.com', 'goodbot', 'disallow', '/private'),
+            ('a.com', 'goodbot', 'allow',    '/private/ok'),
+            ('a.com', '*',       'disallow', '/private'),
+            ('a.com', '*',       'allow',    '/private/ok'),
+            ('a.com', 'evilbot', 'disallow', '/'),
+            ('b.com', 'foo',     'disallow', '/x')
+        ) AS t(host, agent, rule, prefix)
+    """
+    # robots URL filter: the rules are re-encoded independently — the
+    # allow prefix strictly contains the disallow prefix, so the CASE
+    # below IS the longest-match verdict; host/path extraction mirrors
+    # the engine (canonical host, fragment-stripped path)
+    from search_engine_spark.operators.hosts import oracle_host_sql
+
+    sql["robots_allowed"] = f"""
+        WITH u AS ({_SYNTH_URL_SQL}),
+        h AS (
+            SELECT doc_id,
+                   {oracle_host_sql("url")} AS host,
+                   CASE WHEN p IS NULL OR p = '' THEN '/'
+                        ELSE string_split(p, '#')[1] END AS path
+            FROM (SELECT *,
+                     regexp_extract(url,
+                       '^(?i)[a-z][a-z0-9+.-]*://[^/]*(/.*)?$', 1) AS p
+                  FROM u)
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN host LIKE '%.spam.co.uk' THEN FALSE
+                 WHEN host LIKE '%.block.org'
+                   THEN NOT starts_with(path, '/p/1')
+                        OR starts_with(path, '/p/12')
+                 ELSE NOT starts_with(path, '/private')
+               END AS allowed
+        FROM h
     """
     # DisjunctionMax: per-clause BM25 sums, then max + tie·(sum−max)
     sql["dismax_topk"] = f"""

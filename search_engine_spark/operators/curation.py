@@ -50,6 +50,8 @@ def curate(
     classifier_weights: list[float] | None = None,
     min_clf_prob: float = 0.5,
     minhash_threshold: float | None = None,
+    robots_rules: DataFrame | None = None,
+    robots_agent: str = "*",
     gopher: bool = False,
     c4_min_kept_lines: int | None = None,
     c4_require_terminal_punct: bool = True,
@@ -95,6 +97,9 @@ def curate(
     the corpus unigram model exceeds the bound are dropped (rare-token
     soup). The model is fit on the rows ALIVE at this stage, so earlier
     filters don't pollute it.
+    ``robots_rules`` (a parsed operators.robots rules frame) drops
+    robots.txt-disallowed URLs as the VERY FIRST stage — crawl
+    politeness precedes every content signal; requires ``url_col``.
     ``blocked_domains`` drops rows whose registered domain is
     blocklisted (operators.hosts.domain_filter) as the VERY FIRST stage:
     it is a narrow broadcast anti-join (shuffle-free) and everything a
@@ -166,6 +171,18 @@ def curate(
         prev_persisted = cur
 
     checkpoint("input")
+    if robots_rules is not None:
+        # crawl politeness FIRST (operators.robots): a page robots.txt
+        # forbids must never enter the pipeline at all — and the filter
+        # is a broadcast prefix join, cheaper than anything downstream
+        if url_col not in cur.columns:
+            raise ValueError(
+                f"robots_rules set but column {url_col!r} is absent")
+        from . import robots as RB
+
+        cur = RB.robots_filter(cur, robots_rules, agent=robots_agent,
+                               url_col=url_col)
+        checkpoint("robots")
     if blocked_domains:
         if url_col not in cur.columns:
             raise ValueError(

@@ -73,6 +73,9 @@ def main() -> None:
         spark, docs.select("doc_id", "text"), os.path.join(seg_dir, "idx"))
     seg = catalog.load_index(spark, os.path.join(seg_dir, "idx"))
 
+    from search_engine_spark.operators import maxscore as _ms
+    from search_engine_spark.operators import search as S_mod
+
     kinds = {
         "free_head": lambda i: executor.execute(
             idx, f"{head[i % 4]} {head[(i + 1) % 4]}").count(),
@@ -106,6 +109,17 @@ def main() -> None:
         # hit, zero Spark jobs), the rest rotate (cold pruned scans)
         "wand": lambda i: len(wand.search_wand(
             seg, f"{head[i % 4]} {mid[i % 4]}", k=100)),
+        # MaxScore over the SAME store + shared LRU: the kernel
+        # head-to-head at serving latency
+        "maxscore": lambda i: len(_ms.search_maxscore(
+            seg, f"{head[i % 4]} {mid[i % 4]}", k=100)),
+        # regexp automaton expansion (anchored rlike over the vocab)
+        "regexp": lambda i: executor.execute(
+            idx, f"/{head[i % 4][:2]}[a-z]+/").count(),
+        # DisjunctionMax over two clauses (best-aspect combiner)
+        "dismax": lambda i: S_mod.search_dismax(
+            idx, [[head[i % 4], mid[i % 4]], [tail[i % 4]]],
+            tie_breaker=0.3, k=100).count(),
     }
 
     out = {}

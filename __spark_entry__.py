@@ -1180,6 +1180,28 @@ def q_facet_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serp.facet_counts(hits, docs, "lang")
 
 
+def q_stats_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric extended_stats facet (serp.stats_facet): n_chars stats
+    over the 'spark' match set — sum-of-squares population variance so
+    the oracle's var_pop agrees at 6dp."""
+    from search_engine_spark.operators import serp
+
+    docs = _docs(spark, sf_dir)
+    post = P.build_postings(docs, SIMPLE, positional=False)
+    hits = post.filter(F.col("term") == "spark").select("doc_id")
+    return serp.stats_facet(hits, docs, "n_chars")
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc term vectors (serp.term_vectors): (term, tf, df) for
+    three fixed docs — the ES _termvectors point lookup."""
+    from search_engine_spark.operators import serp
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    return serp.term_vectors(idx, [3, 17, 42])
+
+
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc tf-idf keyword annotation (corpusstats.doc_keywords):
     top-3 terms per doc by tf·ln(N/df), per-doc-local window rank (no
@@ -1658,6 +1680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": q_ltr_features,
         "percolate_matches": q_percolate,
         "robots_rules": q_robots_rules,
+        "stats_facet": q_stats_facet,
+        "term_vectors": q_term_vectors,
         "robots_allowed": q_robots_allowed,
         "ir_eval_metrics": q_ir_eval_metrics,
         "bm25_min_match": q_bm25_min_match,
@@ -2038,6 +2062,28 @@ def oracle_sql() -> dict[str, str]:
                  ELSE NOT starts_with(path, '/private')
                END AS allowed
         FROM h
+    """
+    # extended_stats facet over the 'spark' match set (population
+    # variance via the same sum-of-squares identity)
+    sql["stats_facet"] = f"""
+        WITH tok AS ({_TOK}),
+        hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+        v AS (SELECT d.n_chars * 1.0 AS x
+              FROM hits JOIN documents d USING (doc_id)
+              WHERE d.n_chars IS NOT NULL)
+        SELECT COUNT(*) AS n, MIN(x) AS min_v, MAX(x) AS max_v,
+               SUM(x) AS sum_v, ROUND(AVG(x), 6) AS avg_v,
+               ROUND(AVG(x * x) - AVG(x) * AVG(x), 6) AS var_pop
+        FROM v
+    """
+    # per-doc term vectors for three fixed docs
+    sql["term_vectors"] = f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+        SELECT tf.doc_id, tf.term, tf.tf, df.df
+        FROM tf JOIN df USING (term)
+        WHERE tf.doc_id IN (3, 17, 42)
     """
     # DisjunctionMax: per-clause BM25 sums, then max + tie·(sum−max)
     sql["dismax_topk"] = f"""

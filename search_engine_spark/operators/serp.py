@@ -187,3 +187,57 @@ def autocomplete(term_stats: DataFrame, prefix: str, k: int = 10) -> DataFrame:
         .orderBy(F.desc("cf"), F.asc("term"))
         .limit(k)
     )
+
+
+def stats_facet(hits: DataFrame, values: DataFrame, value_col: str,
+                id_col: str = "doc_id") -> DataFrame:
+    """Numeric stats over a query's match set (the ES
+    ``extended_stats`` aggregation): → one row (n, min_v, max_v,
+    sum_v, avg_v, var_pop).
+
+    Same dedup-then-join shape as facet_counts; NULL values are
+    outside the aggregation's domain (inner-join semantics). Variance
+    is the POPULATION form computed from the sum-of-squares identity
+    Σx²/n − (Σx/n)² — the same arithmetic DuckDB's var_pop uses, so the
+    oracle can compare at 6dp without estimator drift; avg/var round
+    to 6 for the cross-engine gate, sums stay exact when the input is
+    integral. An empty match set returns n=0 with NULL stats (SQL
+    aggregate semantics), not zero rows — the SERP always renders the
+    widget."""
+    dedup = hits.select(id_col).dropDuplicates([id_col])
+    joined = dedup.join(
+        values.select(id_col, value_col)
+        .filter(F.col(value_col).isNotNull()), id_col)
+    v = F.col(value_col).cast("double")
+    return joined.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.sum(v).alias("sum_v"),
+        F.round(F.avg(v), 6).alias("avg_v"),
+        F.round(F.avg(v * v) - F.avg(v) * F.avg(v), 6).alias("var_pop"),
+    )
+
+
+def term_vectors(index, doc_ids: list[int]) -> DataFrame:
+    """Per-doc term statistics (the ES ``_termvectors`` endpoint /
+    Lucene TermVectors): → (doc_id, term, tf, df) for the requested
+    docs, ordered (doc_id ASC, term ASC).
+
+    The doc-id list is a pushable IN filter on the doc-keyed postings
+    (an O(|ids|) point lookup, the article-hydration shape), joined to
+    the broadcast term_stats for df. Positions intentionally excluded:
+    the postings table's position payloads are an index-internal
+    encoding; per-term positions are the phrase machinery's domain."""
+    if not doc_ids:
+        raise ValueError("doc_ids must be non-empty")
+    ids = [int(d) for d in doc_ids]
+    return (index.postings
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "term", "tf")
+            .join(F.broadcast(index.term_stats.select("term", "df")),
+                  "term")
+            .select("doc_id", "term",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"))
+            .orderBy("doc_id", "term"))

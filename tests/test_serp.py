@@ -111,3 +111,43 @@ def test_autocomplete_prefix_pushes_down(built_index):
         built_index.term_stats, "sp", k=5
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_stats_facet_hand_computed(spark):
+    from search_engine_spark.operators import serp
+
+    hits = spark.createDataFrame([(1,), (2,), (2,), (3,), (9,)],
+                                 "doc_id long")
+    vals = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 99), (9, None)],
+        "doc_id long, n long")
+    r = serp.stats_facet(hits, vals, "n").collect()[0]
+    # doc 2 dedupes, doc 9's NULL drops, doc 4 not in the match set
+    assert (r.n, r.min_v, r.max_v, r.sum_v) == (3, 10.0, 30.0, 60.0)
+    assert r.avg_v == 20.0
+    assert r.var_pop == pytest.approx((100 + 400 + 900) / 3 - 400, abs=1e-6)
+    # empty match set -> one row, n=0, NULL stats (the widget renders)
+    empty = serp.stats_facet(
+        spark.createDataFrame([], "doc_id long"), vals, "n").collect()
+    assert len(empty) == 1 and empty[0].n == 0 and empty[0].avg_v is None
+
+
+def test_term_vectors_point_lookup(built_index):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators import serp
+
+    tv = serp.term_vectors(built_index, [5, 7]).collect()
+    assert {r.doc_id for r in tv} == {5, 7}
+    # rows agree with the postings/term_stats tables
+    post = {(r.doc_id, r.term): r.tf for r in built_index.postings
+            .filter(F.col("doc_id").isin([5, 7])).collect()}
+    dfs = {r.term: r.df for r in built_index.term_stats.collect()}
+    assert len(tv) == len(post)
+    for r in tv:
+        assert post[(r.doc_id, r.term)] == r.tf
+        assert dfs[r.term] == r.df
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        serp.term_vectors(built_index, [])

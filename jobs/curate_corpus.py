@@ -54,6 +54,23 @@ def main() -> None:
     ap.add_argument("--pii-scrub", action="store_true",
                     help="redact emails/IPv4/phones in text before "
                          "filtering (textquality.pii_scrub)")
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the published Gopher rule battery "
+                         "(textquality.gopher_quality) after the "
+                         "rule-based quality filter")
+    ap.add_argument("--c4-min-kept-lines", type=int, default=None,
+                    help="enable C4 page cleanup: line rules rewrite "
+                         "the text, pages with fewer surviving lines "
+                         "are dropped")
+    ap.add_argument("--c4-no-terminal-punct", action="store_true",
+                    help="drop C4's terminal-punctuation line rule "
+                         "(for corpora without sentence punctuation)")
+    ap.add_argument("--robots", default=None, metavar="PARQUET",
+                    help="(host, content) robots.txt table; parsed "
+                         "with operators.robots and applied as the "
+                         "politeness-first stage (needs a url column)")
+    ap.add_argument("--robots-agent", default="*",
+                    help="user-agent token for --robots (default *)")
     ap.add_argument("--max-dup-line-ratio", type=float, default=None,
                     help="drop docs whose duplicate-line ratio exceeds "
                          "this (Gopher-style repetition filter)")
@@ -130,12 +147,22 @@ def main() -> None:
 
         docs = textquality.pii_scrub(docs) \
             .drop("n_email", "n_ip", "n_phone")
+    robots_rules = None
+    if args.robots:
+        from search_engine_spark.operators import robots as RB
+
+        robots_rules = RB.parse_robots(spark.read.parquet(args.robots))
     kills_acc = [] if args.lineage_out else None
     curated, funnel = curation.curate(
         docs, _kills_acc=kills_acc,
         languages=langs, min_quality=args.min_quality,
         min_tokens=args.min_tokens, max_tokens=args.max_tokens,
         minhash_threshold=args.minhash_threshold,
+        gopher=args.gopher,
+        c4_min_kept_lines=args.c4_min_kept_lines,
+        c4_require_terminal_punct=not args.c4_no_terminal_punct,
+        robots_rules=robots_rules,
+        robots_agent=args.robots_agent,
         max_dup_line_ratio=args.max_dup_line_ratio,
         max_top_bigram_frac=args.max_top_bigram_frac,
         max_bits_per_token=args.max_bits_per_token,

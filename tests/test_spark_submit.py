@@ -202,3 +202,26 @@ def test_train_tokenizer_job_roundtrip(tmp_path):
     n, = duckdb.sql(
         f"SELECT count(*) FROM '{tmp_path}/counts/*.parquet'").fetchone()
     assert n == 500
+
+
+def test_curate_corpus_job_gopher_c4_flags(tmp_path, spark):
+    """--gopher and --c4-min-kept-lines appear as funnel stages (the
+    no-punct variant keeps the synthetic corpus's single-line docs in
+    play for the word-count rule)."""
+    import sys
+
+    out = str(tmp_path / "curated3")
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4",
+           "SPARK_GRAFT_DRIVER_MEM": "4g"}
+    p = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "jobs", "curate_corpus.py"),
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out, "--languages", "", "--min-tokens", "1",
+         "--gopher", "--c4-min-kept-lines", "1",
+         "--c4-no-terminal-punct"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    with open(os.path.join(out, "_funnel.json")) as f:
+        stages = [s["stage"] for s in json.load(f)]
+    assert "c4_cleanup" in stages and "gopher" in stages

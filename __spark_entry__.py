@@ -1202,6 +1202,23 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serp.term_vectors(idx, [3, 17, 42])
 
 
+def q_mmr_lambda1_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification at λ=1 (similarity.mmr_rerank) degenerates
+    to pure relevance: rank-identical to cosine_topk against the same
+    vec_id=0 query — the identity that pins the greedy loop's scoring,
+    rounding, and tie-break. Diversity behavior (λ<1) is pinned by
+    hand-built cases in tests/test_pipeline_ops.py."""
+    from search_engine_spark.operators import similarity
+    from search_engine_spark.sources.corpus import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    out = similarity.mmr_rerank(emb, q, k=10, lam=1.0, fetch_k=10)
+    return out.select("vec_id", F.round("mmr_score", 4).alias("cosine"),
+                      "rank")
+
+
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc tf-idf keyword annotation (corpusstats.doc_keywords):
     top-3 terms per doc by tf·ln(N/df), per-doc-local window rank (no
@@ -1681,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_matches": q_percolate,
         "robots_rules": q_robots_rules,
         "stats_facet": q_stats_facet,
+        "mmr_lambda1_identity": q_mmr_lambda1_identity,
         "term_vectors": q_term_vectors,
         "robots_allowed": q_robots_allowed,
         "ir_eval_metrics": q_ir_eval_metrics,
@@ -2701,6 +2719,20 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
         # rank on the SAME round-6 key the engine ranks on, then
         # double-round for output exactly like the entry does
         # (round(round(x,6),4) != round(x,4) near 4dp boundaries)
+        "mmr_lambda1_identity": """
+            SELECT vec_id, ROUND(c6, 4) AS cosine,
+                   CAST(ROW_NUMBER() OVER (ORDER BY c6 DESC, vec_id ASC)
+                        AS INT) AS rank
+            FROM (
+                SELECT vec_id,
+                       ROUND(list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]),
+                           (SELECT CAST(embedding AS DOUBLE[])
+                            FROM embeddings WHERE vec_id = 0)), 6) AS c6
+                FROM embeddings
+                ORDER BY c6 DESC, vec_id ASC LIMIT 10
+            )
+        """,
         "cosine_topk": """
             SELECT vec_id, ROUND(c6, 4) AS cosine FROM (
                 SELECT vec_id,

@@ -498,3 +498,76 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
     )
     return (embeddings.select(id_col)
             .join(dropped, id_col, "left_anti"))
+
+
+def mmr_rerank(embeddings: DataFrame, qvec: list[float], k: int = 10,
+               lam: float = 0.5, fetch_k: int = 100,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein 1998) → (vec_id, mmr_score, rank): greedily pick the item
+    maximizing  λ·cos(q, d) − (1−λ)·max over selected of cos(d, s).
+
+    The standard redundancy cut for SERPs and RAG context packing: pure
+    relevance ranking returns k near-copies of the best hit; MMR trades
+    relevance against similarity-to-already-chosen. λ=1 is pure
+    relevance (the driver gate pins rank identity with cosine_topk
+    there); λ=0 is pure diversity.
+
+    Scale shape: the DISTRIBUTED stage is the cosine top-``fetch_k``
+    candidate cut (the cosine_topk plan: one scan + one
+    TakeOrderedAndProject); the greedy selection is inherently
+    sequential (selection i depends on 1..i−1) and runs driver-side
+    over the fetched fetch_k×dim block — a bounded serving-sized
+    numpy loop (the WAND-kernel pattern), never the corpus. Ties break
+    (score DESC, vec_id ASC), the engine rule; candidate scores are
+    pre-rounded to 6dp like cosine_topk so the λ=1 gate cannot wobble
+    on float accumulation order."""
+    import numpy as np
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1]: {lam}")
+    if k < 1 or fetch_k < k:
+        raise ValueError(f"need 1 <= k <= fetch_k, got k={k} "
+                         f"fetch_k={fetch_k}")
+    cand = (cosine_topk(embeddings, qvec, fetch_k, vec_col, id_col)
+            .join(embeddings.select(F.col(id_col).alias("vec_id"),
+                                    F.col(vec_col).alias("_v")), "vec_id")
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .collect())
+    if not cand:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], "vec_id long, mmr_score double, rank int")
+    ids = np.array([r.vec_id for r in cand], dtype=np.int64)
+    rel = np.array([r.cosine for r in cand], dtype=np.float64)
+    vecs = np.array([np.asarray(r._v, dtype=np.float64) for r in cand])
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    unit = vecs / norms[:, None]
+    n = len(ids)
+    selected: list[int] = []
+    max_sim = np.full(n, -np.inf)
+    out = []
+    alive = np.ones(n, dtype=bool)
+    for rank in range(1, min(k, n) + 1):
+        if not selected:
+            score = lam * rel
+        else:
+            score = lam * rel - (1.0 - lam) * max_sim
+        score = np.where(alive, score, -np.inf)
+        # argmax with (score DESC, vec_id ASC): numpy argmax takes the
+        # FIRST max and candidates are vec_id-ascending within equal
+        # cosine already — but after diversity penalties ties can form
+        # between arbitrary ids, so order explicitly
+        best_score = score.max()
+        tied = np.flatnonzero(score == best_score)
+        i = tied[np.argmin(ids[tied])]
+        selected.append(i)
+        alive[i] = False
+        out.append((int(ids[i]), round(float(score[i]), 6), rank))
+        sims = unit @ unit[i]
+        max_sim = np.maximum(max_sim, sims)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        out, "vec_id long, mmr_score double, rank int")

@@ -1375,3 +1375,38 @@ def test_crawl_diff_statuses_and_summary(spark):
         crawldiff.crawl_diff(old.drop("doc_id"), new)
     with pytest.raises(ValueError, match="text column"):
         crawldiff.crawl_diff(old, new, text_col="body")
+
+
+def test_mmr_diversity_hand_computed(spark):
+    # q = e1; doc 1 is close to q but not ON it (else the redundancy
+    # penalty would exactly cancel relevance for every later pick),
+    # doc 2 near-duplicates doc 1, doc 3 is diverse.
+    rows = [
+        (1, [0.9, 0.1, 0.0]),        # rel .994
+        (2, [0.89, 0.12, 0.0]),      # rel .991, near-dup of 1
+        (3, [0.6, -0.6, 0.0]),       # rel .707, diverse
+        (4, [0.0, 1.0, 0.0]),        # rel 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.0, 0.0]
+    # pure relevance: order by cosine
+    lam1 = [r.vec_id for r in similarity.mmr_rerank(
+        emb, q, k=3, lam=1.0, fetch_k=4).collect()]
+    assert lam1 == [1, 2, 3]
+    # balanced: the near-duplicate of the first pick is demoted below
+    # the diverse doc 3
+    lam5 = [r.vec_id for r in similarity.mmr_rerank(
+        emb, q, k=3, lam=0.5, fetch_k=4).collect()]
+    assert lam5 == [1, 3, 2]
+    # rank column is 1..k and scores are monotone in selection order
+    out = similarity.mmr_rerank(emb, q, k=3, lam=0.5, fetch_k=4).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    # validation
+    with pytest.raises(ValueError, match="lam"):
+        similarity.mmr_rerank(emb, q, k=2, lam=1.5)
+    with pytest.raises(ValueError, match="fetch_k"):
+        similarity.mmr_rerank(emb, q, k=5, fetch_k=3)
+    # empty input -> empty typed frame
+    assert similarity.mmr_rerank(
+        spark.createDataFrame([], "vec_id long, embedding array<double>"),
+        q, k=3).count() == 0

@@ -1219,6 +1219,22 @@ def q_mmr_lambda1_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "rank")
 
 
+def q_pruned_bm25_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static index pruning (operators/pruning.py) at per_term_keep ≥
+    max df degenerates to the full index: the same BM25 oracle as
+    bm25_topk pins that the pruning window + handle plumbing change
+    nothing when nothing is pruned. The subset-with-identical-scores
+    property at small keep is pinned in tests/test_pruning.py."""
+    from search_engine_spark.operators import pruning
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    small = pruning.pruned_index(idx, per_term_keep=1 << 30)
+    scored = S.search_freetext_tokens(small, _BM25_QUERY_TERMS, k=None)
+    return (scored.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
+
+
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc tf-idf keyword annotation (corpusstats.doc_keywords):
     top-3 terms per doc by tf·ln(N/df), per-doc-local window rank (no
@@ -1699,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": q_robots_rules,
         "stats_facet": q_stats_facet,
         "mmr_lambda1_identity": q_mmr_lambda1_identity,
+        "pruned_bm25_identity": q_pruned_bm25_identity,
         "term_vectors": q_term_vectors,
         "robots_allowed": q_robots_allowed,
         "ir_eval_metrics": q_ir_eval_metrics,
@@ -1731,6 +1748,8 @@ def oracle_sql() -> dict[str, str]:
     # the MaxScore kernel (operators.maxscore) is the second serving
     # kernel over the same segments — same oracle, same contract
     sql["maxscore_bm25_identity"] = sql["bm25_topk"]
+    # static pruning at keep >= max df is the identity — same oracle
+    sql["pruned_bm25_identity"] = sql["bm25_topk"]
     # RM3 at alpha=1 must reproduce plain BM25 exactly (zero-weight
     # expansion terms dropped, unnormalized q_tf) — same oracle
     sql["rm3_alpha1_identity"] = sql["bm25_topk"]

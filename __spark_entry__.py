@@ -1235,6 +1235,66 @@ def q_pruned_bm25_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
 
 
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parser (operators/robots.py parse_sitemaps) over a
+    fixture covering urlset entries with/without lastmod, whitespace
+    inside <loc>, extra elements (changefreq), a sitemapindex child
+    with a full W3C timestamp (date-precision subset taken), and NULL
+    content. Golden oracle (protocol-derived expected rows)."""
+    from search_engine_spark.operators import robots as RB
+
+    xml = ("<?xml version=\"1.0\"?>\n<urlset>\n"
+           "  <url><loc>https://a.com/p1</loc>"
+           "<lastmod>2022-02-01</lastmod></url>\n"
+           "  <url>\n    <loc> https://a.com/p2 </loc>\n"
+           "    <changefreq>daily</changefreq>\n  </url>\n</urlset>")
+    idx = ("<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>"
+           "<lastmod>2022-03-05T10:00:00Z</lastmod></sitemap>"
+           "</sitemapindex>")
+    sm = spark.createDataFrame(
+        [("a.com", xml), ("a.com", idx), ("b.com", None)],
+        "host string, content string")
+    # lastmod rides as a ''-coalesced string: the driver compare sorts
+    # raw tuples and a NULL date is not orderable against a date there
+    return RB.parse_sitemaps(sm).select(
+        "host", "kind", "loc",
+        F.coalesce(F.col("lastmod").cast("string"), F.lit(""))
+        .alias("lastmod"))
+
+
+def q_sitemap_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven recrawl scheduling end-to-end: the synthetic URL
+    table (doc_id < 40 — the unique-URL prefix) is rendered INTO
+    per-host sitemap XML, parsed back, and diffed against a crawl state
+    where even doc_ids were fetched on 2022-01-20 — odd URLs come back
+    'new', even URLs with lastmod (2022-01-01 + doc_id) after the
+    crawl date come back 'modified'. The oracle computes the same
+    verdicts RELATIONALLY from the synth rule, never touching XML — so
+    the gate verifies render + parse + diff against an independent
+    encoding."""
+    from search_engine_spark.operators import robots as RB
+    from search_engine_spark.operators.hosts import host_of
+
+    urls = _synth_urls(spark, sf_dir).filter(F.col("doc_id") < 40)
+    dated = urls.withColumn(
+        "lastmod", F.date_add(F.lit("2022-01-01").cast("date"),
+                              F.col("doc_id").cast("int")))
+    block = F.concat(F.lit("<url><loc>"), F.col("url"),
+                     F.lit("</loc><lastmod>"),
+                     F.col("lastmod").cast("string"),
+                     F.lit("</lastmod></url>"))
+    site = (dated.withColumn("host", host_of(F.col("url")))
+            .groupBy("host")
+            .agg(F.concat(F.lit("<urlset>"),
+                          F.concat_ws("\n", F.collect_list(block)),
+                          F.lit("</urlset>")).alias("content")))
+    parsed = RB.parse_sitemaps(site)
+    crawled = (urls.filter(F.col("doc_id") % 2 == 0)
+               .select("url", F.lit("2022-01-20 00:00:00")
+                       .cast("timestamp").alias("warc_ts")))
+    return RB.sitemap_refresh_candidates(parsed, crawled)
+
+
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc tf-idf keyword annotation (corpusstats.doc_keywords):
     top-3 terms per doc by tf·ln(N/df), per-doc-local window rank (no
@@ -1716,6 +1776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_facet": q_stats_facet,
         "mmr_lambda1_identity": q_mmr_lambda1_identity,
         "pruned_bm25_identity": q_pruned_bm25_identity,
+        "sitemap_entries": q_sitemap_entries,
+        "sitemap_refresh": q_sitemap_refresh,
         "term_vectors": q_term_vectors,
         "robots_allowed": q_robots_allowed,
         "ir_eval_metrics": q_ir_eval_metrics,
@@ -2121,6 +2183,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT tf.doc_id, tf.term, tf.tf, df.df
         FROM tf JOIN df USING (term)
         WHERE tf.doc_id IN (3, 17, 42)
+    """
+    # sitemap parser golden rows (protocol-derived by hand)
+    sql["sitemap_entries"] = """
+        SELECT * FROM (VALUES
+            ('a.com', 'url', 'https://a.com/p1', '2022-02-01'),
+            ('a.com', 'url', 'https://a.com/p2', ''),
+            ('a.com', 'sitemap', 'https://a.com/s1.xml', '2022-03-05')
+        ) AS t(host, kind, loc, lastmod)
+    """
+    # sitemap recrawl verdicts computed relationally (no XML): odd ids
+    # were never crawled -> new; even ids modified iff lastmod
+    # (2022-01-01 + doc_id) is strictly after the 2022-01-20 crawl
+    sql["sitemap_refresh"] = f"""
+        WITH u AS ({_SYNTH_URL_SQL})
+        SELECT url,
+               CASE WHEN doc_id % 2 = 1 THEN 'new'
+                    WHEN DATE '2022-01-01' + doc_id * INTERVAL 1 DAY
+                         > DATE '2022-01-20' THEN 'modified'
+               END AS reason
+        FROM u WHERE doc_id < 40
+        AND (doc_id % 2 = 1
+             OR DATE '2022-01-01' + doc_id * INTERVAL 1 DAY
+                > DATE '2022-01-20')
     """
     # DisjunctionMax: per-clause BM25 sums, then max + tie·(sum−max)
     sql["dismax_topk"] = f"""

@@ -144,3 +144,66 @@ def robots_filter(urls: DataFrame, rules: DataFrame, agent: str = "*",
     if keep_allowed:
         return out.filter(F.col("allowed")).drop("allowed")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sitemaps (sitemaps.org XML protocol) — robots.txt's companion crawl
+# metadata: what a host WANTS crawled and when it last changed. Parsed
+# with the same pure-JVM philosophy: the canonical element shapes are
+# regular, so regexp_extract_all + explode covers the protocol without
+# an XML library (entity-encoded / exotic documents are out of scope,
+# pinned below).
+# ---------------------------------------------------------------------------
+
+def parse_sitemaps(sitemaps: DataFrame, host_col: str = "host",
+                   content_col: str = "content") -> DataFrame:
+    """(host, sitemap XML) → (host, kind, loc, lastmod).
+
+    ``kind`` = 'url' for ``<urlset>`` entries, 'sitemap' for
+    ``<sitemapindex>`` children (the caller fetches those and parses
+    again — recursion is I/O, not parsing). ``lastmod`` is the
+    element's date (the protocol's W3C date form, date-precision
+    subset) or NULL. Scope pin: canonical uncommented element syntax
+    only — CDATA / entity-encoded URLs are refused by the sitemap
+    protocol itself for <loc> (it requires entity-escaping only of
+    &<>'\" which never appear in the URLs this engine canonicalizes)."""
+    def entries(tag: str, kind: str) -> DataFrame:
+        blk = F.explode(F.regexp_extract_all(
+            F.coalesce(F.col(content_col), F.lit("")),
+            F.lit(rf"(?s)<{tag}>(.*?)</{tag}>"), F.lit(1))).alias("_blk")
+        loc = F.trim(F.regexp_extract(
+            F.col("_blk"), r"(?s)<loc>\s*(.*?)\s*</loc>", 1))
+        lastmod = F.regexp_extract(
+            F.col("_blk"), r"(?s)<lastmod>\s*(\d{4}-\d{2}-\d{2})", 1)
+        return (sitemaps.select(F.col(host_col).alias("host"), blk)
+                .select("host", F.lit(kind).alias("kind"),
+                        loc.alias("loc"),
+                        F.when(lastmod != "", lastmod).cast("date")
+                        .alias("lastmod"))
+                .filter(F.col("loc") != ""))
+
+    return entries("url", "url").unionByName(entries("sitemap", "sitemap"))
+
+
+def sitemap_refresh_candidates(sitemap_urls: DataFrame,
+                               crawled: DataFrame,
+                               url_col: str = "url",
+                               crawl_ts_col: str = "warc_ts") -> DataFrame:
+    """→ (url, reason): sitemap URLs the crawler should (re)fetch —
+    'new' (never crawled) or 'modified' (lastmod strictly after the
+    stored crawl timestamp's date). URLs with no lastmod are fetched
+    only when new (the protocol's hint semantics: absent lastmod says
+    nothing). One left join keyed on the URL — both sides are
+    URL-cardinality frames."""
+    sm = sitemap_urls.filter(F.col("kind") == "url") \
+        .select(F.col("loc").alias("url"), "lastmod")
+    cr = crawled.select(F.col(url_col).alias("url"),
+                        F.to_date(F.col(crawl_ts_col)).alias("_cd"))
+    j = sm.join(cr, "url", "left")
+    return (j.withColumn(
+        "reason",
+        F.when(F.col("_cd").isNull(), "new")
+        .when(F.col("lastmod").isNotNull()
+              & (F.col("lastmod") > F.col("_cd")), "modified"))
+        .filter(F.col("reason").isNotNull())
+        .select("url", "reason"))

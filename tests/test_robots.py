@@ -110,3 +110,53 @@ def test_curate_robots_stage(spark, rules):
     with pytest.raises(ValueError, match="url"):
         curation.curate(docs.drop("url"), languages=None,
                         robots_rules=rules)
+
+
+def test_sitemap_parse_shapes(spark):
+    xml = ("<urlset>"
+           "<url><loc>https://a.com/p1</loc>"
+           "<lastmod>2022-02-01</lastmod></url>"
+           "<url><loc> https://a.com/p2 </loc>"
+           "<priority>0.5</priority></url>"
+           "<url><lastmod>2022-01-01</lastmod></url>"  # no loc -> dropped
+           "</urlset>")
+    idx = ("<sitemapindex><sitemap><loc>https://a.com/more.xml</loc>"
+           "<lastmod>2023-05-06T01:02:03Z</lastmod></sitemap>"
+           "</sitemapindex>")
+    sm = spark.createDataFrame([("a.com", xml), ("a.com", idx),
+                                ("b.com", None)],
+                               "host string, content string")
+    from datetime import date
+
+    got = {(r.kind, r.loc): r.lastmod
+           for r in R.parse_sitemaps(sm).collect()}
+    assert got == {
+        ("url", "https://a.com/p1"): date(2022, 2, 1),
+        ("url", "https://a.com/p2"): None,
+        ("sitemap", "https://a.com/more.xml"): date(2023, 5, 6),
+    }
+
+
+def test_sitemap_refresh_candidates(spark):
+    from datetime import date
+
+    parsed = spark.createDataFrame([
+        ("a.com", "url", "https://a.com/old", date(2022, 1, 1)),
+        ("a.com", "url", "https://a.com/fresh", date(2022, 3, 1)),
+        ("a.com", "url", "https://a.com/nolm", None),
+        ("a.com", "url", "https://a.com/never", date(2022, 1, 1)),
+        ("a.com", "sitemap", "https://a.com/s.xml", date(2022, 3, 1)),
+    ], "host string, kind string, loc string, lastmod date")
+    crawled = spark.createDataFrame([
+        ("https://a.com/old", "2022-02-01 00:00:00"),
+        ("https://a.com/fresh", "2022-02-01 00:00:00"),
+        ("https://a.com/nolm", "2022-02-01 00:00:00"),
+    ], "url string, warc_ts string").selectExpr(
+        "url", "cast(warc_ts as timestamp) as warc_ts")
+    got = {r.url: r.reason
+           for r in R.sitemap_refresh_candidates(parsed, crawled).collect()}
+    # old: lastmod before crawl -> skip; fresh: modified; nolm: lastmod
+    # absent -> only when new; never: uncrawled -> new; sitemap rows
+    # are not fetch candidates
+    assert got == {"https://a.com/fresh": "modified",
+                   "https://a.com/never": "new"}

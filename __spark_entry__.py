@@ -353,6 +353,54 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text", "n_lines", "n_lines_kept", "killed_by")
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-IMPACT BM25 top-k (Anh & Moffat impact quantization —
+    operators/scoring.py quantize block, search.quantized_scored_frame).
+    The per-posting impact q = floor(maxq·(w/(k1+1)) + ½) is DEFINED in
+    exact int64 arithmetic (milli-avgdl pinning, SQL ``div``), so the
+    DuckDB oracle reproduces every stored impact bit-for-bit and the
+    gate hashes the full quantized ranking — weight =
+    idf·(k1+1)·q/maxq at 8 bits."""
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    scored = S.quantized_scored_frame(idx, _BM25_QUERY_TERMS, bits=8)
+    agg = scored.groupBy("doc_id").agg(
+        F.round(F.sum("weight"), 4).alias("score"))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
+
+
+def q_impact_wand_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quantized-store serving: build the durable tf/dl
+    index, re-code it with catalog.quantize_index (8-bit impact blocks,
+    ~1 byte/posting, codec tag 0x00'I'), and serve with the WAND impact
+    branch (score = qtf·idf·(k1+1)·q/maxq from the stored impact byte;
+    per-block bound EXACT for the quantized scores). Gated against the
+    SAME integer-quantizer SQL oracle as quantized_topk — converter +
+    impact kernel == relational quantized scoring, hash-exact."""
+    import shutil
+    import tempfile
+
+    from search_engine_spark.operators import wand as W
+    from search_engine_spark.sources import catalog
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="impact_contract_")
+    try:
+        d = tmp + "/idx"
+        catalog.build_durable_index(spark, docs, d, conf=SIMPLE, shards=2,
+                                    buckets=16, block_span=64,
+                                    positional=False)
+        qdir = catalog.quantize_index(spark, d, tmp + "/impact", bits=8)
+        qidx = catalog.load_index(spark, qdir)
+        hits = W.search_wand(qidx, " ".join(_BM25_QUERY_TERMS), k=1 << 30)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    raw = spark.createDataFrame(
+        [(int(doc), float(s)) for doc, s in hits], "doc_id long, raw double")
+    return (raw.select("doc_id", F.round("raw", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
+
+
 def q_wand_bm25_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end durable-index serving path: build the segment store on
     disk, run the Block-Max WAND kernel over the encoded blocks (varint
@@ -1721,6 +1769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "wand_bm25_identity": q_wand_bm25_identity,
         "maxscore_bm25_identity": q_maxscore_bm25_identity,
+        "quantized_topk": q_quantized_topk,
+        "impact_wand_identity": q_impact_wand_identity,
         "train_split": q_train_split,
         "pack_sequences": q_pack_sequences,
         "knn_join": q_knn_join,
@@ -1810,6 +1860,10 @@ def oracle_sql() -> dict[str, str]:
     # the MaxScore kernel (operators.maxscore) is the second serving
     # kernel over the same segments — same oracle, same contract
     sql["maxscore_bm25_identity"] = sql["bm25_topk"]
+    # the quantized-impact store: converter + WAND impact branch must
+    # reproduce the relational quantized scoring, which the integer
+    # quantizer lets the oracle compute bit-for-bit
+    sql["impact_wand_identity"] = sql["quantized_topk"]
     # static pruning at keep >= max df is the identity — same oracle
     sql["pruned_bm25_identity"] = sql["bm25_topk"]
     # RM3 at alpha=1 must reproduce plain BM25 exactly (zero-weight
@@ -2567,6 +2621,36 @@ def _oracle_sql_dict(bm25_terms: str) -> dict[str, str]:
                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS wt
                 FROM tf JOIN q USING (term) JOIN df USING (term)
                 JOIN dl USING (doc_id) CROSS JOIN stats s
+            )
+            SELECT doc_id, ROUND(SUM(wt), 4) AS score
+            FROM w GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 100
+        """,
+        # mirrors search.quantized_scored_frame(bits=8): the exact-int64
+        # impact quantizer — am = floor(1000·total/n + ½) milli-avgdl,
+        # N = 10·tf·am, D = N + 3·am + 9000·dl (≡ the BM25 tf/dl part
+        # scaled by 10·am at k1=1.2, b=0.75), q = floor(255·N/D + ½) via
+        # integer division ONLY (DuckDB // == Spark div, both exact on
+        # BIGINT — a float division would flip boundary impacts);
+        # weight = idf·2.2·q/255
+        "quantized_topk": f"""
+            WITH tok AS ({_TOK}),
+            tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n,
+                             CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+            am AS (SELECT n, (2000 * total + n) // (2 * n) AS am FROM stats),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {bm25_terms}),
+            w AS (
+                SELECT tf.doc_id,
+                       LN(1 + (a.n - df.df + 0.5) / (df.df + 0.5)) * 2.2
+                       * ((510 * (10 * tf.tf * a.am)
+                           + (10 * tf.tf * a.am + 3 * a.am + 9000 * dl.dl))
+                          // (2 * (10 * tf.tf * a.am + 3 * a.am
+                                   + 9000 * dl.dl))) / 255.0 AS wt
+                FROM tf JOIN q USING (term) JOIN df USING (term)
+                JOIN dl USING (doc_id) CROSS JOIN am a
             )
             SELECT doc_id, ROUND(SUM(wt), 4) AS score
             FROM w GROUP BY doc_id

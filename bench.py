@@ -180,6 +180,23 @@ def main() -> None:
     # warm mini-index (shared LRU with WAND): pure driver kernel time —
     # the head-to-head the two dynamic-pruning families are compared on
     timed("q_maxscore_warm", q_ms)
+
+    # quantized-impact serving artifact (catalog.quantize_index): the
+    # segment re-code pass, then WAND over 8-bit impact blocks — the
+    # ~1-byte-per-posting store with the exact quantized block bound
+    def seg_quantize():
+        out = os.path.join(seg_dir, "impact")
+        shutil.rmtree(out, ignore_errors=True)
+        return catalog.load_index(
+            spark, catalog.quantize_index(spark, seg_idx.index_dir, out))
+
+    imp_idx = timed("quantize_index", seg_quantize)
+
+    def q_imp():
+        return len(W.search_wand(imp_idx, "market price growth", k=100))
+
+    timed("q_impact_cold", q_imp)
+    timed("q_impact_warm", q_imp)
     shutil.rmtree(seg_dir, ignore_errors=True)
 
     # -- phase 3: warm query latencies --------------------------------------

@@ -1168,6 +1168,37 @@ def main() -> int:
         ],
     )
 
+    # 50. quantized-impact store: the re-code pass is ONE mapInPandas
+    # over the segment scan (no shuffle — structure is preserved 1:1),
+    # and the relational quantized scorer is pure JVM integer
+    # arithmetic (no Python in the scoring path) with the standard
+    # broadcast + single-top-k shape
+    from search_engine_spark.operators import segments as SEGOP
+
+    seg50 = spark.read.parquet(os.path.join(tmp, "idx", "segments"))
+    qpass = SEGOP.quantize_blocks(
+        seg50.select([fld.name for fld in SEGOP.SEGMENT_SCHEMA.fields]),
+        idx.stats["n_docs"], idx.stats["total_len"], bits=8)
+    check(
+        "Impact quantize pass (segment re-code)", plan_of(qpass),
+        [
+            ("one Arrow mapInPandas pass", r"MapInPandas", True),
+            ("no shuffle (structure preserved 1:1)", r"\bExchange\b", False),
+            ("no aggregate", r"Aggregate\b", False),
+        ],
+    )
+    p50 = plan_of(S.search_quantized(idx, ["market", "price"], k=100))
+    check(
+        "Quantized relational top-k", p50,
+        [
+            ("integer quantizer stays JVM-side (no Python eval)",
+             r"BatchEvalPython|ArrowEvalPython", False),
+            ("broadcast join for term stats",
+             r"BroadcastHashJoin|BroadcastExchange", True),
+            ("top-k is TakeOrderedAndProject", r"TakeOrderedAndProject", True),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

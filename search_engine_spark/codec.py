@@ -103,8 +103,14 @@ def decode_block_full(payload: bytes):
     """→ (doc_ids, tfs, dls|None) depending on whether the dl run exists.
 
     Dispatches on the payload's first byte: 0x00 marks a tagged format
-    (Elias-Fano block, see encode_block_ef); anything else is the legacy
-    varint stream, whose first byte is never 0x00."""
+    (Elias-Fano block, see encode_block_ef; quantized-impact block, see
+    encode_block_impact); anything else is the legacy varint stream,
+    whose first byte is never 0x00."""
+    if payload[:2] == _IMPACT_TAG:
+        raise ValueError(
+            "quantized-impact payload: tf/dl are not recoverable from an "
+            "impact store — decode with decode_block_impact (serving "
+            "kernels) or re-quantize from the SOURCE index (merge/vacuum)")
     if payload[:1] == b"\x00":
         return _decode_block_ef(payload)
     stream = vb_decode(payload)
@@ -276,6 +282,62 @@ def encode_block_ef(doc_ids: np.ndarray, tfs: np.ndarray,
     tail = vb_encode(np.concatenate(parts))
     return _EF_BLOCK_TAG \
         + vb_encode(np.array([base, len(ef)], dtype=np.int64)) + ef + tail
+
+
+# ---------------------------------------------------------------------------
+# Quantized-impact posting block (Anh & Moffat 2005, "Simplified
+# similarity scoring using term ranks" / the impact-sorted-index line of
+# work; Lucene's quantized norms are the production analogue — all
+# public). The block stores, per posting, an integer impact
+# q ∈ [0, 2^bits−1] that quantizes the BM25 tf/dl part
+# w(tf,dl) = tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)); serving scores
+# idf·(k1+1)·q/maxq with NO doc-length lookup and ~1 byte/posting
+# instead of the tf+dl varint pair. The quantization is defined in
+# EXACT int64 arithmetic (see operators.scoring.quantize_impacts) so an
+# ANSI-SQL oracle reproduces stored impacts bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_IMPACT_TAG = b"\x00I"
+
+
+def encode_block_impact(doc_ids: np.ndarray, impacts: np.ndarray) -> bytes:
+    """Posting block of (doc_id, quantized impact) → payload bytes.
+
+    Layout: ``0x00 'I' varint([n, doc₀, Δdoc₁.., q₁..qₙ])``. doc_ids
+    must be sorted ascending and unique within the block; impacts are
+    non-negative ints ≤ 2^16−1 (8-bit is the standard deployment, the
+    varint run costs 1 byte/posting there)."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    impacts = np.asarray(impacts, dtype=np.int64)
+    n = len(doc_ids)
+    parts = [np.array([n, doc_ids[0] if n else 0], dtype=np.int64),
+             np.diff(doc_ids), impacts]
+    return _IMPACT_TAG + vb_encode(np.concatenate(parts))
+
+
+def decode_block_impact(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_block_impact → (doc_ids ascending, impacts)."""
+    if payload[:2] != _IMPACT_TAG:
+        raise ValueError(
+            "not a quantized-impact payload — tf/dl stores decode with "
+            "decode_block_full")
+    stream = vb_decode(payload[2:])
+    n = int(stream[0])
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    docs = np.empty(n, dtype=np.int64)
+    docs[0] = stream[1]
+    if n > 1:
+        docs[1:] = stream[2:1 + n]
+        np.cumsum(docs, out=docs)
+    impacts = np.asarray(stream[1 + n:1 + 2 * n], dtype=np.int64)
+    return docs, impacts
+
+
+def is_impact_payload(payload: bytes) -> bool:
+    """True iff the payload is a quantized-impact block."""
+    return payload[:2] == _IMPACT_TAG
 
 
 def _decode_block_ef(payload: bytes):

@@ -97,6 +97,19 @@ def search_maxscore(index, query: str, k: int = 100,
 
     n = index.stats["n_docs"]
     avgdl = index.stats["avgdl"]
+    # quantized-impact stores: same branch as search_wand — score from
+    # the stored impact, bound from the block's max impact (exact for
+    # the quantized scores), scoring model baked at quantize time
+    impact_store = getattr(index, "store", "tf") == "impact"
+    impact_scale = 0.0
+    if impact_store:
+        baked = (index.meta["impact_k1"], index.meta["impact_b"])
+        if (k1, b) != baked:
+            raise ValueError(
+                f"impact store bakes its scoring model at quantize time "
+                f"(k1={baked[0]}, b={baked[1]}) — requested ({k1}, {b}); "
+                "re-quantize from the source index to change the model")
+        impact_scale = (k1 + 1.0) / ((1 << index.meta["impact_bits"]) - 1)
     deleted = (index.deleted_ids() if hasattr(index, "deleted_ids")
                else frozenset())
     del_arr = (np.fromiter(deleted, dtype=np.int64, count=len(deleted))
@@ -132,6 +145,19 @@ def search_maxscore(index, query: str, k: int = 100,
         def decode(blk):
             """Decoded (docs, tfs, per-term bm25 weights) with deletes
             masked; None when every posting in the block is tombstoned."""
+            if impact_store:
+                docs, q = codec.decode_block_impact(bytes(blk.payload))
+                if del_arr is not None:
+                    live = ~np.isin(docs, del_arr)
+                    if not live.all():
+                        docs, q = docs[live], q[live]
+                        if not len(docs):
+                            return None
+                if stats is not None:
+                    stats["n_blocks_decoded"] += 1
+                w = (q_tf[blk.term] * idf[blk.term] * impact_scale
+                     * q.astype(np.float64))
+                return docs, w
             docs, tfs, dls = codec.decode_block_full(bytes(blk.payload))
             if dls is None:
                 raise ValueError(
@@ -158,12 +184,18 @@ def search_maxscore(index, query: str, k: int = 100,
             # Range-local upper bounds (tighter than global term bounds:
             # they use THIS range's block_max_tf), ascending — the MaxScore
             # ordering. ubs[i] = (ub, blk).
-            ubs = sorted(
-                ((q_tf[blk.term]
-                  * SEG.bm25_upper_bound(dfs[blk.term], n, blk.block_max_tf,
-                                         k1, b), blk)
-                 for blk in grp),
-                key=lambda x: x[0])
+            if impact_store:
+                ubs = sorted(
+                    ((q_tf[blk.term] * idf[blk.term] * impact_scale
+                      * blk.block_max_tf, blk) for blk in grp),
+                    key=lambda x: x[0])
+            else:
+                ubs = sorted(
+                    ((q_tf[blk.term]
+                      * SEG.bm25_upper_bound(dfs[blk.term], n,
+                                             blk.block_max_tf, k1, b), blk)
+                     for blk in grp),
+                    key=lambda x: x[0])
             total_ub = sum(u for u, _ in ubs)
             if len(heap) >= capacity and total_ub < theta:
                 # WAND's range skip, recovered as the all-non-essential case

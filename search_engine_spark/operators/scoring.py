@@ -103,6 +103,87 @@ def lm_phrase_weight(total_cf: int, mu: float) -> Column:
     return w.alias("weight")
 
 
+# ---------------------------------------------------------------------------
+# Quantized impacts (Anh & Moffat 2005; Lucene's quantized-norm line —
+# public). The BM25 tf/dl part w(tf,dl) = tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl))
+# lies in (0, k1+1); q = round(w/(k1+1)·maxq) with maxq = 2^bits−1 is the
+# stored per-posting impact, and serving scores idf·(k1+1)·q/maxq.
+#
+# The quantization is DEFINED in exact int64 arithmetic so the engine,
+# the numpy converter, and an ANSI-SQL oracle all produce bit-identical
+# impacts (a float formulation would hash-diverge at rounding
+# boundaries). With avgdl pinned to integer milli-tokens
+# am = round(1000·total_len/n_docs):
+#
+#     N = 10·tf·am            (≡ tf, scaled)
+#     D = N + 3·am + 9000·dl  (≡ tf + k1(1−b) + k1·b·dl/avgdl, scaled —
+#                              the 3/9000 constants are 10·k1(1−b) and
+#                              10000·k1·b for the baked k1=1.2, b=0.75)
+#     q = (2·maxq·N + D) // (2·D)   (= floor(maxq·N/D + ½))
+#
+# Int64 headroom: 2·maxq·N = 20·maxq·tf·am; at 16-bit impacts, tf ≤ 10⁵
+# and avgdl ≤ 10⁴ that is ~1.3·10¹⁶ < 2⁶³. The am pinning shifts w by
+# <0.1% vs exact avgdl — irrelevant, since the quantizer itself defines
+# the stored value; the error bound |w̃−w| ≤ (k1+1)/(2·maxq) is against
+# w computed AT am/1000 (exact by construction).
+# ---------------------------------------------------------------------------
+
+#: the scoring model baked into impact stores (quantized impacts bind the
+#: index to its scoring function — the standard deployment tradeoff)
+IMPACT_K1 = 1.2
+IMPACT_B = 0.75
+
+
+def avgdl_milli(n_docs: int, total_len: int) -> int:
+    """avgdl in integer milli-tokens: floor(1000·total/n + ½), exact."""
+    if n_docs <= 0:
+        raise ValueError("avgdl_milli needs n_docs > 0")
+    return (2000 * total_len + n_docs) // (2 * n_docs)
+
+
+def quantize_impacts(tfs, dls, n_docs: int, total_len: int,
+                     bits: int = 8):
+    """numpy int64 quantized impacts for posting arrays (the converter's
+    kernel). Exact integer arithmetic — see the module comment."""
+    import numpy as np
+
+    if not 2 <= bits <= 16:
+        raise ValueError(f"impact bits must be in [2, 16]: {bits}")
+    am = avgdl_milli(n_docs, total_len)
+    maxq = (1 << bits) - 1
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    num = 10 * tfs * am
+    den = num + 3 * am + 9000 * dls
+    return (2 * maxq * num + den) // (2 * den)
+
+
+def quantized_impact_col(n_docs: int, total_len: int,
+                         bits: int = 8) -> Column:
+    """The same quantizer as a pure-JVM integer column expression over
+    (tf, dl) — the relational scoring path and the driver oracle gate
+    both use it, so engine == converter == SQL bit-for-bit."""
+    if not 2 <= bits <= 16:
+        raise ValueError(f"impact bits must be in [2, 16]: {bits}")
+    am = avgdl_milli(n_docs, total_len)
+    maxq = (1 << bits) - 1
+    # SQL ``div`` (true integral division) — a double ``/`` + floor
+    # would lose exactness past 2^53 and flip boundary impacts
+    num = f"(10L * CAST(tf AS BIGINT) * {am}L)"
+    den = f"({num} + {3 * am}L + 9000L * CAST(dl AS BIGINT))"
+    return F.expr(f"({2 * maxq}L * {num} + {den}) div (2L * {den})") \
+        .alias("impact")
+
+
+def impact_weight(n_docs: int, bits: int = 8) -> Column:
+    """Per-(term,doc) serving weight of an impact store:
+    idf·(k1+1)·impact/maxq over a frame with (impact, df) columns."""
+    maxq = (1 << bits) - 1
+    return (idf_bm25(n_docs) * (IMPACT_K1 + 1.0)
+            * F.col("impact").cast("double") / F.lit(float(maxq))
+            ).alias("weight")
+
+
 def lm_doc_prior(mu: float, query_len: int, pitman_yor: bool = False,
                  g: float = 0.2) -> Column:
     """Doc-level additive prior (language_model.py:249-256).

@@ -143,6 +143,40 @@ def _scored_frame(index: InvertedIndex, terms: list[str], model: str,
     return joined.withColumn("weight", w)
 
 
+def quantized_scored_frame(index: InvertedIndex, terms: list[str],
+                           bits: int = 8) -> DataFrame:
+    """per-(term,doc) QUANTIZED-impact weight frame — the relational
+    twin of the impact-store serving kernels (catalog.quantize_index +
+    wand/maxscore impact branches). The impact is computed on the fly
+    from (tf, dl) with scoring.quantized_impact_col — exact int64
+    arithmetic, so it equals the impacts a quantized store of the same
+    corpus holds bit-for-bit; weight = idf·(k1+1)·q/maxq. This is the
+    driver-oracle gate for the impact path (an ANSI-SQL oracle
+    reproduces the integer quantizer exactly) and the distributed
+    fallback when a workload wants quantized scoring without building
+    the impact artifact."""
+    n, total = index.stats["n_docs"], index.stats["total_len"]
+    matched = index.lookup(terms)
+    tstats = F.broadcast(index.term_stats.filter(F.col("term").isin(terms)))
+    joined = matched.join(tstats, "term")
+    if "dl" not in joined.columns:
+        joined = joined.join(index.doc_stats, "doc_id")
+    q = scoring.quantized_impact_col(n, total, bits=bits)
+    return (joined.withColumn("impact", q)
+            .withColumn("weight", scoring.impact_weight(n, bits=bits)))
+
+
+def search_quantized(index: InvertedIndex, terms: list[str], k: int = 100,
+                     bits: int = 8) -> DataFrame:
+    """Quantized-impact BM25 top-k → (doc_id, score), relational path.
+    Rank-identical to the impact-store WAND/MaxScore kernels at the same
+    ``bits`` (pytest-gated); within (k1+1)·|q|/(2·maxq) of exact BM25 by
+    the quantization error bound."""
+    scored = quantized_scored_frame(index, terms, bits=bits)
+    agg = scored.groupBy("doc_id").agg(F.sum("weight").alias("score"))
+    return topk(agg, k)
+
+
 def adaptive_candidates(index: InvertedIndex, terms: list[str]) -> DataFrame | None:
     """Reference Q5: intersection of all terms; if <100 docs, docs matching
     all of either half of the term list; if still <100, union (=None: no

@@ -212,6 +212,55 @@ def encode_sorted(postings: DataFrame, positional: bool = True,
     return postings.select(*cols).mapInPandas(encode_stream, SEGMENT_SCHEMA)
 
 
+def quantize_blocks(segments: DataFrame, n_docs: int, total_len: int,
+                    bits: int = 8) -> DataFrame:
+    """tf/dl segment blocks → quantized-impact blocks (same schema).
+
+    mapInPandas over block rows: decode each payload (must be
+    self-contained, i.e. carry the dl run — the durable build's shape),
+    quantize with scoring.quantize_impacts (exact int64 arithmetic), and
+    re-encode via codec.encode_block_impact. Structure is preserved 1:1
+    — same (term, bucket, block_id, n_docs, min/max doc) — so every
+    pruning path (bucket partitions, parquet min/max + bloom, the
+    impact-ordered cap) works unchanged on the quantized store.
+    ``block_max_tf`` becomes the block's max IMPACT: for impact stores
+    the kernels' range bound is idf·(k1+1)·max_impact/maxq — EXACT for
+    the quantized scores (tighter than the tf store's dl→0 bound).
+    ``pos_payload`` passes through: positions are score-free, so phrase
+    and proximity queries keep working on a quantized store (their
+    scoring joins doc_stats, which the quantized artifact resolves from
+    its source sidecar)."""
+    from . import scoring
+
+    if not 2 <= bits <= 16:
+        raise ValueError(f"impact bits must be in [2, 16]: {bits}")
+
+    def convert(batches):
+        from .. import codec as C
+
+        for pdf in batches:
+            payloads, maxima = [], []
+            for payload in pdf["payload"]:
+                docs, tfs, dls = C.decode_block_full(bytes(payload))
+                if dls is None:
+                    raise ValueError(
+                        "quantize_blocks needs self-contained blocks "
+                        "(payloads carrying dl — the durable build's "
+                        "shape); this store was encoded without dl")
+                q = scoring.quantize_impacts(tfs, dls, n_docs, total_len,
+                                             bits)
+                payloads.append(C.encode_block_impact(docs, q))
+                maxima.append(int(q.max()) if len(q) else 0)
+            import numpy as np
+
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["block_max_tf"] = np.asarray(maxima, dtype="int32")
+            yield out
+
+    return segments.mapInPandas(convert, SEGMENT_SCHEMA)
+
+
 DECODED_SCHEMA = StructType([
     StructField("term", StringType()),
     StructField("doc_id", LongType()),

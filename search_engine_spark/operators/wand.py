@@ -176,6 +176,19 @@ def search_wand(index, query: str, k: int = 100,
 
     n = index.stats["n_docs"]
     avgdl = index.stats["avgdl"]
+    # quantized-impact stores (catalog.quantize_index): blocks carry the
+    # stored impact q instead of tf+dl; score = qtf·idf·(k1+1)·q/maxq and
+    # the per-block bound idf·(k1+1)·block_max/maxq is EXACT for the
+    # quantized scores (block_max_tf holds the block's max impact)
+    impact_store = getattr(index, "store", "tf") == "impact"
+    if impact_store:
+        baked = (index.meta["impact_k1"], index.meta["impact_b"])
+        if (k1, b) != baked:
+            raise ValueError(
+                f"impact store bakes its scoring model at quantize time "
+                f"(k1={baked[0]}, b={baked[1]}) — requested ({k1}, {b}); "
+                "re-quantize from the source index to change the model")
+        impact_scale = (k1 + 1.0) / ((1 << index.meta["impact_bits"]) - 1)
     # live-docs mask (tombstoned deletes): same stale global stats as the
     # relational path (df/n_docs refresh at vacuum), same candidate
     # exclusion — the two paths stay rank-identical under deletes
@@ -209,16 +222,33 @@ def search_wand(index, query: str, k: int = 100,
 
         for block_id in sorted(by_range):
             grp = by_range[block_id]
-            ub = sum(
-                q_tf[blk.term]
-                * SEG.bm25_upper_bound(dfs[blk.term], n, blk.block_max_tf,
-                                       k1, b)
-                for blk in grp
-            )
+            if impact_store:
+                ub = sum(q_tf[blk.term] * idf[blk.term]
+                         * impact_scale * blk.block_max_tf for blk in grp)
+            else:
+                ub = sum(
+                    q_tf[blk.term]
+                    * SEG.bm25_upper_bound(dfs[blk.term], n,
+                                           blk.block_max_tf, k1, b)
+                    for blk in grp
+                )
             if len(heap) >= capacity and ub < threshold():
                 continue  # skip range without decoding
             acc: dict[int, float] = defaultdict(float)
             for blk in grp:
+                if impact_store:
+                    docs, q = codec.decode_block_impact(bytes(blk.payload))
+                    if del_arr is not None:
+                        live = ~np.isin(docs, del_arr)
+                        if not live.all():
+                            docs, q = docs[live], q[live]
+                            if not len(docs):
+                                continue
+                    w = (q_tf[blk.term] * idf[blk.term] * impact_scale
+                         * q.astype(np.float64))
+                    for d, s in zip(docs.tolist(), w.tolist()):
+                        acc[d] += s
+                    continue
                 docs, tfs, dls = codec.decode_block_full(bytes(blk.payload))
                 if dls is None:
                     raise ValueError(

@@ -485,6 +485,19 @@ class SegmentIndex(InvertedIndex):
                               stem=a["stem"])
         self.index_dir = index_dir
         self.meta = meta
+        # quantized-impact artifacts (quantize_index) carry only their
+        # re-coded segments + stats.json; score-free side tables
+        # (postings_stage, doc_stats, term_stats, vsm_norms, tombstones)
+        # resolve from the SOURCE index via ``sidecar_dir`` — Iceberg
+        # metadata-pointing-at-shared-data-files, not a copy
+        sidecar = meta.get("sidecar_dir")
+
+        def _art(name: str) -> str:
+            p = os.path.join(index_dir, name)
+            if sidecar and not os.path.isdir(p):
+                return os.path.join(sidecar, name)
+            return p
+
         self.segments = spark.read.parquet(os.path.join(index_dir, "segments"))
         # Driver-side mini-index LRU: per-term (df, [blocks]) — the moral
         # equivalent of the reference's startup word2byte dict plus
@@ -494,9 +507,9 @@ class SegmentIndex(InvertedIndex):
         self._mini: OrderedDict[str, tuple[int, list]] = OrderedDict()
         self._mini_cap = max_cached_terms
         super().__init__(
-            postings=spark.read.parquet(os.path.join(index_dir, "postings_stage")),
-            doc_stats=spark.read.parquet(os.path.join(index_dir, "doc_stats")),
-            term_stats=spark.read.parquet(os.path.join(index_dir, "term_stats")),
+            postings=spark.read.parquet(_art("postings_stage")),
+            doc_stats=spark.read.parquet(_art("doc_stats")),
+            term_stats=spark.read.parquet(_art("term_stats")),
             stats={k: meta[k] for k in ("n_docs", "total_len", "avgdl")},
             documents=documents,
             analyzer=conf,
@@ -509,6 +522,9 @@ class SegmentIndex(InvertedIndex):
         if _done(index_dir, "vsm_norms"):
             self._vsm_norms = spark.read.parquet(
                 os.path.join(index_dir, "vsm_norms"))
+        elif sidecar and _done(sidecar, "vsm_norms"):
+            self._vsm_norms = spark.read.parquet(
+                os.path.join(sidecar, "vsm_norms"))
         # Lucene-style live-docs: committed tombstone batches exclude
         # deleted docs from every query path NOW; postings vacuum (and
         # stats refresh) happens at merge_indexes. None when no deletes.
@@ -516,8 +532,21 @@ class SegmentIndex(InvertedIndex):
         # immutable, so every past snapshot stays readable): -1 reads
         # the pre-delete index, N applies batches 0..N, None is live.
         self.as_of_batch = as_of_batch
-        self._tombstones = load_tombstones(spark, index_dir, as_of_batch)
+        # a quantized artifact inherits its SOURCE's tombstones (deletes
+        # committed against the source after quantization apply here
+        # too) unless it has committed batches of its own
+        tomb_dir = (sidecar if sidecar and not _tombstone_batches(index_dir)
+                    else index_dir)
+        self._tombstones = load_tombstones(spark, tomb_dir, as_of_batch)
         self._deleted_set: frozenset[int] | None = None
+
+    @property
+    def store(self) -> str:
+        """Payload kind of the segment store: "tf" (self-contained
+        tf+dl blocks, the build default) or "impact" (quantized impacts,
+        quantize_index output — serving kernels score from the impact
+        byte, scoring model baked at quantize time)."""
+        return self.meta.get("store", "tf")
 
     def deleted_ids(self) -> frozenset[int]:
         """Driver-side live-docs set for the WAND kernel (the per-segment
@@ -547,6 +576,28 @@ class SegmentIndex(InvertedIndex):
             raise ValueError(
                 f"index at {self.index_dir} was built positional=False; "
                 "phrase/proximity queries need a positional build")
+        if self.store == "impact":
+            # tf/dl are not recoverable from quantized blocks — the
+            # relational paths (free-text/phrase/boolean/VSM/LM) read
+            # the SOURCE postings via the sidecar instead and score
+            # EXACT (unquantized) weights; the quantized scores are the
+            # serving kernels' (search_wand/search_maxscore) and the
+            # explicit search_quantized path. Same bucket pruning as the
+            # segment scan — the stage is partitioned by bucket too.
+            src = self.postings
+            if "bucket" in src.columns:
+                src = src.filter(
+                    F.col("bucket").isin(self._buckets_for(terms)))
+            cols = ["term", "doc_id", "tf"]
+            if "dl" in src.columns:
+                cols.append("dl")
+            if positional and "positions" in src.columns:
+                cols.append("positions")
+            decoded = src.filter(F.col("term").isin(terms)).select(*cols)
+            if self._tombstones is not None:
+                decoded = decoded.join(F.broadcast(self._tombstones),
+                                       "doc_id", "left_anti")
+            return decoded
         blocks = self.segments.filter(
             F.col("bucket").isin(self._buckets_for(terms))
             & F.col("term").isin(terms)
@@ -722,6 +773,70 @@ def vacuum_index(spark: SparkSession, index_dir: str, out_dir: str,
     return merge_indexes(spark, [index_dir], out_dir, shards=shards)
 
 
+def quantize_index(spark: SparkSession, index_dir: str, out_dir: str,
+                   bits: int = 8) -> str:
+    """Convert a completed tf/dl index into a quantized-IMPACT serving
+    artifact (Anh & Moffat impact quantization; Lucene's quantized norms
+    are the production analogue — public technique).
+
+    Each posting's BM25 tf/dl part is quantized to ``bits`` bits with
+    the exact-int64 quantizer (operators.scoring.quantize_impacts) and
+    re-encoded as ~1-byte-per-posting impact blocks
+    (codec.encode_block_impact); serving then scores
+    idf·(k1+1)·q/maxq with NO doc-length data — smaller payloads,
+    fewer decode bytes, and an EXACT per-block bound for WAND/MaxScore
+    pruning (block_max_tf holds the block's max impact). Positions pass
+    through unchanged, so phrase/proximity queries still work.
+
+    The artifact is segments + stats.json ONLY: score-free side tables
+    resolve from the source via ``sidecar_dir`` (SegmentIndex), so
+    nothing corpus-sized is copied. The scoring model (k1=1.2, b=0.75)
+    and the corpus stats are BAKED IN — after a merge or vacuum of the
+    source, re-quantize from the new index (global stats change);
+    merge_indexes/vacuum_index refuse impact stores for that reason.
+
+    This is the engine's form of the reference's index converter
+    (/root/reference/indexing/index_converter — re-code an existing
+    index into a cheaper serving layout without re-tokenizing).
+    """
+    stats_path = os.path.join(index_dir, "stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            stats = json.load(f)
+        if stats.get("store") == "impact":
+            raise ValueError(f"{index_dir} is already an impact store — "
+                             "quantize from the original tf/dl index")
+    if not _done(index_dir, "build_complete"):
+        raise ValueError(f"{index_dir} is not a completed index")
+    if os.path.abspath(out_dir) == os.path.abspath(index_dir):
+        raise ValueError("quantize output must be a NEW directory")
+    from ..operators import segments as SEG
+
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    seg = spark.read.parquet(os.path.join(index_dir, "segments")) \
+        .select([f.name for f in SEG.SEGMENT_SCHEMA.fields])
+    SEG.quantize_blocks(seg, stats["n_docs"], stats["total_len"],
+                        bits=bits) \
+        .sortWithinPartitions("bucket", "term", "block_id") \
+        .write.mode("overwrite").options(**TERM_BLOOM) \
+        .partitionBy("bucket").parquet(os.path.join(out_dir, "segments"))
+    from ..operators import scoring
+
+    out_stats = dict(stats)
+    out_stats.update({
+        "store": "impact", "impact_bits": bits,
+        "impact_k1": scoring.IMPACT_K1, "impact_b": scoring.IMPACT_B,
+        "sidecar_dir": os.path.abspath(index_dir),
+    })
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(out_stats, f)
+    _record(out_dir, "quantize_complete", bits=bits,
+            source=os.path.abspath(index_dir),
+            duration_sec=round(time.perf_counter() - t0, 3))
+    return out_dir
+
+
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids,
                 auto_vacuum_threshold: float | None = None,
                 vacuum_out: str | None = None) -> dict:
@@ -849,6 +964,15 @@ def merge_indexes(spark: SparkSession, index_dirs: list[str],
 
     configs = []
     for d in index_dirs:
+        stats_path = os.path.join(d, "stats.json")
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                if json.load(f).get("store") == "impact":
+                    raise ValueError(
+                        f"{d} is a quantized-impact serving artifact — "
+                        "tf/dl are not recoverable from it; merge/vacuum "
+                        "the SOURCE indexes and re-quantize the result "
+                        "(quantize_index)")
         if not _done(d, "build_complete"):
             raise ValueError(f"{d} is not a completed index "
                              "(no build_complete manifest)")

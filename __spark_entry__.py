@@ -136,6 +136,32 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_phrase_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEXT-WORD phrase index (catalog.build_phrase_index, Williams
+    & Zobel 2004): "big data" served from ONE bigram posting lookup must
+    reproduce the positional-intersection phrase_match oracle row for
+    row — the artifact only changes the plan, never the counts."""
+    import shutil
+    import tempfile
+
+    from search_engine_spark.sources import catalog
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="phraseidx_contract_")
+    try:
+        d = tmp + "/idx"
+        catalog.build_durable_index(spark, docs, d, conf=SIMPLE,
+                                    buckets=16, block_span=64)
+        catalog.build_phrase_index(spark, d, min_df=1)
+        idx = catalog.load_index(spark, d)
+        rows = idx.bigram_lookup("big", "data").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(r.doc_id), int(r.tf)) for r in rows],
+        "doc_id long, phrase_tf long")
+
+
 def q_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docs matching "big data"~2 in the ordered-window semantics
     (phrase.sloppy_occurrences): 'data' at most 2 extra positions after
@@ -1771,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxscore_bm25_identity": q_maxscore_bm25_identity,
         "quantized_topk": q_quantized_topk,
         "impact_wand_identity": q_impact_wand_identity,
+        "bigram_phrase_identity": q_bigram_phrase_identity,
         "train_split": q_train_split,
         "pack_sequences": q_pack_sequences,
         "knn_join": q_knn_join,
@@ -1864,6 +1891,9 @@ def oracle_sql() -> dict[str, str]:
     # reproduce the relational quantized scoring, which the integer
     # quantizer lets the oracle compute bit-for-bit
     sql["impact_wand_identity"] = sql["quantized_topk"]
+    # the next-word phrase index serves the same consecutive counts the
+    # positional intersection computes — same oracle as phrase_match
+    sql["bigram_phrase_identity"] = sql["phrase_match"]
     # static pruning at keep >= max df is the identity — same oracle
     sql["pruned_bm25_identity"] = sql["bm25_topk"]
     # RM3 at alpha=1 must reproduce plain BM25 exactly (zero-weight

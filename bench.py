@@ -197,6 +197,35 @@ def main() -> None:
 
     timed("q_impact_cold", q_imp)
     timed("q_impact_warm", q_imp)
+
+    # next-word phrase index (catalog.build_phrase_index): the same
+    # two-word phrase through the positional intersection vs ONE bigram
+    # posting lookup — the Williams-Zobel common-phrase speedup
+    from search_engine_spark.functions.analyzer import analyze_query
+    from search_engine_spark.operators import phrase as PH
+
+    ph_terms = analyze_query("market price", seg_idx.analyzer)
+
+    def q_ph_pos():
+        return PH.search_phrase(seg_idx, ph_terms, k=100).count()
+
+    timed("q_phrase_positional", q_ph_pos)
+
+    def ph_build():
+        return catalog.build_phrase_index(spark, seg_idx.index_dir,
+                                          min_df=50)
+
+    timed("phrase_index_build", ph_build)
+    ph_idx = catalog.load_index(spark, seg_idx.index_dir)
+    if ph_idx.bigram_lookup(*ph_terms) is None:
+        raise RuntimeError("bench phrase pair not covered by the phrase "
+                           "index — q_phrase_nextword would silently "
+                           "measure the fallback")
+
+    def q_ph_fast():
+        return PH.search_phrase(ph_idx, ph_terms, k=100).count()
+
+    timed("q_phrase_nextword", q_ph_fast)
     shutil.rmtree(seg_dir, ignore_errors=True)
 
     # -- phase 3: warm query latencies --------------------------------------

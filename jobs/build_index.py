@@ -40,6 +40,12 @@ def main() -> None:
                          "prune (directory-level) instead of scanning; "
                          "the index then builds FROM that table, so html "
                          "extraction runs once")
+    ap.add_argument("--phrase-index-min-df", type=int,
+                    help="after the build, also build the next-word "
+                         "(bigram) phrase index over words with df >= "
+                         "this value — two-word phrases of common words "
+                         "then serve from one posting lookup "
+                         "(catalog.build_phrase_index)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--checkpoint-dir",
                     help="reliable checkpoint dir (HDFS/object store) for "
@@ -95,6 +101,9 @@ def main() -> None:
         block_span=args.block_span, shards=args.shards,
         positional=not args.no_positions, resume=not args.no_resume,
     )
+    if args.phrase_index_min_df is not None:
+        catalog.build_phrase_index(spark, args.output,
+                                   min_df=args.phrase_index_min_df)
     for row in catalog.lineage_rows(args.output):
         print(row)
 

@@ -1199,6 +1199,27 @@ def main() -> int:
         ],
     )
 
+    # 51. next-word phrase index: a covered two-word phrase is ONE
+    # bucket/term-pruned scan + Arrow decode — no join, no shuffle
+    # (the positional path it replaces pays one hash join per term)
+    info51 = catalog.build_phrase_index(spark, os.path.join(tmp, "idx"),
+                                        min_df=3)
+    idx51 = catalog.load_index(spark, os.path.join(tmp, "idx"))
+    t1, t2 = info51["terms"][0], info51["terms"][1]
+    p51 = plan_of(idx51.bigram_lookup(t1, t2))
+    check(
+        "Next-word phrase lookup", p51,
+        [
+            ("bucket partition filter present",
+             r"PartitionFilters: \[.*bucket", True),
+            ("bigram term pushed to scan",
+             r"PushedFilters: \[.*[Ee]qual[Tt]o\(term", True),
+            ("no join (single posting lookup)",
+             r"Join", False),
+            ("no shuffle", r"\bExchange\b", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -76,6 +76,13 @@ def main() -> None:
     from search_engine_spark.operators import maxscore as _ms
     from search_engine_spark.operators import search as S_mod
 
+    # next-word phrase index over the durable store: `seg` was loaded
+    # BEFORE the artifact committed (positional path), `seg_ph` after
+    # (bigram fast path) — the same phrase through both plans
+    catalog.build_phrase_index(spark, os.path.join(seg_dir, "idx"),
+                               min_df=10)
+    seg_ph = catalog.load_index(spark, os.path.join(seg_dir, "idx"))
+
     kinds = {
         "free_head": lambda i: executor.execute(
             idx, f"{head[i % 4]} {head[(i + 1) % 4]}").count(),
@@ -113,6 +120,12 @@ def main() -> None:
         # head-to-head at serving latency
         "maxscore": lambda i: len(_ms.search_maxscore(
             seg, f"{head[i % 4]} {mid[i % 4]}", k=100)),
+        # the same two-word phrase over the durable store: positional
+        # intersection (pre-artifact handle) vs ONE bigram lookup
+        "phrase_seg": lambda i: executor.execute(
+            seg, f'"{head[i % 4]} {mid[i % 4]}"').count(),
+        "phrase_nextword": lambda i: executor.execute(
+            seg_ph, f'"{head[i % 4]} {mid[i % 4]}"').count(),
         # regexp automaton expansion (anchored rlike over the vocab)
         "regexp": lambda i: executor.execute(
             idx, f"/{head[i % 4][:2]}[a-z]+/").count(),

@@ -26,9 +26,22 @@ from . import scoring
 
 
 def phrase_occurrences(index: InvertedIndex, phrase_terms: list[str]) -> DataFrame:
-    """→ (doc_id, phrase_tf) for docs containing the phrase consecutively."""
+    """→ (doc_id, phrase_tf) for docs containing the phrase consecutively.
+
+    Two-word phrases covered by a committed NEXT-WORD index
+    (catalog.build_phrase_index, Williams & Zobel 2004) serve from ONE
+    pruned bigram-posting lookup instead of decoding both words' full
+    positional postings — common-word phrases are exactly where the
+    positional intersection is expensive. phrase_tf is the same
+    consecutive-occurrence count either way (identity pytest + driver
+    gate); uncovered or longer phrases keep the positional path."""
     if not phrase_terms:
         raise ValueError("empty phrase")
+    if len(phrase_terms) == 2 and hasattr(index, "bigram_lookup"):
+        fast = index.bigram_lookup(phrase_terms[0], phrase_terms[1])
+        if fast is not None:
+            return fast.select("doc_id",
+                               F.col("tf").alias("phrase_tf"), "dl")
     def _shift(off: int):
         # single-arg lambda on purpose: a 2-arg lambda would make
         # F.transform pass the ARRAY INDEX as the second argument

@@ -1,0 +1,147 @@
+"""Next-word (bigram) phrase index (catalog.build_phrase_index +
+SegmentIndex.bigram_lookup + the phrase_occurrences fast path) —
+Williams & Zobel 2004 "Fast phrase querying with combined indexes".
+
+Gates: ground-truth consecutive counts on a handmade corpus; phrase
+ranking identity with-vs-without the artifact (the artifact only
+changes the plan); coverage fallback for uncovered pairs; executor
+integration; tombstone exclusion on the fast path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.operators import executor as X
+from search_engine_spark.operators import phrase as PH
+from search_engine_spark.sources import catalog
+
+
+@pytest.fixture(scope="module")
+def tiny_phrase_index(tmp_path_factory, spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta"),
+            (2, "alpha gamma beta"),
+            (3, "beta beta beta"),
+            (4, "gamma gamma alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path_factory.mktemp("tinyphrase") / "idx")
+    catalog.build_durable_index(spark, docs, d, buckets=8, block_span=16)
+    catalog.build_phrase_index(spark, d, min_df=1)
+    return catalog.load_index(spark, d)
+
+
+def _pairs(idx, t1, t2):
+    df = idx.bigram_lookup(t1, t2)
+    assert df is not None
+    return sorted((r.doc_id, r.tf) for r in df.collect())
+
+
+def test_bigram_ground_truth(tiny_phrase_index):
+    idx = tiny_phrase_index
+    assert _pairs(idx, "alpha", "beta") == [(1, 2)]
+    assert _pairs(idx, "beta", "alpha") == [(1, 1)]
+    assert _pairs(idx, "alpha", "gamma") == [(2, 1)]
+    assert _pairs(idx, "gamma", "beta") == [(2, 1)]
+    assert _pairs(idx, "beta", "beta") == [(3, 2)]
+    assert _pairs(idx, "gamma", "gamma") == [(4, 1)]
+    # both words known, zero adjacency anywhere -> empty frame, not None
+    assert _pairs(idx, "beta", "gamma") == []
+
+
+def test_bigram_carries_dl_for_join_free_scoring(tiny_phrase_index):
+    df = tiny_phrase_index.bigram_lookup("alpha", "beta")
+    assert "dl" in df.columns
+    [row] = df.collect()
+    assert row.dl == 4
+
+
+@pytest.fixture(scope="module")
+def phrase_indexes(tmp_path_factory, spark, corpus_sdf):
+    d = str(tmp_path_factory.mktemp("phraseidx") / "idx")
+    catalog.build_durable_index(spark, corpus_sdf, d, buckets=16,
+                                block_span=64)
+    before = catalog.load_index(spark, d)  # no phrase artifact yet
+    assert before.bigram_lookup("market", "price") is None
+    catalog.build_phrase_index(spark, d, min_df=5)
+    after = catalog.load_index(spark, d)
+    return before, after
+
+
+def test_phrase_ranking_identity(phrase_indexes):
+    before, after = phrase_indexes
+    assert after.bigram_lookup("market", "price") is not None
+    want = [(r.doc_id, round(r.score, 9)) for r in
+            PH.search_phrase(before, ["market", "price"], k=50).collect()]
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           PH.search_phrase(after, ["market", "price"], k=50).collect()]
+    assert got == want
+
+
+def test_phrase_identity_lm_model(phrase_indexes):
+    before, after = phrase_indexes
+    want = [(r.doc_id, round(r.score, 9)) for r in
+            PH.search_phrase(before, ["market", "price"], k=50,
+                             model="lm-dirichlet").collect()]
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           PH.search_phrase(after, ["market", "price"], k=50,
+                            model="lm-dirichlet").collect()]
+    assert got == want
+
+
+def test_uncovered_pair_falls_back(phrase_indexes):
+    _, after = phrase_indexes
+    # find a term below the coverage threshold
+    rare = next(t for t in
+                [r.term for r in after.term_stats.filter("df < 5")
+                 .limit(5).collect()])
+    assert after.bigram_lookup("market", rare) is None
+    # fallback still answers (positional path)
+    PH.search_phrase(after, ["market", rare], k=5).collect()
+
+
+def test_executor_phrase_goes_through_fast_path(phrase_indexes):
+    before, after = phrase_indexes
+    want = [(r.doc_id, round(r.score, 9)) for r in
+            X.execute(before, '"market price"', k=20).collect()]
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           X.execute(after, '"market price"', k=20).collect()]
+    assert got == want
+
+
+def test_longer_phrases_keep_positional_path(phrase_indexes):
+    before, after = phrase_indexes
+    terms = ["market", "price", "growth"]
+    want = [(r.doc_id, round(r.score, 9)) for r in
+            PH.search_phrase(before, terms, k=20).collect()]
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           PH.search_phrase(after, terms, k=20).collect()]
+    assert got == want
+
+
+def test_fast_path_excludes_tombstones(tmp_path, spark, corpus_sdf):
+    d = str(tmp_path / "idx")
+    catalog.build_durable_index(spark, corpus_sdf, d, buckets=8,
+                                block_span=64)
+    catalog.build_phrase_index(spark, d, min_df=5)
+    idx = catalog.load_index(spark, d)
+    full = idx.bigram_lookup("market", "price").collect()
+    assert full, "fixture corpus should contain the phrase"
+    victim = full[0].doc_id
+    catalog.delete_docs(spark, d, [victim])
+    idx2 = catalog.load_index(spark, d)
+    remaining = {r.doc_id for r in
+                 idx2.bigram_lookup("market", "price").collect()}
+    assert victim not in remaining
+    assert remaining == {r.doc_id for r in full} - {victim}
+
+
+def test_build_refuses_nonpositional(tmp_path, spark, corpus_sdf):
+    d = str(tmp_path / "np")
+    catalog.build_durable_index(spark, corpus_sdf, d, buckets=8,
+                                block_span=64, positional=False)
+    with pytest.raises(ValueError, match="positional"):
+        catalog.build_phrase_index(spark, d, min_df=5)

@@ -162,6 +162,35 @@ def q_bigram_phrase_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, phrase_tf long")
 
 
+def q_trigram_wildcard_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-wildcard expansion through the character-TRIGRAM
+    vocabulary index (catalog.build_term_ngram_index — the pg_trgm /
+    Lucene-ngram technique): '*ta' probes the grams' pruned partitions
+    for a bounded candidate set, the exact LIKE verifies, and the
+    capped expansion must equal the full-vocabulary-scan oracle row for
+    row — the artifact only changes the plan."""
+    import shutil
+    import tempfile
+
+    from search_engine_spark.sources import catalog
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="trgm_contract_")
+    try:
+        d = tmp + "/idx"
+        catalog.build_durable_index(spark, docs, d, conf=SIMPLE,
+                                    buckets=16, block_span=64,
+                                    positional=False)
+        catalog.build_term_ngram_index(spark, d)
+        idx = catalog.load_index(spark, d)
+        assert idx.trigram_candidates("*er") is not None
+        rows = S.wildcard_candidates(idx, ["*er", "*an", "*ta"]).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame([(r.qt, r.term) for r in rows],
+                                 "qt string, term string")
+
+
 def q_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docs matching "big data"~2 in the ordered-window semantics
     (phrase.sloppy_occurrences): 'data' at most 2 extra positions after
@@ -1798,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "impact_wand_identity": q_impact_wand_identity,
         "bigram_phrase_identity": q_bigram_phrase_identity,
+        "trigram_wildcard_identity": q_trigram_wildcard_identity,
         "train_split": q_train_split,
         "pack_sequences": q_pack_sequences,
         "knn_join": q_knn_join,
@@ -1894,6 +1924,22 @@ def oracle_sql() -> dict[str, str]:
     # the next-word phrase index serves the same consecutive counts the
     # positional intersection computes — same oracle as phrase_match
     sql["bigram_phrase_identity"] = sql["phrase_match"]
+    # the trigram vocabulary index bounds a leading-wildcard expansion;
+    # the oracle is the full-vocabulary LIKE scan with the same
+    # (df DESC, term ASC) cap of 50 — identical rows either way
+    sql["trigram_wildcard_identity"] = f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id FROM tok GROUP BY term, doc_id),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        q(qt, pat) AS (VALUES ('*er', '%er'), ('*an', '%an'),
+                              ('*ta', '%ta')),
+        ranked AS (
+            SELECT q.qt, df.term, ROW_NUMBER() OVER (
+                PARTITION BY q.qt ORDER BY df.df DESC, df.term ASC) AS rn
+            FROM df JOIN q ON df.term LIKE q.pat
+        )
+        SELECT qt, term FROM ranked WHERE rn <= 50
+    """
     # static pruning at keep >= max df is the identity — same oracle
     sql["pruned_bm25_identity"] = sql["bm25_topk"]
     # RM3 at alpha=1 must reproduce plain BM25 exactly (zero-weight

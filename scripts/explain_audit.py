@@ -1220,6 +1220,24 @@ def main() -> int:
         ],
     )
 
+    # 52. trigram vocabulary index: a leading-wildcard probe prunes to
+    # the grams' gbucket partitions with the gram list pushed to the
+    # scan — never a full vocabulary pass
+    catalog.build_term_ngram_index(spark, os.path.join(tmp, "idx"))
+    idx52 = catalog.load_index(spark, os.path.join(tmp, "idx"))
+    p52 = plan_of(idx52.trigram_candidates("*et"))
+    check(
+        "Trigram leading-wildcard probe", p52,
+        [
+            ("gbucket partition filter present",
+             r"PartitionFilters: \[.*gbucket", True),
+            ("gram predicate pushed to scan",
+             r"PushedFilters: \[.*(In|EqualTo)\(gram", True),
+            ("map-side partial agg before exchange",
+             r"HashAggregate", True),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

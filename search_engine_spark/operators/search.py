@@ -950,8 +950,20 @@ def wildcard_candidates(index: InvertedIndex, patterns: list[str],
     frames = []
     for p in uniq:
         like = wildcard_like(p)  # validates ≥1 literal char
-        cond = F.col("term").like(like)
         anchor = wildcard_anchor(p)
+        vocab = None
+        if not anchor and hasattr(index, "trigram_candidates"):
+            # leading-wildcard patterns have no startswith anchor to
+            # prune the term-sorted vocabulary — when a trigram index
+            # is committed (catalog.build_term_ngram_index), probe it
+            # for the bounded candidate superset and run the exact
+            # LIKE on that instead of the full vocabulary scan
+            vocab = index.trigram_candidates(p)
+        if vocab is not None:
+            frames.append(vocab.filter(F.col("term").like(like))
+                          .select(F.lit(p).alias("qt"), "term", "df"))
+            continue
+        cond = F.col("term").like(like)
         if anchor:
             cond = F.col("term").startswith(anchor) & cond
         frames.append(index.term_stats.filter(cond)

@@ -538,6 +538,14 @@ class SegmentIndex(InvertedIndex):
                 self._phrase_common = frozenset(json.load(f)["terms"])
             self._phrase_segments = spark.read.parquet(
                 os.path.join(pdir, "phrase_segments"))
+        # character-trigram vocabulary index (build_term_ngram_index):
+        # bounds leading-wildcard / infix pattern expansion
+        self._term_trigrams = None
+        tdir = next((d for d in (index_dir, sidecar)
+                     if d and _done(d, "term_ngram_index")), None)
+        if tdir:
+            self._term_trigrams = spark.read.parquet(
+                os.path.join(tdir, "term_trigrams"))
         # Lucene-style live-docs: committed tombstone batches exclude
         # deleted docs from every query path NOW; postings vacuum (and
         # stats refresh) happens at merge_indexes. None when no deletes.
@@ -603,6 +611,34 @@ class SegmentIndex(InvertedIndex):
             decoded = decoded.join(F.broadcast(self._tombstones),
                                    "doc_id", "left_anti")
         return decoded
+
+    def trigram_candidates(self, pattern: str) -> DataFrame | None:
+        """(term, df) SUPERSET of the vocabulary terms matching a
+        wildcard pattern, from the committed trigram index — or None
+        when no artifact exists or the pattern has no literal run long
+        enough to yield a trigram (callers fall back to the vocabulary
+        scan; results are identical either way). The probe prunes to
+        the grams' gbucket partitions and keeps terms containing ALL
+        required trigrams; the caller still applies the exact LIKE —
+        the index only bounds what that LIKE reads."""
+        if self._term_trigrams is None:
+            return None
+        grams = _pattern_trigrams(pattern)
+        if not grams:
+            return None
+        from ..functions.xxhash import spark_bucket
+
+        gbuckets = sorted({spark_bucket(g, TRIGRAM_BUCKETS)
+                           for g in grams})
+        probe = self._term_trigrams.filter(
+            F.col("gbucket").isin(gbuckets) & F.col("gram").isin(grams))
+        # (term, gram) rows are DISTINCT by construction (the build
+        # dedups before writing), so count(*) == countDistinct(gram)
+        # with one aggregate stage instead of two
+        return (probe.groupBy("term", "df")
+                .agg(F.count("*").alias("_ng"))
+                .filter(F.col("_ng") == len(grams))
+                .select("term", "df"))
 
     def lookup(self, terms: list[str], positional: bool = False) -> DataFrame:
         if not terms:
@@ -905,14 +941,17 @@ def build_phrase_index(spark: SparkSession, index_dir: str,
     artifact is versioned by its manifest row and read only when
     committed (kill-safe like every other build step).
     """
+    stats_path = os.path.join(index_dir, "stats.json")
+    meta = {}
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            meta = json.load(f)
+        if meta.get("store") == "impact":
+            raise ValueError("build the phrase index on the SOURCE tf/dl "
+                             "index (quantized artifacts share it via the "
+                             "sidecar)")
     if not _done(index_dir, "build_complete"):
         raise ValueError(f"{index_dir} is not a completed index")
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        meta = json.load(f)
-    if meta.get("store") == "impact":
-        raise ValueError("build the phrase index on the SOURCE tf/dl "
-                         "index (quantized artifacts share it via the "
-                         "sidecar)")
     if not meta.get("positional", True):
         raise ValueError("phrase index needs a positional build (the "
                          "bigram counts are consecutive-position counts)")
@@ -970,6 +1009,100 @@ def build_phrase_index(spark: SparkSession, index_dir: str,
             n_common_terms=len(common),
             duration_sec=round(time.perf_counter() - t0, 3))
     return info
+
+
+#: gram-hash partition count of the term-trigram index (pruning unit)
+TRIGRAM_BUCKETS = 64
+
+
+def _pattern_trigrams(pattern: str) -> list[str]:
+    """Required character trigrams of a Lucene wildcard pattern —
+    trigrams of every literal run, with '^'/'$' boundary padding when
+    the run touches the pattern's start/end (pg_trgm's extraction idea;
+    PostgreSQL pg_trgm and Lucene's AutomatonQuery-over-ngrams are the
+    public references). Every matching TERM must contain every returned
+    trigram, so the trigram index bounds the candidate set; [] means the
+    pattern has no run long enough to exploit (caller falls back to the
+    vocabulary scan)."""
+    runs: list[str] = []
+    cur = []
+    for c in pattern:
+        if c in "*?":
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+            runs.append(None)  # type: ignore[arg-type]  # metachar marker
+        else:
+            cur.append(c)
+    if cur:
+        runs.append("".join(cur))
+    # rebuild with boundary context: a literal run at the very start
+    # matches at term start → pad '^'; at the very end → pad '$'
+    grams: list[str] = []
+    for i, run in enumerate(runs):
+        if run is None:
+            continue
+        s = run
+        if i == 0:
+            s = "^" + s
+        if i == len(runs) - 1:
+            s = s + "$"
+        grams.extend(s[j:j + 3] for j in range(len(s) - 2))
+    return sorted(set(grams))
+
+
+def build_term_ngram_index(spark: SparkSession, index_dir: str) -> dict:
+    """Build the character-TRIGRAM index over the vocabulary — the
+    pg_trgm/Lucene-ngram technique that makes LEADING-wildcard and
+    infix patterns ('*ing', '*arke*') a bounded lookup instead of a
+    full vocabulary scan. At web scale the vocabulary is 10⁸-10⁹ terms;
+    anchored patterns already prune via the term-sorted parquet min/max
+    (StringStartsWith), but a leading wildcard has no anchor — this
+    artifact gives it one.
+
+    Layout: parquet (gram, term, df) partitioned by
+    ``gbucket = pmod(xxhash64(gram), 64)`` and gram-sorted within
+    partitions — a k-trigram probe prunes to ≤k partitions and rides
+    parquet min/max within them, the segment store's own pruning
+    pattern applied to the vocabulary. df rides along so the candidate
+    cap (top-``max_expansions`` by df) needs no term_stats join.
+
+    Query side: terms containing ALL of the pattern's required trigrams
+    (``_pattern_trigrams``) are candidates; the exact LIKE verify runs
+    on that bounded set. Results are IDENTICAL to the vocabulary-scan
+    path (pytest + driver gate) — the artifact only changes the plan.
+    """
+    stats_path = os.path.join(index_dir, "stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            if json.load(f).get("store") == "impact":
+                raise ValueError(
+                    "build the trigram index on the SOURCE tf/dl index "
+                    "(quantized artifacts share it via the sidecar)")
+    if not _done(index_dir, "build_complete"):
+        raise ValueError(f"{index_dir} is not a completed index")
+    t0 = time.perf_counter()
+    ts = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+    padded = F.concat(F.lit("^"), F.col("term"), F.lit("$"))
+    grams = (
+        ts.select("term", "df", padded.alias("p"))
+        .select("term", "df", F.explode(F.expr(
+            "transform(sequence(1, length(p) - 2), "
+            "i -> substring(p, i, 3))")).alias("gram"))
+        .distinct()
+        .withColumn("gbucket",
+                    F.pmod(F.xxhash64("gram"),
+                           F.lit(TRIGRAM_BUCKETS)).cast("int"))
+    )
+    out = os.path.join(index_dir, "term_trigrams")
+    parts = max(2 * spark.sparkContext.defaultParallelism, 8)
+    grams.repartitionByRange(parts, "gbucket", "gram", "term") \
+        .sortWithinPartitions("gbucket", "gram", "term") \
+        .write.mode("overwrite").partitionBy("gbucket").parquet(out)
+    n_grams = spark.read.parquet(out).count()
+    _record(index_dir, "term_ngram_index", rows=n_grams,
+            duration_sec=round(time.perf_counter() - t0, 3))
+    return {"rows": n_grams}
 
 
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids,

@@ -27,6 +27,11 @@ def main() -> None:
     ap.add_argument("inputs", nargs="+", help="two or more index dirs")
     ap.add_argument("--output", required=True)
     ap.add_argument("--shards", type=int, default=1)
+    ap.add_argument("--rebuild-artifacts", action="store_true",
+                    help="re-derive the FIRST input's optional serving "
+                         "artifacts (phrase index, trigram vocabulary "
+                         "index) on the merged output; quantized stores "
+                         "need an explicit quantize_index run")
     args = ap.parse_args()
 
     from search_engine_spark.session import get_spark
@@ -35,6 +40,9 @@ def main() -> None:
     spark = get_spark("merge_index")
     catalog.merge_indexes(spark, args.inputs, args.output,
                           shards=args.shards)
+    if args.rebuild_artifacts:
+        print({"artifacts": catalog.rebuild_artifacts(
+            spark, args.inputs[0], args.output)})
     for row in catalog.lineage_rows(args.output):
         print(row)
 

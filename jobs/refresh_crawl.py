@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--batch", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--docs-out", required=True)
+    ap.add_argument("--rebuild-artifacts", action="store_true",
+                    help="re-derive the source's optional serving "
+                         "artifacts (phrase index, trigram vocabulary "
+                         "index) on the refreshed output; quantized "
+                         "stores need an explicit quantize_index run")
     args = ap.parse_args()
 
     from search_engine_spark.session import get_spark
@@ -43,6 +48,9 @@ def main() -> None:
         new_docs=spark.read.parquet(args.batch),
         out_dir=args.output)
     res.pop("docs_out").write.mode("error").parquet(args.docs_out)
+    if args.rebuild_artifacts:
+        res["artifacts"] = catalog.rebuild_artifacts(
+            spark, args.index, args.output)
     print(res)
 
 

@@ -1105,6 +1105,33 @@ def build_term_ngram_index(spark: SparkSession, index_dir: str) -> dict:
     return {"rows": n_grams}
 
 
+def rebuild_artifacts(spark: SparkSession, src_dir: str,
+                      out_dir: str) -> list[str]:
+    """Re-derive the optional serving artifacts a source index had onto
+    a freshly built/merged/vacuumed index: the next-word phrase index
+    (same min_df as the source's phrase_index.json) and the trigram
+    vocabulary index. Merge and vacuum write a NEW directory with fresh
+    corpus-global stats, so artifacts cannot be carried over — they are
+    derived data and must be recomputed (this is what a segment-file
+    engine's merge policy does with its auxiliary files). Returns the
+    list of artifacts rebuilt.
+
+    Quantized-impact stores are NOT rebuilt here: an impact artifact is
+    its own directory (re-run quantize_index against ``out_dir``) — the
+    old quantized artifact keeps serving the OLD snapshot via its
+    sidecar until the caller swaps it."""
+    done = []
+    if _done(src_dir, "phrase_index"):
+        with open(os.path.join(src_dir, PHRASE_INDEX_META)) as f:
+            min_df = json.load(f)["min_df"]
+        build_phrase_index(spark, out_dir, min_df=min_df)
+        done.append("phrase_index")
+    if _done(src_dir, "term_ngram_index"):
+        build_term_ngram_index(spark, out_dir)
+        done.append("term_ngram_index")
+    return done
+
+
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids,
                 auto_vacuum_threshold: float | None = None,
                 vacuum_out: str | None = None) -> dict:

@@ -212,12 +212,15 @@ def main() -> None:
     timed("q_phrase_positional", q_ph_pos)
 
     def ph_build():
-        # min_df=200 (1% of the 20k-doc web corpus): the head terms the
-        # artifact exists for; the measured pair only needs the bench
-        # phrase covered (guarded below), and a tighter cut keeps this
-        # optional-artifact line from dominating e2e
+        # cut at min(200, probe-term dfs): head-terms-only keeps this
+        # optional-artifact line from dominating e2e, while clamping to
+        # the probe pair's own dfs guarantees the measured phrase is
+        # covered at every SF the driver runs
+        dfs = [r.df for r in seg_idx.term_stats
+               .filter(F.col("term").isin(ph_terms)).collect()]
+        cut = max(1, min([200] + dfs))
         return catalog.build_phrase_index(spark, seg_idx.index_dir,
-                                          min_df=200)
+                                          min_df=cut)
 
     timed("phrase_index_build", ph_build)
     ph_idx = catalog.load_index(spark, seg_idx.index_dir)

@@ -44,6 +44,14 @@ Endpoint parity (reference search/retrieval/urls.py:8-11, views.py):
                                                    vocabulary count is
                                                    memoized after one
                                                    job)
+    GET /explain_plan?query=...[&model=...]      → plan-choice explain
+                                                   (plans.explain): kind,
+                                                   eligible kernels,
+                                                   store, and which
+                                                   artifacts (next-word
+                                                   phrase index, trigram
+                                                   index) would engage —
+                                                   zero Spark jobs
     GET /explain?query=...&doc=<id>[&model=...]  → Lucene-Explanation
                                                    analog: per-term
                                                    (tf, df, weight)
@@ -607,6 +615,21 @@ def create_server(index, port: int = 0, spellchecker=None,
                         "retrieval_time":
                             round(time.perf_counter() - t0, 4),
                     })
+                elif parts[0] == "explain_plan":
+                    # plan-choice explain (plans.explain): which kernel /
+                    # artifact / path will serve this query — no Spark
+                    # job, driver-side classification + coverage tests
+                    q = parse_qs(u.query)
+                    query = q.get("query", [None])[0]
+                    if not query:
+                        raise ValueError("explain_plan needs query=")
+                    from search_engine_spark.plans.explain import (
+                        explain_plan)
+
+                    with lock:
+                        self._json(200, explain_plan(
+                            index, query,
+                            model=q.get("model", ["bm25"])[0]))
                 elif parts[0] == "explain":
                     # Lucene-Explanation analog: per-term score breakdown
                     # for one (query, doc) pair — GET /explain?query=&doc=

@@ -502,6 +502,23 @@ def test_synonyms_through_results(spark, corpus_sdf, tmp_path):
         bare.shutdown()
 
 
+def test_explain_plan_endpoint(server):
+    """/explain_plan reports the serving decision without running the
+    query: kernel eligibility, store kind, artifact engagement."""
+    status, body = _get(server + "/explain_plan?query=market+price")
+    assert status == 200
+    assert body["kind"] == "freetext"
+    assert body["kernels"] == ["wand", "maxscore"]
+    assert body["store"] == "tf"
+    status, body = _get(
+        server + "/explain_plan?query=%22market%20price%22")
+    assert status == 200
+    assert body["kernels"] == []
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server + "/explain_plan")
+    assert e.value.code == 400
+
+
 def test_explain_endpoint(server):
     """/explain returns the per-term breakdown whose weights sum to the
     reported score, for a doc known to match (top-1 of /results)."""

@@ -1238,6 +1238,23 @@ def main() -> int:
         ],
     )
 
+    # 53. fuzzy count filter over the same trigram artifact: the
+    # vocabulary side is the pruned gram probe (partition filter +
+    # pushed gram list), with levenshtein applied only to the bounded
+    # candidate set — never a full first-char vocabulary scan
+    p53 = plan_of(S.fuzzy_candidates(idx52, ["market"], max_dist=1))
+    check(
+        "Fuzzy expansion via trigram count filter", p53,
+        [
+            ("gbucket partition filter present",
+             r"PartitionFilters: \[.*gbucket", True),
+            ("gram list pushed to scan",
+             r"PushedFilters: \[.*[Ii]n\(gram", True),
+            ("exact levenshtein verify stays JVM-side",
+             r"levenshtein", True),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

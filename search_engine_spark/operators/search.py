@@ -769,12 +769,61 @@ def fuzzy_candidates(index: InvertedIndex, toks: list[str],
     if max_expansions < 1:
         raise ValueError(f"max_expansions must be >= 1: {max_expansions}")
     spark = index.postings.sparkSession
-    qdf = spark.createDataFrame([(t,) for t in toks], "qt string")
+
+    # Trigram COUNT FILTER (Gravano et al., "Approximate string joins
+    # in a database (almost) for free", VLDB 2001 — public): one edit
+    # operation destroys at most 3 of a string's distinct padded
+    # trigrams, so any term within levenshtein max_dist of token q must
+    # share >= n_grams(q) − 3·max_dist of q's trigrams. When the index
+    # has a committed trigram artifact (catalog.build_term_ngram_index)
+    # and the bound is non-vacuous (>= 1), the vocabulary side of the
+    # fuzzy join becomes a pruned gram probe instead of scanning every
+    # first-char-matching term — at a web-scale vocabulary that is the
+    # difference between ~|V|/26 levenshtein evaluations per token and
+    # a few hundred. Tokens too short for a useful bound (or with no
+    # artifact) keep the exact scan; either way the CANDIDATE SUPERSET
+    # feeds the same exact levenshtein filter below, so results are
+    # identical (pytest-gated).
+    paired_frames = []
+    fallback_toks: list[str] = []
+    trigram_tbl = getattr(index, "_term_trigrams", None)
+    if trigram_tbl is not None:
+        from ..functions.xxhash import spark_bucket
+        from ..sources.catalog import TRIGRAM_BUCKETS
+
+        for t in toks:
+            padded = "^" + t + "$"
+            grams = sorted({padded[i:i + 3] for i in range(len(t))})
+            thresh = len(grams) - 3 * max_dist
+            if thresh < 1:
+                fallback_toks.append(t)
+                continue
+            gb = sorted({spark_bucket(g, TRIGRAM_BUCKETS) for g in grams})
+            paired_frames.append(
+                trigram_tbl.filter(F.col("gbucket").isin(gb)
+                                   & F.col("gram").isin(grams))
+                .groupBy("term", "df")
+                .agg(F.count("*").alias("_ng"))
+                .filter(F.col("_ng") >= thresh)
+                .select("term", "df", F.lit(t).alias("qt")))
+    else:
+        fallback_toks = list(toks)
+    if fallback_toks or not paired_frames:
+        qdf = spark.createDataFrame([(t,) for t in fallback_toks],
+                                    "qt string")
+        paired_frames.append(
+            index.term_stats.select("term", "df")
+            .join(F.broadcast(qdf),
+                  F.substring("term", 1, prefix_len)
+                  == F.substring("qt", 1, prefix_len))
+            .select("term", "df", "qt"))
+    from functools import reduce
+
+    paired = reduce(lambda a, b: a.unionByName(b), paired_frames)
     cand = (
-        index.term_stats.select("term", "df")
-        .join(F.broadcast(qdf),
-              F.substring("term", 1, prefix_len)
-              == F.substring("qt", 1, prefix_len))
+        paired
+        .filter(F.substring("term", 1, prefix_len)
+                == F.substring("qt", 1, prefix_len))
         .filter(F.abs(F.length("term") - F.length("qt")) <= max_dist)
         .withColumn("_d", F.levenshtein(F.col("qt"), F.col("term")))
         .filter(F.col("_d") <= max_dist)

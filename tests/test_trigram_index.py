@@ -102,3 +102,69 @@ def test_build_refuses_impact_store(tmp_path, spark, trigram_indexes):
                                   str(tmp_path / "imp"))
     with pytest.raises(ValueError, match="SOURCE"):
         catalog.build_term_ngram_index(spark, qdir)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy count filter (Gravano et al. 2001): the trigram index bounds
+# the vocabulary side of the fuzzy join; results must be identical
+# ---------------------------------------------------------------------------
+
+def test_count_filter_bound_holds_randomized():
+    """Numerical validation of the pruning theory: any string within
+    levenshtein d of q shares >= n_distinct_trigrams(q) − 3d of q's
+    padded trigrams (edits are sub/ins/del — Spark's levenshtein)."""
+    import random
+
+    rng = random.Random(42)
+    alpha = "abcdefgh"
+
+    def grams(s):
+        p = "^" + s + "$"
+        return {p[i:i + 3] for i in range(len(s))}
+
+    for _ in range(300):
+        q = "".join(rng.choice(alpha) for _ in range(rng.randint(3, 10)))
+        t = list(q)
+        d = rng.randint(1, 2)
+        for _ in range(d):
+            op = rng.choice(["sub", "ins", "del"])
+            pos = rng.randrange(max(len(t), 1))
+            if op == "sub" and t:
+                t[pos] = rng.choice(alpha)
+            elif op == "ins":
+                t.insert(pos, rng.choice(alpha))
+            elif t:
+                del t[pos]
+        t = "".join(t)
+        shared = len(grams(q) & grams(t))
+        assert shared >= len(grams(q)) - 3 * d, (q, t, d, shared)
+
+
+def test_fuzzy_expansion_identity_with_trigram_filter(trigram_indexes):
+    before, after = trigram_indexes
+    toks = ["markwt", "prict", "growtj"]
+    want = sorted((r.qt, r.term, round(r.boost, 9)) for r in
+                  S.fuzzy_candidates(before, toks, max_dist=1).collect())
+    got = sorted((r.qt, r.term, round(r.boost, 9)) for r in
+                 S.fuzzy_candidates(after, toks, max_dist=1).collect())
+    assert got == want
+    assert want, "misspellings should find vocabulary neighbors"
+
+
+def test_fuzzy_short_token_falls_back(trigram_indexes):
+    # 2-char token: bound = 2 − 3d < 1 → exact-scan fallback, identical
+    before, after = trigram_indexes
+    want = sorted((r.qt, r.term) for r in
+                  S.fuzzy_candidates(before, ["ab"], max_dist=1).collect())
+    got = sorted((r.qt, r.term) for r in
+                 S.fuzzy_candidates(after, ["ab"], max_dist=1).collect())
+    assert got == want
+
+
+def test_fuzzy_search_identity_end_to_end(trigram_indexes):
+    before, after = trigram_indexes
+    want = [(r.doc_id, round(r.score, 9)) for r in
+            S.search_fuzzy(before, ["markwt", "prict"], k=20).collect()]
+    got = [(r.doc_id, round(r.score, 9)) for r in
+           S.search_fuzzy(after, ["markwt", "prict"], k=20).collect()]
+    assert got == want

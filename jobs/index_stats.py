@@ -81,10 +81,15 @@ def collect_stats(spark, index_dir: str) -> dict:
         "bucket_skew_max_over_mean":
             round(max(postings) / mean_p, 3) if mean_p else None,
         "codec_mix": {r.codec: int(r["count"]) for r in mix_rows},
-        "artifacts": sorted(a for a in
-                            ("vsm_norms", "phrase_index",
-                             "term_ngram_index")
-                            if catalog._done(index_dir, a)),
+        # mirror SegmentIndex's resolution order: an impact store's
+        # phrase/trigram/VSM artifacts resolve through the sidecar at
+        # serving time, so the report must probe it too (consistent with
+        # the term_stats fallback above)
+        "artifacts": sorted(
+            a for a in ("vsm_norms", "phrase_index", "term_ngram_index")
+            if catalog._done(index_dir, a)
+            or (meta.get("sidecar_dir")
+                and catalog._done(meta["sidecar_dir"], a))),
         "tombstone_batches": batches,
         "deleted_fraction":
             round(catalog.deleted_fraction(spark, index_dir), 4),

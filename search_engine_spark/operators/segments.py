@@ -213,7 +213,7 @@ def encode_sorted(postings: DataFrame, positional: bool = True,
 
 
 def quantize_blocks(segments: DataFrame, n_docs: int, total_len: int,
-                    bits: int = 8) -> DataFrame:
+                    bits: int = 8, keep_positions: bool = False) -> DataFrame:
     """tf/dl segment blocks → quantized-impact blocks (same schema).
 
     mapInPandas over block rows: decode each payload (must be
@@ -226,10 +226,14 @@ def quantize_blocks(segments: DataFrame, n_docs: int, total_len: int,
     ``block_max_tf`` becomes the block's max IMPACT: for impact stores
     the kernels' range bound is idf·(k1+1)·max_impact/maxq — EXACT for
     the quantized scores (tighter than the tf store's dl→0 bound).
-    ``pos_payload`` passes through: positions are score-free, so phrase
-    and proximity queries keep working on a quantized store (their
-    scoring joins doc_stats, which the quantized artifact resolves from
-    its source sidecar)."""
+    ``pos_payload`` is DROPPED (emitted empty) by default: nothing reads
+    positions from an impact store — phrase/proximity queries route
+    through the source sidecar (SegmentIndex.lookup's impact branch and
+    bigram_lookup), and on positional builds the positional payloads
+    typically dominate index size, which would defeat the whole
+    ~1 byte/posting point of the artifact. ``keep_positions=True``
+    restores the pass-through for callers that want a self-contained
+    copy."""
     from . import scoring
 
     if not 2 <= bits <= 16:
@@ -256,6 +260,8 @@ def quantize_blocks(segments: DataFrame, n_docs: int, total_len: int,
             out = pdf.copy()
             out["payload"] = payloads
             out["block_max_tf"] = np.asarray(maxima, dtype="int32")
+            if not keep_positions:
+                out["pos_payload"] = [b""] * len(out)
             yield out
 
     return segments.mapInPandas(convert, SEGMENT_SCHEMA)

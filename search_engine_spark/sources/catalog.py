@@ -491,6 +491,18 @@ class SegmentIndex(InvertedIndex):
         # resolve from the SOURCE index via ``sidecar_dir`` — Iceberg
         # metadata-pointing-at-shared-data-files, not a copy
         sidecar = meta.get("sidecar_dir")
+        if sidecar and not _done(sidecar, "build_complete"):
+            # the pointer is persisted absolute; a moved/deleted/vacuumed
+            # source would otherwise surface later as an opaque parquet
+            # read failure on the relational paths (and silently wrong
+            # tombstone inheritance) — diagnose it at open time
+            raise ValueError(
+                f"impact store at {index_dir} points at sidecar "
+                f"{sidecar}, which is missing or not a completed index "
+                "(moved, deleted, or vacuumed-and-swapped). Re-quantize "
+                "from the current source index (jobs/quantize_index.py) "
+                "— impact artifacts bake their source's stats and share "
+                "its side tables, so they cannot outlive it.")
 
         def _art(name: str) -> str:
             p = os.path.join(index_dir, name)
@@ -569,16 +581,33 @@ class SegmentIndex(InvertedIndex):
         byte, scoring model baked at quantize time)."""
         return self.meta.get("store", "tf")
 
-    def deleted_ids(self) -> frozenset[int]:
+    #: deleted_ids driver-set bound: ~48 MB of Python ints. Above this
+    #: the kernel's live-docs set is itself the memory problem and the
+    #: store needs a vacuum, not a bigger driver.
+    DELETED_IDS_MAX = 5_000_000
+
+    def deleted_ids(self, max_ids: int | None = None) -> frozenset[int]:
         """Driver-side live-docs set for the WAND kernel (the per-segment
         deleted-docs bitmap of segment-file engines). Collected once per
-        index handle; tombstone volumes large enough to strain the driver
-        are the signal to vacuum via merge_indexes."""
+        index handle, BOUNDED: more than ``max_ids`` (default
+        ``DELETED_IDS_MAX``) tombstones raises with a vacuum
+        recommendation instead of materializing an unbounded set — the
+        collect ships at most ``max_ids + 1`` ids either way. Deletes
+        issued with ``auto_vacuum_threshold`` never get near the bound."""
         if self._tombstones is None:
             return frozenset()
+        bound = self.DELETED_IDS_MAX if max_ids is None else max_ids
         if self._deleted_set is None:
-            self._deleted_set = frozenset(
-                r["doc_id"] for r in self._tombstones.collect())
+            rows = self._tombstones.limit(bound + 1).collect()
+            if len(rows) > bound:
+                raise ValueError(
+                    f"index at {self.index_dir} has more than {bound} "
+                    "tombstoned docs — too many to hold as the kernels' "
+                    "driver-side live-docs set. Vacuum the index "
+                    "(merge_indexes / delete_docs auto_vacuum_threshold) "
+                    "to fold tombstones into the postings, or raise "
+                    "max_ids explicitly if the driver has the memory.")
+            self._deleted_set = frozenset(r["doc_id"] for r in rows)
         return self._deleted_set
 
     def _buckets_for(self, terms: list[str]) -> list[int]:
@@ -870,6 +899,7 @@ def quantize_index(spark: SparkSession, index_dir: str, out_dir: str,
     (/root/reference/indexing/index_converter — re-code an existing
     index into a cheaper serving layout without re-tokenizing).
     """
+    stats = None
     stats_path = os.path.join(index_dir, "stats.json")
     if os.path.exists(stats_path):
         with open(stats_path) as f:
@@ -879,6 +909,13 @@ def quantize_index(spark: SparkSession, index_dir: str, out_dir: str,
                              "quantize from the original tf/dl index")
     if not _done(index_dir, "build_complete"):
         raise ValueError(f"{index_dir} is not a completed index")
+    if stats is None:
+        # a committed manifest without stats.json means the directory
+        # was tampered with or half-copied — fail with a diagnosis, not
+        # a NameError when the stats are first used below
+        raise ValueError(f"{index_dir} has a build_complete manifest but "
+                         "no stats.json — the index directory is damaged "
+                         "or was copied without its stats file")
     if os.path.abspath(out_dir) == os.path.abspath(index_dir):
         raise ValueError("quantize output must be a NEW directory")
     from ..operators import segments as SEG
@@ -912,8 +949,20 @@ def quantize_index(spark: SparkSession, index_dir: str, out_dir: str,
 PHRASE_INDEX_META = "phrase_index.json"
 
 
+#: default cap on phrase-index coverage — the TOP-K most frequent terms
+#: (ties broken by term for determinism). Bounds the driver-side covered
+#: set, the phrase_index.json artifact, and every SegmentIndex open to
+#: O(max_terms) regardless of vocabulary size: a web-scale vocabulary
+#: (10^8-10^9 terms) admits millions of terms past a bare min_df cut,
+#: and the whole point of the artifact (Williams & Zobel 2004) is the
+#: HEAD of the vocabulary — rare-word phrases already have a cheap
+#: positional path.
+PHRASE_INDEX_MAX_TERMS = 32768
+
+
 def build_phrase_index(spark: SparkSession, index_dir: str,
-                       min_df: int = 100) -> dict:
+                       min_df: int = 100,
+                       max_terms: int = PHRASE_INDEX_MAX_TERMS) -> dict:
     """Build the NEXT-WORD (bigram) phrase index over a completed
     positional index — Williams & Zobel, "Fast phrase querying with
     combined indexes" (TOIS 2004, public): store postings for two-word
@@ -939,7 +988,11 @@ def build_phrase_index(spark: SparkSession, index_dir: str,
     The covered-term list is stored in ``phrase_index.json`` so serving
     decides coverage DRIVER-SIDE (no Spark job to test a pair); the
     artifact is versioned by its manifest row and read only when
-    committed (kill-safe like every other build step).
+    committed (kill-safe like every other build step). Coverage is
+    capped at ``max_terms`` (top-K by df, df-tie broken by term) so the
+    driver list, the JSON artifact, and every index open stay
+    O(max_terms) at web-scale vocabularies — min_df alone is not a
+    bound when the vocabulary has 10^8+ terms.
     """
     stats_path = os.path.join(index_dir, "stats.json")
     meta = {}
@@ -957,11 +1010,22 @@ def build_phrase_index(spark: SparkSession, index_dir: str,
                          "bigram counts are consecutive-position counts)")
     from ..operators import segments as SEG
 
+    if max_terms < 2:
+        raise ValueError(f"max_terms must be >= 2 (a phrase needs two "
+                         f"covered words): {max_terms}")
     t0 = time.perf_counter()
-    common_df = (
+    # coverage = the df HEAD of the vocabulary, doubly bounded: df >=
+    # min_df AND top-``max_terms`` by (df desc, term asc). The driver
+    # list and the JSON artifact are O(max_terms) no matter how large
+    # the vocabulary is; the TakeOrdered collect ships only that head.
+    common = sorted(
+        r.term for r in
         spark.read.parquet(os.path.join(index_dir, "term_stats"))
-        .filter(F.col("df") >= min_df).select("term"))
-    common = sorted(r.term for r in common_df.collect())
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_terms).select("term").collect())
+    common_df = spark.createDataFrame(
+        [(t,) for t in common], schema="term string")
     post = spark.read.parquet(os.path.join(index_dir, "postings_stage"))
     # restrict to common terms via a BROADCAST semi-join, not an isin
     # literal — a head vocabulary of thousands of terms as an In()
@@ -1001,11 +1065,11 @@ def build_phrase_index(spark: SparkSession, index_dir: str,
     seg.sortWithinPartitions("bucket", "term", "block_id") \
         .write.mode("overwrite").options(**TERM_BLOOM) \
         .partitionBy("bucket").parquet(out)
-    info = {"min_df": min_df, "n_common_terms": len(common),
-            "terms": common}
+    info = {"min_df": min_df, "max_terms": max_terms,
+            "n_common_terms": len(common), "terms": common}
     with open(os.path.join(index_dir, PHRASE_INDEX_META), "w") as f:
         json.dump(info, f)
-    _record(index_dir, "phrase_index", min_df=min_df,
+    _record(index_dir, "phrase_index", min_df=min_df, max_terms=max_terms,
             n_common_terms=len(common),
             duration_sec=round(time.perf_counter() - t0, 3))
     return info

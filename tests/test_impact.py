@@ -9,8 +9,9 @@ Gates:
 * serving identity: WAND-on-impact-store == MaxScore-on-impact-store ==
   relational search_quantized (rank AND score);
 * accuracy vs exact BM25: per-doc error within the theoretical bound;
-* phrase queries still work on a quantized store (positions pass
-  through; tf/dl resolve from the source sidecar);
+* phrase queries still work on a quantized store (positions, tf and dl
+  all resolve from the source sidecar; the quantized segments carry no
+  positional payloads at all);
 * merge/vacuum refuse impact stores (stats are baked — re-quantize);
 * the impact store is smaller than the tf/dl store it came from.
 """
@@ -258,3 +259,50 @@ def test_quantize_requires_completed_build(tmp_path, spark):
     with pytest.raises(ValueError, match="not a completed index"):
         catalog.quantize_index(spark, str(tmp_path / "nope"),
                                str(tmp_path / "out"))
+
+
+def test_quantize_missing_stats_is_diagnosed(tmp_path, spark):
+    # a committed manifest without stats.json (damaged / half-copied
+    # directory) must raise a diagnostic, not a NameError downstream
+    d = str(tmp_path / "damaged")
+    import os
+
+    os.makedirs(d)
+    catalog._record(d, "build_complete")
+    with pytest.raises(ValueError, match="stats.json"):
+        catalog.quantize_index(spark, d, str(tmp_path / "out"))
+
+
+def test_quantized_store_drops_positions(indexes):
+    # positions serve from the sidecar (lookup's impact branch), so the
+    # ~1 byte/posting artifact must not duplicate the positional
+    # payloads — on positional builds they dominate index size
+    from pyspark.sql import functions as F
+
+    src, quant = indexes
+    src_pos = src.segments.agg(
+        F.max(F.length("pos_payload"))).collect()[0][0]
+    assert src_pos > 0, "source build should be positional"
+    quant_pos = quant.segments.agg(
+        F.max(F.length("pos_payload"))).collect()[0][0]
+    assert quant_pos == 0
+
+
+def test_impact_store_validates_sidecar_at_open(tmp_path, spark, indexes):
+    # sidecar_dir is persisted absolute; a moved/deleted source must be
+    # diagnosed at open time, not as an opaque parquet failure later
+    import json
+    import os
+    import shutil
+
+    _, quant = indexes
+    broken = str(tmp_path / "qcopy")
+    shutil.copytree(quant.index_dir, broken)
+    sp = os.path.join(broken, "stats.json")
+    with open(sp) as f:
+        meta = json.load(f)
+    meta["sidecar_dir"] = str(tmp_path / "gone")
+    with open(sp, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="sidecar"):
+        catalog.load_index(spark, broken)

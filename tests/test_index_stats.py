@@ -45,3 +45,18 @@ def test_report_on_impact_store(tmp_path, spark, stats_index):
     assert rep["impact_bits"] == 8
     assert rep["sidecar_dir"] == stats_index
     assert set(rep["codec_mix"]) == {"impact"}
+
+
+def test_impact_report_lists_sidecar_artifacts(tmp_path, spark,
+                                               stats_index):
+    # artifacts resolve through the sidecar at serving time (the impact
+    # store shares the source's phrase/trigram/VSM artifacts), so the
+    # report must list them for the impact dir too — consistent with its
+    # own term_stats fallback
+    from jobs.index_stats import collect_stats
+
+    catalog.build_phrase_index(spark, stats_index, min_df=5)
+    qdir = catalog.quantize_index(spark, stats_index,
+                                  str(tmp_path / "imp2"), bits=8)
+    assert "phrase_index" in collect_stats(spark, stats_index)["artifacts"]
+    assert "phrase_index" in collect_stats(spark, qdir)["artifacts"]

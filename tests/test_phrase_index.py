@@ -145,3 +145,41 @@ def test_build_refuses_nonpositional(tmp_path, spark, corpus_sdf):
                                 block_span=64, positional=False)
     with pytest.raises(ValueError, match="positional"):
         catalog.build_phrase_index(spark, d, min_df=5)
+
+
+def test_coverage_cap_top_k_by_df(tmp_path, spark):
+    """max_terms bounds coverage to the df HEAD of the vocabulary: the
+    driver list / JSON artifact are O(max_terms) at any vocabulary size.
+    Covered pairs serve identical counts; uncovered pairs fall back."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta"),
+            (2, "alpha gamma beta"),
+            (3, "beta beta beta"),
+            (4, "gamma gamma alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "idx")
+    catalog.build_durable_index(spark, docs, d, buckets=8, block_span=16)
+    # dfs: alpha 3, beta 3, gamma 2 → top-2 by (df desc, term asc) is
+    # {alpha, beta}; gamma passes min_df but falls past the cap
+    info = catalog.build_phrase_index(spark, d, min_df=1, max_terms=2)
+    assert info["n_common_terms"] == 2
+    assert sorted(info["terms"]) == ["alpha", "beta"]
+    idx = catalog.load_index(spark, d)
+    got = idx.bigram_lookup("alpha", "beta")
+    assert got is not None
+    assert sorted((r.doc_id, r.tf) for r in got.collect()) == [(1, 2)]
+    # uncovered pair → None → positional fallback (identical results,
+    # different plan — the artifact never changes answers)
+    assert idx.bigram_lookup("alpha", "gamma") is None
+    PH.search_phrase(idx, ["alpha", "gamma"], k=5).collect()
+
+
+def test_coverage_cap_rejects_degenerate(tmp_path, spark, corpus_sdf):
+    d = str(tmp_path / "idx")
+    catalog.build_durable_index(spark, corpus_sdf, d, buckets=8,
+                                block_span=64)
+    with pytest.raises(ValueError, match="max_terms"):
+        catalog.build_phrase_index(spark, d, min_df=1, max_terms=1)

@@ -174,3 +174,21 @@ def test_as_of_batch_time_travel(spark, live_index):
     # WAND serves the snapshot too (same deleted_ids plumbing)
     wand0 = W.search_wand(at0, "market price growth", k=25)
     assert [(d, round(s, 9)) for d, s in wand0] == _top(at0)
+
+
+def test_deleted_ids_bound(spark, live_index):
+    """deleted_ids refuses to materialize an unbounded driver set: above
+    the bound it raises with a vacuum recommendation; at/below it the
+    set is identical to the unbounded collect."""
+    idx = catalog.load_index(spark, live_index)
+    ids = [r.doc_id for r in idx.doc_stats.limit(4).collect()]
+    catalog.delete_docs(spark, live_index, ids)
+
+    over = catalog.load_index(spark, live_index)
+    with pytest.raises(ValueError, match="[Vv]acuum"):
+        over.deleted_ids(max_ids=3)
+    # the failed call must not poison the cache: the same handle with an
+    # adequate bound returns the full set
+    assert over.deleted_ids(max_ids=4) == frozenset(ids)
+    assert catalog.load_index(spark, live_index).deleted_ids() \
+        == frozenset(ids)

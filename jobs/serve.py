@@ -6,7 +6,8 @@ Endpoint parity (reference search/retrieval/urls.py:8-11, views.py):
     GET /                                        → liveness/info
     GET /results?query=...[&date_start=YYYY-MM-DD&date_end=...]
                 [&model=bm25|bm25-reference|vsm|lm-dirichlet|lm-pyp]
-                [&k=100][&wand=1|&kernel=wand|maxscore][&snippets=1]
+                [&k=100][&kernel=wand|maxscore|relational|&wand=0|1]
+                [&snippets=1]
                 [&collapse_host=N][&rm3=0.6]
                 [&fuzzy=1][&mm=2][&syn=1]
                 [&recency=HL&as_of=YYYY-MM-DD]   → first-execution path
@@ -70,13 +71,18 @@ Responses are JSON (an engine serves data, not Django templates): the
 same context keys the reference renders — results, number_of_results,
 retrieval_time, term_been_corrected, corrected_query, original_query.
 
-``wand=1`` (alias ``kernel=wand``) routes free-text queries through the
-Block-Max WAND kernel + driver mini-index LRU (repeat-term queries
-answer in ~15 ms with zero Spark jobs — serving-grade latency);
-``kernel=maxscore`` picks the MaxScore kernel over the same mini-index
-(operators.maxscore — rank-identical, decodes fewer blocks on
-head-term-heavy queries). Both are rejected for date-filtered requests
-for the same reason jobs/query_topk.py rejects the combination.
+DEFAULT ROUTING (round-5): with no kernel/wand parameter, an eligible
+request — plain bag-of-words BM25 free text, no date filter or other
+relational-only feature, a durable segment index loaded — serves from
+the Block-Max MaxScore kernel + driver mini-index LRU (repeat-term
+queries answer in ~15 ms with zero Spark jobs — serving-grade latency;
+rank-identical to the relational path by the wand_bm25_identity /
+maxscore_bm25_identity gates). Ineligible requests FALL BACK to the
+relational path silently; the response's ``path`` key says which path
+served. ``kernel=wand|maxscore`` (or ``wand=1``) forces a kernel and
+keeps the old refusal semantics (400 on date filters etc. — same
+reason jobs/query_topk.py rejects the combination); ``wand=0`` (or
+``kernel=relational``) forces the relational path.
 
 A single lock serializes query execution: one Spark driver serves the
 plans, and the WAND kernel mutates the driver-side LRU.
@@ -180,12 +186,19 @@ def create_server(index, port: int = 0, spellchecker=None,
                   recency_hl: float | None = None,
                   recency_as_of=None) -> dict:
         t0 = time.perf_counter()
-        # kernel: None = relational path; "wand"/"maxscore" = the two
-        # segment serving kernels (same guards — both are bag-of-words
-        # BM25 heaps over the driver mini-index)
-        if kernel not in (None, "wand", "maxscore"):
+        # kernel: None = AUTO (default — route eligible plain BM25
+        # free text through the MaxScore kernel, everything else
+        # relational); "wand"/"maxscore" = force a segment serving
+        # kernel (explicit requests keep their refusal semantics);
+        # "relational" = force the relational path (the old default,
+        # also ?wand=0)
+        if kernel not in (None, "wand", "maxscore", "relational"):
             raise ValueError(
-                f"kernel must be 'wand' or 'maxscore', got {kernel!r}")
+                f"kernel must be 'wand', 'maxscore' or 'relational', "
+                f"got {kernel!r}")
+        auto_route = kernel is None
+        if kernel == "relational":
+            kernel = None
         use_wand = kernel is not None
         if not 1 <= k <= MAX_K:
             # negative k raises deep inside Spark's limit() (a 500), and
@@ -266,6 +279,31 @@ def create_server(index, port: int = 0, spellchecker=None,
             # of returning out-of-range results with a 200
             raise ValueError(
                 "date_start and date_end must be provided together")
+        if auto_route:
+            # DEFAULT routing (round-5): an eligible query serves from
+            # the MaxScore kernel — rank-identical to the relational
+            # path (wand_bm25_identity / maxscore_bm25_identity gates)
+            # and ~50× faster warm (driver mini-index LRU, zero Spark
+            # jobs on repeat terms; the reference's only serving path IS
+            # its mini-index fast path, index_loader.py:71-128).
+            # Eligible = plain bag-of-words BM25 free text with no
+            # relational-only feature requested and a durable segment
+            # index loaded; anything else falls back to the relational
+            # path silently (fallback, not refusal — refusals are for
+            # EXPLICIT kernel requests the kernel cannot honor).
+            from search_engine_spark.plans import planner as _planner
+
+            relational_only = (
+                ds is not None or de is not None or bool(collapse_host)
+                or rm3_alpha is not None or fuzzy_max_dist is not None
+                or min_should_match is not None or use_synonyms
+                or recency_hl is not None or after is not None
+                or model != "bm25")
+            if (not relational_only and hasattr(index, "mini_index")
+                    and wand.wand_eligible(
+                        _planner.classify(query, index.analyzer))):
+                kernel = "maxscore"
+                use_wand = True
         corrected = query
         executed = corrected
         if first_execution and (spellchecker is not None or abbreviations):
@@ -298,6 +336,17 @@ def create_server(index, port: int = 0, spellchecker=None,
                     # so expand to bare terms there instead of a phrase
                     executed = expand_abbreviations(
                         corrected, abbreviations, quote=not use_wand)
+        if auto_route and use_wand and executed != query:
+            # belt-and-braces: a rewrite (spellcheck/expansion) cannot
+            # introduce phrases on the kernel path (quote=False above),
+            # but if the executed query ever stopped being
+            # kernel-eligible, FALL BACK rather than let the kernel
+            # refuse a request the user never made explicit
+            from search_engine_spark.plans import planner as _planner
+
+            if not wand.wand_eligible(
+                    _planner.classify(executed, index.analyzer)):
+                kernel, use_wand = None, False
         with lock:
             if use_wand:
                 if ds or de:
@@ -385,6 +434,9 @@ def create_server(index, port: int = 0, spellchecker=None,
             "corrected_query": corrected,
             "executed_query": executed,
             "original_query": query,
+            # which path actually served (auto-routing makes it
+            # request-dependent; clients and the bench read it)
+            "path": kernel if use_wand else "relational",
         }
 
     def _parse_after(q) -> tuple | None:
@@ -462,14 +514,20 @@ def create_server(index, port: int = 0, spellchecker=None,
                     if model not in _MODELS:
                         self._json(400, {"error": f"unknown model {model}"})
                         return
+                    # kernel param: explicit kernel=/wand=1 forces a
+                    # kernel (with refusals); wand=0 forces relational;
+                    # ABSENT = auto-route (kernel when eligible,
+                    # relational fallback otherwise)
+                    kern = q.get("kernel", [None])[0]
+                    if kern is None and "wand" in q:
+                        kern = ("wand" if q["wand"][0] == "1"
+                                else "relational")
                     self._json(200, run_query(
                         query, int(q.get("k", ["100"])[0]), model,
                         _parse_date(q.get("date_start", [None])[0]),
                         _parse_date(q.get("date_end", [None])[0]),
                         first_execution=True,
-                        kernel=(q.get("kernel", [None])[0]
-                                or ("wand" if q.get("wand", ["0"])[0]
-                                    == "1" else None)),
+                        kernel=kern,
                         want_snippets=q.get("snippets", ["0"])[0] == "1",
                         collapse_host=int(
                             q.get("collapse_host", ["0"])[0]),

@@ -68,7 +68,7 @@ def test_abbreviation_expansion_through_results(server):
     """fin-abbrev expansion on the first-execution path: the expansion
     rides as a quoted phrase and actually retrieves (the planted
     'germany economy' phrase docs)."""
-    status, body = _get(server + "/results?query=gdp&k=5")
+    status, body = _get(server + "/results?query=gdp&k=5&wand=0")
     assert status == 200
     assert body["executed_query"] == 'gdp "germany economy"'
     assert body["corrected_query"] == "gdp"  # guard kept the key intact
@@ -192,7 +192,7 @@ def test_prior_blend_through_results(spark, corpus_sdf, tmp_path):
     try:
         status, body = _get(
             f"http://127.0.0.1:{srv.server_address[1]}"
-            "/results?query=market&k=3")
+            "/results?query=market&k=3&wand=0")
         assert status == 200
         got = [h["doc_id"] for h in body["results"]]
         assert got[0] == base[-1]
@@ -288,7 +288,7 @@ def test_rm3_through_results(server):
     alpha=1 the response must equal the plain request exactly (the
     identity the driver gate pins), and alpha<1 still returns a full
     well-formed page."""
-    _, plain = _get(server + "/results?query=market%20price&k=10")
+    _, plain = _get(server + "/results?query=market%20price&k=10&wand=0")
     _, same = _get(server + "/results?query=market%20price&k=10&rm3=1.0")
     assert same["results"] == plain["results"]
     _, exp = _get(server + "/results?query=market%20price&k=10&rm3=0.5")
@@ -331,7 +331,7 @@ def test_fuzzy_through_results(server):
     expansion. NOTE 'marke' would NOT work here: it stems to 'mark',
     which is distance 2 from 'market' — fuzzy operates on ANALYZED
     tokens against the STEMMED vocabulary."""
-    _, plain = _get(server + "/results?query=market%20price&k=10")
+    _, plain = _get(server + "/results?query=market%20price&k=10&wand=0")
     _, same = _get(server + "/results?query=market%20price&k=10&fuzzy=0")
     assert same["results"] == plain["results"]
     status, fz = _get(server + "/results?query=markex&k=10&fuzzy=1")
@@ -374,11 +374,11 @@ def test_mlt_endpoint(server):
 def test_cursor_pagination_partitions_ranking(server):
     """Three cursor pages of 5 == the top-15 row-for-row: disjoint,
     ordered, each page anchored on the previous page's last row."""
-    status, top15 = _get(server + "/results?query=market+price+growth&k=15")
+    status, top15 = _get(server + "/results?query=market+price+growth&k=15&wand=0")
     assert status == 200
     flat = [(r["doc_id"], r["score"]) for r in top15["results"]]
     paged = []
-    url = server + "/results?query=market+price+growth&k=5"
+    url = server + "/results?query=market+price+growth&k=5&wand=0"
     nxt = url
     for _ in range(3):
         status, page = _get(nxt)
@@ -430,7 +430,8 @@ def test_min_should_match_through_results(server):
     import json as _json
     import urllib.error
 
-    _, plain = _get(server + "/results?query=search%20index%20connect&k=10")
+    _, plain = _get(server + "/results?query=search%20index%20connect&k=10"
+                  "&wand=0")
     _, mm1 = _get(server + "/results?query=search%20index%20connect&k=10"
                   "&mm=1")
     assert [h["doc_id"] for h in plain["results"]] == \
@@ -438,7 +439,7 @@ def test_min_should_match_through_results(server):
     _, mm3 = _get(server + "/results?query=search%20index%20connect&k=100"
                   "&mm=3")
     assert 0 < len(mm3["results"]) <= len(_get(
-        server + "/results?query=search%20index%20connect&k=100")[1]
+        server + "/results?query=search%20index%20connect&k=100&wand=0")[1]
         ["results"])
     for bad in (
         "/results?query=search&k=5&mm=0",          # below range
@@ -475,7 +476,7 @@ def test_synonyms_through_results(spark, corpus_sdf, tmp_path):
             idx, ["market"], table, k=100, weight=0.5).collect()]
         got = [(h["doc_id"], round(h["score"], 4)) for h in body["results"]]
         assert got == want and got
-        _, plain = _get(base + "/results?query=market&k=100")
+        _, plain = _get(base + "/results?query=market&k=100&wand=0")
         plain_rows = [(h["doc_id"], round(h["score"], 4))
                       for h in plain["results"]]
         # without syn=1 the query runs literal (matches the plain path
@@ -573,7 +574,7 @@ def test_recency_through_results(server):
     """recency=HL&as_of= reorders by freshness decay; half-lives and the
     explicit as_of change scores monotonically (fresher ≥ same doc at a
     longer age); parameter misuse is a 400, never silently ignored."""
-    _, plain = _get(server + "/results?query=market&k=5")
+    _, plain = _get(server + "/results?query=market&k=5&wand=0")
     status, fresh = _get(
         server + "/results?query=market&k=5&recency=30&as_of=2022-06-01")
     assert status == 200 and fresh["number_of_results"] > 0
@@ -682,3 +683,89 @@ def test_kernel_param_validation(server):
         _get(server + "/results?query=gdp%20AND%20growth&k=5"
              "&kernel=maxscore")
     assert e.value.code == 400
+
+
+# ---------------------------------------------------------------------------
+# round-5: default kernel routing (auto path selection)
+# ---------------------------------------------------------------------------
+
+def test_auto_routes_eligible_queries_to_kernel(server):
+    """With no kernel/wand parameter an eligible plain BM25 free-text
+    request serves from the MaxScore kernel — the default path is the
+    fast path — and stays rank-identical to the relational page."""
+    _, body = _get(server + "/results?query=market%20price&k=10")
+    assert body["path"] == "maxscore"
+    _, rel = _get(server + "/results?query=market%20price&k=10&wand=0")
+    assert rel["path"] == "relational"
+    assert [r["doc_id"] for r in body["results"]] == \
+        [r["doc_id"] for r in rel["results"]]
+    for a, b in zip(body["results"], rel["results"]):
+        assert a["score"] == pytest.approx(b["score"], abs=1e-9)
+
+
+def test_auto_falls_back_to_relational(server):
+    """Every relational-only feature (and every kernel-ineligible query
+    kind) silently falls back — 200 with path=relational, never the 400
+    an EXPLICIT kernel request gets."""
+    cases = [
+        "query=%22market%20price%22",                        # phrase
+        "query=market%20AND%20price",                        # boolean
+        "query=market&model=vsm",                            # non-bm25
+        "query=market&model=lm-dirichlet",
+        "query=market&date_start=2021-01-01&date_end=2023-12-31",
+        "query=market&rm3=0.5",
+        "query=market&mm=1",
+        "query=market&fuzzy=1",
+        "query=market&recency=30&as_of=2022-06-01",
+        "query=market&collapse_host=1",
+    ]
+    for qs in cases:
+        status, body = _get(server + f"/results?{qs}&k=5")
+        assert status == 200, qs
+        assert body["path"] == "relational", qs
+
+
+def test_auto_fallback_vs_explicit_refusal(server):
+    """The same phrase query: auto → relational 200; explicit kernel →
+    400 (refusal semantics unchanged for explicit requests)."""
+    status, body = _get(server + "/results?query=%22germany%20economy%22&k=5")
+    assert status == 200 and body["path"] == "relational"
+    for forced in ("wand=1", "kernel=maxscore"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server + f"/results?query=%22germany%20economy%22&k=5"
+                 f"&{forced}")
+        assert e.value.code == 400
+
+
+def test_auto_kernel_expands_abbreviations_unquoted(server):
+    """The default path IS the kernel for an abbreviated free-text
+    query; the expansion rides as bare terms there (the kernel has no
+    phrase semantics) and the page is non-empty."""
+    _, body = _get(server + "/results?query=gdp&k=5")
+    assert body["path"] == "maxscore"
+    assert body["executed_query"] == "gdp germany economy"
+    assert body["number_of_results"] > 0
+
+
+def test_auto_kernel_requires_durable_index(spark, corpus_sdf):
+    """An in-memory index has no segment store / mini-index — auto
+    routing must stay relational, not crash on a missing kernel."""
+    import threading
+
+    from jobs.serve import create_server
+    from search_engine_spark import engine
+    from search_engine_spark.functions.analyzer import AnalyzerConfig
+
+    idx = engine.build_index(corpus_sdf, AnalyzerConfig.full())
+    srv = create_server(idx, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, body = _get(
+            f"http://127.0.0.1:{srv.server_address[1]}"
+            "/results?query=market&k=5")
+        assert status == 200
+        assert body["path"] == "relational"
+        assert body["number_of_results"] > 0
+    finally:
+        srv.shutdown()

@@ -580,21 +580,46 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN end-to-end (k-means fit → cell assign → probe): with
-    nprobe = n_centroids the probe set covers every cell, so the result
-    must equal the straight SQL cosine top-k — gating the quantizer/
-    assign/probe plumbing the way wand_bm25_identity gates the WAND
-    kernel."""
+    """IVF ANN end-to-end served from the COMMITTED catalog artifact
+    (round-5: catalog.build_ann_index persists the centroids + cell
+    assignments under the index dir; load_index restores them): with
+    nprobe = n_centroids the probe set covers every cell, so exact
+    cosine within the probed cells must equal the straight SQL cosine
+    top-k — gating fit → persist → load → probe the way
+    wand_bm25_identity gates the WAND kernel."""
+    import shutil
+    import tempfile
+
     from search_engine_spark.operators import similarity
+    from search_engine_spark.sources import catalog
     from search_engine_spark.sources.corpus import read_testdata
 
     emb = read_testdata(spark, sf_dir, "embeddings")
     q = [float(x) for x in
          emb.filter(F.col("vec_id") == 1).collect()[0].embedding]
-    cent = similarity.ivf_fit(emb, n_centroids=8, iters=5)
-    assigned = similarity.ivf_assign(emb, cent)
-    out = similarity.ivf_topk(assigned, cent, q, k=10, nprobe=8)
-    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    tmp = tempfile.mkdtemp(prefix="annidx_contract_")
+    try:
+        d = tmp + "/idx"
+        catalog.build_durable_index(spark, _docs(spark, sf_dir), d,
+                                    conf=SIMPLE, buckets=16,
+                                    block_span=64, positional=False)
+        catalog.build_ann_index(spark, d, emb, n_centroids=8,
+                                ivf_iters=5, pq_iters=5)
+        idx = catalog.load_index(spark, d)
+        cent, _ = idx.ann_artifacts()
+        # exact cosine within the loaded artifact's cells (the coded
+        # table supplies the committed cell assignment; vectors rejoin
+        # from the source table — the IVF serving shape without PQ)
+        assigned = idx.ann_coded().select("vec_id", "cell") \
+            .join(emb, "vec_id")
+        out = similarity.ivf_topk(assigned, cent, q, k=10, nprobe=8)
+        rows = out.select(
+            "vec_id", F.round("cosine", 4).alias("cosine")).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(r.vec_id), float(r.cosine)) for r in rows],
+        "vec_id long, cosine double")
 
 
 def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,16 +804,38 @@ def q_pq_refine_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit/assign/ADC/refine plumbing the way ivf_topk_identity gates IVF.
     The ADC approximation itself is pytest-gated (exact-representability
     identity + recall bound, tests/test_pipeline_ops.py)."""
-    from search_engine_spark.operators import similarity
+    import shutil
+    import tempfile
+
+    from search_engine_spark.sources import catalog
     from search_engine_spark.sources.corpus import read_testdata
 
     emb = read_testdata(spark, sf_dir, "embeddings")
     q = [float(x) for x in
          emb.filter(F.col("vec_id") == 2).collect()[0].embedding]
-    books = similarity.pq_fit(emb, m=8, ksub=16, iters=5)
-    coded = similarity.pq_assign(emb, books)
-    out = similarity.pq_topk(coded, books, q, k=10, refine=emb.count())
-    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    n = emb.count()
+    tmp = tempfile.mkdtemp(prefix="pqidx_contract_")
+    try:
+        d = tmp + "/idx"
+        catalog.build_durable_index(spark, _docs(spark, sf_dir), d,
+                                    conf=SIMPLE, buckets=16,
+                                    block_span=64, positional=False)
+        # round-5: the codebooks/centroids are COMMITTED catalog
+        # artifacts (build_ann_index) and the gate serves from the
+        # LOADED artifact — nprobe covers every cell and refine covers
+        # the whole table, so the result must equal exact cosine top-k
+        catalog.build_ann_index(spark, d, emb, n_centroids=8,
+                                ivf_iters=5, pq_iters=5)
+        idx = catalog.load_index(spark, d)
+        rows = idx.ann_topk(q, k=10, nprobe=8, refine=n,
+                            embeddings=emb) \
+            .select("vec_id", F.round("cosine", 4).alias("cosine")) \
+            .collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(r.vec_id), float(r.cosine)) for r in rows],
+        "vec_id long, cosine double")
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -459,6 +459,40 @@ def pq_topk(coded: DataFrame, codebooks: np.ndarray, qvec: list[float],
     return cosine_topk(cand, qvec, k, vec_col, id_col)
 
 
+def ivfpq_topk(coded: DataFrame, centroids: np.ndarray,
+               codebooks: np.ndarray, qvec: list[float], k: int = 10,
+               nprobe: int = 2, refine: int | None = None,
+               embeddings: DataFrame | None = None,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """IVF + PQ composed — the standard compressed-ANN serving shape
+    (Jégou et al. 2011 IVFADC): rank cells by L2 distance to the query
+    (same rule as ivf_topk), keep the ``nprobe`` nearest (cell-partition
+    pruning on a cell-partitioned coded table), ADC-score the survivors
+    from their codes alone, and optionally ``refine`` the top candidates
+    with exact cosine by joining the raw vectors back in.
+
+    ``coded`` needs (id_col, cell, code); ``embeddings`` (id_col,
+    vec_col) is required iff ``refine`` is set — the coded table is the
+    scan artifact and deliberately does NOT carry vectors. With
+    nprobe >= n_centroids and refine >= table size this degenerates to
+    the exact brute-force top-k (the identity the driver gates pin).
+    Output schema is ``(vec_id, cosine)`` like pq_topk."""
+    q = np.asarray(qvec, dtype=np.float64)
+    order = ((centroids - q) ** 2).sum(axis=1).argsort()
+    cells = [int(c) for c in order[:nprobe]]
+    cand = coded.filter(F.col("cell").isin(cells))
+    if refine is not None:
+        if embeddings is None:
+            raise ValueError(
+                "refine needs the raw-vector table (embeddings=...): the "
+                "coded artifact carries codes only")
+        cand = cand.join(
+            embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
+    return pq_topk(cand, codebooks, qvec, k, refine=refine,
+                   vec_col=vec_col, id_col=id_col)
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style): k-means-cluster the embedding space,
 # then prune near-duplicates WITHIN each cluster — the O(n²) pairwise

@@ -558,6 +558,19 @@ class SegmentIndex(InvertedIndex):
         if tdir:
             self._term_trigrams = spark.read.parquet(
                 os.path.join(tdir, "term_trigrams"))
+        # compressed-ANN artifact (build_ann_index): IVF centroids + PQ
+        # codebooks restore lazily (driver-sized collects on first use);
+        # the cell-partitioned coded table reads like any side table
+        self._ann_meta: dict | None = None
+        self._ann_dir: str | None = None
+        self._ann_centroids = None
+        self._ann_codebooks = None
+        adir = next((d for d in (index_dir, sidecar)
+                     if d and _done(d, "ann_index")), None)
+        if adir:
+            with open(os.path.join(adir, ANN_INDEX_META)) as f:
+                self._ann_meta = json.load(f)
+            self._ann_dir = adir
         # Lucene-style live-docs: committed tombstone batches exclude
         # deleted docs from every query path NOW; postings vacuum (and
         # stats refresh) happens at merge_indexes. None when no deletes.
@@ -668,6 +681,67 @@ class SegmentIndex(InvertedIndex):
                 .agg(F.count("*").alias("_ng"))
                 .filter(F.col("_ng") == len(grams))
                 .select("term", "df"))
+
+    def ann_artifacts(self):
+        """(centroids, codebooks) numpy arrays restored from the
+        committed ANN artifact (build_ann_index) — two driver-sized
+        collects (n_centroids×dim and m×ksub×dim/m doubles), cached on
+        the handle; repeat calls cost zero Spark jobs. Parquet
+        round-trips float64 exactly, so these equal the fitted arrays
+        bit for bit (identity-gated)."""
+        if self._ann_meta is None:
+            raise ValueError(
+                f"index at {self.index_dir} has no committed ANN "
+                "artifact — run catalog.build_ann_index first")
+        if self._ann_centroids is None:
+            import numpy as np
+
+            spark = self.segments.sparkSession
+            meta = self._ann_meta
+            cent = np.empty((meta["n_centroids"], meta["dim"]),
+                            dtype=np.float64)
+            for r in spark.read.parquet(
+                    os.path.join(self._ann_dir, "ann_centroids")).collect():
+                cent[r["cell"]] = r["centroid"]
+            m, ksub = meta["pq_m"], meta["pq_ksub"]
+            books = np.empty((m, ksub, meta["dim"] // m), dtype=np.float64)
+            for r in spark.read.parquet(
+                    os.path.join(self._ann_dir, "ann_codebooks")).collect():
+                books[r["subspace"], r["code"]] = r["centroid"]
+            self._ann_centroids, self._ann_codebooks = cent, books
+        return self._ann_centroids, self._ann_codebooks
+
+    def ann_coded(self) -> DataFrame:
+        """The committed (vec_id, cell, code) coded table — the
+        corpus-scale ANN scan artifact, partitioned by cell so a probe
+        prunes to its nprobe cells."""
+        if self._ann_meta is None:
+            raise ValueError(
+                f"index at {self.index_dir} has no committed ANN "
+                "artifact — run catalog.build_ann_index first")
+        return self.segments.sparkSession.read.parquet(
+            os.path.join(self._ann_dir, "ann_coded"))
+
+    def ann_topk(self, qvec: list[float], k: int = 10, nprobe: int = 2,
+                 refine: int | None = None,
+                 embeddings: DataFrame | None = None) -> DataFrame:
+        """Serve an ANN top-k from the LOADED artifact: IVF cell pruning
+        + ADC over the coded table (+ exact ``refine`` when the raw
+        vector table is supplied). nprobe >= n_centroids with refine >=
+        table size degenerates to the exact brute-force top-k — the
+        identity the driver gates pin against the DuckDB oracle."""
+        from ..operators import similarity as SIM
+
+        cent, books = self.ann_artifacts()
+        emb = None
+        if embeddings is not None:
+            meta = self._ann_meta
+            emb = embeddings.select(
+                F.col(meta["id_col"]).alias("vec_id"),
+                F.col(meta["vec_col"]).alias("embedding"))
+        return SIM.ivfpq_topk(self.ann_coded(), cent, books, qvec, k=k,
+                              nprobe=nprobe, refine=refine,
+                              embeddings=emb)
 
     def lookup(self, terms: list[str], positional: bool = False) -> DataFrame:
         if not terms:
@@ -1169,16 +1243,105 @@ def build_term_ngram_index(spark: SparkSession, index_dir: str) -> dict:
     return {"rows": n_grams}
 
 
+#: artifact file recording the ANN fit parameters + source pointer
+ANN_INDEX_META = "ann_index.json"
+
+
+def build_ann_index(spark: SparkSession, index_dir: str,
+                    embeddings: DataFrame, *,
+                    embeddings_path: str | None = None,
+                    n_centroids: int = 16, ivf_iters: int = 10,
+                    pq_m: int = 8, pq_ksub: int = 16, pq_iters: int = 10,
+                    sample: int = 10_000,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> dict:
+    """Fit and COMMIT the compressed-ANN serving artifacts over an
+    embedding table, under a completed index directory — the catalog
+    treatment the phrase and trigram indexes get (manifest-gated,
+    kill-safe, restored by load_index), applied to IVF+PQ (round-4 left
+    the fits per-session driver numpy; at 100 TB the codebooks are index
+    state, not session state).
+
+    Committed layout (all under ``index_dir``):
+      * ``ann_centroids``  — (cell, centroid array<double>): the IVF
+        coarse quantizer, n_centroids×dim doubles (driver-sized).
+      * ``ann_codebooks``  — (subspace, code, centroid array<double>):
+        the PQ codebooks, m×ksub×(dim/m) doubles (driver-sized).
+      * ``ann_coded``      — (vec_id, cell, code array<int>) partitioned
+        by cell: the corpus-scale scan artifact. A probe prunes to
+        nprobe cell partitions and scans codes only — never vectors.
+    ``ann_index.json`` records the fit parameters and (optionally) the
+    source table path so rebuild_artifacts can re-derive the artifact
+    after a merge/vacuum.
+
+    Determinism: ivf_fit/pq_fit are content-hash-sampled with fixed
+    init (no RNG), and parquet round-trips float64 exactly, so a loaded
+    artifact serves bit-identically to the in-session fit — the driver
+    identity gates run against the LOADED artifact."""
+    stats_path = os.path.join(index_dir, "stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            if json.load(f).get("store") == "impact":
+                raise ValueError(
+                    "build the ANN index on the SOURCE tf/dl index "
+                    "(quantized artifacts share it via the sidecar)")
+    if not _done(index_dir, "build_complete"):
+        raise ValueError(f"{index_dir} is not a completed index")
+    from ..operators import similarity as SIM
+
+    t0 = time.perf_counter()
+    cent = SIM.ivf_fit(embeddings, n_centroids=n_centroids,
+                       iters=ivf_iters, sample=sample,
+                       vec_col=vec_col, id_col=id_col)
+    books = SIM.pq_fit(embeddings, m=pq_m, ksub=pq_ksub, iters=pq_iters,
+                       sample=sample, vec_col=vec_col, id_col=id_col)
+    dim = cent.shape[1]
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cent)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(index_dir, "ann_centroids"))
+    spark.createDataFrame(
+        [(int(j), int(c), [float(x) for x in books[j, c]])
+         for j in range(books.shape[0]) for c in range(books.shape[1])],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(index_dir, "ann_codebooks"))
+    coded = SIM.pq_assign(SIM.ivf_assign(embeddings, cent, vec_col),
+                          books, vec_col)
+    coded.select(F.col(id_col).alias("vec_id"), "cell", "code") \
+        .repartition("cell") \
+        .write.mode("overwrite").partitionBy("cell") \
+        .parquet(os.path.join(index_dir, "ann_coded"))
+    n_vecs = spark.read.parquet(
+        os.path.join(index_dir, "ann_coded")).count()
+    info = {
+        "n_centroids": n_centroids, "ivf_iters": ivf_iters,
+        "pq_m": pq_m, "pq_ksub": pq_ksub, "pq_iters": pq_iters,
+        "sample": sample, "dim": int(dim), "n_vectors": int(n_vecs),
+        "vec_col": vec_col, "id_col": id_col,
+        "embeddings_path": (os.path.abspath(embeddings_path)
+                            if embeddings_path else None),
+    }
+    with open(os.path.join(index_dir, ANN_INDEX_META), "w") as f:
+        json.dump(info, f)
+    _record(index_dir, "ann_index", n_vectors=int(n_vecs),
+            n_centroids=n_centroids, pq_m=pq_m, pq_ksub=pq_ksub,
+            duration_sec=round(time.perf_counter() - t0, 3))
+    return info
+
+
 def rebuild_artifacts(spark: SparkSession, src_dir: str,
                       out_dir: str) -> list[str]:
     """Re-derive the optional serving artifacts a source index had onto
     a freshly built/merged/vacuumed index: the next-word phrase index
-    (same min_df as the source's phrase_index.json) and the trigram
-    vocabulary index. Merge and vacuum write a NEW directory with fresh
-    corpus-global stats, so artifacts cannot be carried over — they are
-    derived data and must be recomputed (this is what a segment-file
-    engine's merge policy does with its auxiliary files). Returns the
-    list of artifacts rebuilt.
+    (same min_df/max_terms as the source's phrase_index.json), the
+    trigram vocabulary index, and the ANN index (refit from the source
+    embedding table recorded in ann_index.json). Merge and vacuum write
+    a NEW directory with fresh corpus-global stats, so artifacts cannot
+    be carried over — they are derived data and must be recomputed
+    (this is what a segment-file engine's merge policy does with its
+    auxiliary files). Returns the list of artifacts rebuilt.
 
     Quantized-impact stores are NOT rebuilt here: an impact artifact is
     its own directory (re-run quantize_index against ``out_dir``) — the
@@ -1187,12 +1350,32 @@ def rebuild_artifacts(spark: SparkSession, src_dir: str,
     done = []
     if _done(src_dir, "phrase_index"):
         with open(os.path.join(src_dir, PHRASE_INDEX_META)) as f:
-            min_df = json.load(f)["min_df"]
-        build_phrase_index(spark, out_dir, min_df=min_df)
+            pmeta = json.load(f)
+        build_phrase_index(spark, out_dir, min_df=pmeta["min_df"],
+                           max_terms=pmeta.get("max_terms",
+                                               PHRASE_INDEX_MAX_TERMS))
         done.append("phrase_index")
     if _done(src_dir, "term_ngram_index"):
         build_term_ngram_index(spark, out_dir)
         done.append("term_ngram_index")
+    if _done(src_dir, "ann_index"):
+        with open(os.path.join(src_dir, ANN_INDEX_META)) as f:
+            ameta = json.load(f)
+        epath = ameta.get("embeddings_path")
+        if not epath or not os.path.isdir(epath):
+            raise ValueError(
+                f"cannot rebuild the ANN index onto {out_dir}: the "
+                f"source embedding table ({epath!r}) is gone. Re-run "
+                "build_ann_index with the current table, or delete the "
+                "source artifact to drop it.")
+        build_ann_index(
+            spark, out_dir, spark.read.parquet(epath),
+            embeddings_path=epath,
+            n_centroids=ameta["n_centroids"], ivf_iters=ameta["ivf_iters"],
+            pq_m=ameta["pq_m"], pq_ksub=ameta["pq_ksub"],
+            pq_iters=ameta["pq_iters"], sample=ameta["sample"],
+            vec_col=ameta["vec_col"], id_col=ameta["id_col"])
+        done.append("ann_index")
     return done
 
 

@@ -1,0 +1,172 @@
+"""Committed ANN artifacts (catalog.build_ann_index + SegmentIndex
+restore + rebuild_artifacts): the IVF centroids, PQ codebooks, and the
+cell-partitioned coded table are index state — persisted manifest-gated
+under the index dir, restored by load_index bit-identically to the
+in-session fit, served via ann_topk, and re-derived after a vacuum from
+the recorded source table (round-5, VERDICT r4 item 4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import similarity
+from search_engine_spark.sources import catalog
+
+
+def _emb(spark, n=120, dim=16):
+    # deterministic integer-derived vectors (no RNG — same values every
+    # session, so artifact-vs-fresh-fit comparisons are exact)
+    return spark.createDataFrame(
+        [(i, [float((i * (j + 3) + j * j) % 23) + 1.0
+              for j in range(dim)]) for i in range(1, n + 1)],
+        "vec_id long, embedding array<double>")
+
+
+@pytest.fixture(scope="module")
+def ann_index(tmp_path_factory, spark, corpus_sdf):
+    base = tmp_path_factory.mktemp("annidx")
+    d = str(base / "idx")
+    epath = str(base / "emb_parquet")
+    emb = _emb(spark)
+    emb.write.parquet(epath)
+    catalog.build_durable_index(spark, corpus_sdf, d, buckets=8,
+                                block_span=64, positional=False)
+    info = catalog.build_ann_index(spark, d, emb, embeddings_path=epath,
+                                   n_centroids=4, ivf_iters=5, pq_iters=5)
+    return d, epath, info
+
+
+def test_artifact_roundtrips_fit_exactly(spark, ann_index):
+    d, epath, info = ann_index
+    emb = spark.read.parquet(epath)
+    idx = catalog.load_index(spark, d)
+    cent, books = idx.ann_artifacts()
+    want_cent = similarity.ivf_fit(emb, n_centroids=4, iters=5)
+    want_books = similarity.pq_fit(emb, m=8, ksub=16, iters=5)
+    # parquet round-trips float64 exactly: loaded == fitted, bit for bit
+    assert np.array_equal(cent, want_cent)
+    assert np.array_equal(books, want_books)
+    assert info["dim"] == 16 and info["n_vectors"] == 120
+    # cached: second call returns the same arrays without Spark work
+    cent2, _ = idx.ann_artifacts()
+    assert cent2 is cent
+
+
+def test_coded_table_matches_in_session_assign(spark, ann_index):
+    d, epath, _ = ann_index
+    emb = spark.read.parquet(epath)
+    idx = catalog.load_index(spark, d)
+    cent, books = idx.ann_artifacts()
+    want = {(r.vec_id, r.cell, tuple(r.code)) for r in
+            similarity.pq_assign(similarity.ivf_assign(emb, cent), books)
+            .select("vec_id", "cell", "code").collect()}
+    got = {(r.vec_id, r.cell, tuple(r.code)) for r in
+           idx.ann_coded().collect()}
+    assert got == want and len(got) == 120
+
+
+def test_ann_topk_exact_identity_from_loaded_artifact(spark, ann_index):
+    d, epath, _ = ann_index
+    emb = spark.read.parquet(epath)
+    idx = catalog.load_index(spark, d)
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 7).collect()[0].embedding]
+    # nprobe covers every cell, refine covers the table → exact top-k
+    got = [(r.vec_id, r.cosine) for r in
+           idx.ann_topk(q, k=10, nprobe=4, refine=120,
+                        embeddings=emb).collect()]
+    want = [(r.vec_id, r.cosine) for r in
+            similarity.cosine_topk(emb, q, 10).collect()]
+    assert got == want
+
+
+def test_ann_topk_prunes_to_probed_cells(spark, ann_index):
+    d, epath, _ = ann_index
+    emb = spark.read.parquet(epath)
+    idx = catalog.load_index(spark, d)
+    cent, _ = idx.ann_artifacts()
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 7).collect()[0].embedding]
+    order = ((cent - np.asarray(q)) ** 2).sum(axis=1).argsort()
+    probed = {int(c) for c in order[:1]}
+    member = {r.vec_id for r in idx.ann_coded()
+              .filter(F.col("cell").isin([int(c) for c in probed]))
+              .collect()}
+    got = {r.vec_id for r in idx.ann_topk(q, k=10, nprobe=1).collect()}
+    assert got <= member and got
+
+
+def test_refine_requires_vectors(spark, ann_index):
+    d, _, _ = ann_index
+    idx = catalog.load_index(spark, d)
+    with pytest.raises(ValueError, match="embeddings"):
+        idx.ann_topk([1.0] * 16, k=5, nprobe=4, refine=50)
+
+
+def test_no_artifact_raises(tmp_path, spark, corpus_sdf):
+    d = str(tmp_path / "plain")
+    catalog.build_durable_index(spark, corpus_sdf, d, buckets=8,
+                                block_span=64, positional=False)
+    idx = catalog.load_index(spark, d)
+    with pytest.raises(ValueError, match="ANN"):
+        idx.ann_artifacts()
+    with pytest.raises(ValueError, match="ANN"):
+        idx.ann_coded()
+
+
+def test_build_refuses_impact_store(tmp_path, spark, ann_index):
+    d, epath, _ = ann_index
+    emb = spark.read.parquet(epath)
+    qdir = catalog.quantize_index(spark, d, str(tmp_path / "imp"))
+    with pytest.raises(ValueError, match="SOURCE"):
+        catalog.build_ann_index(spark, qdir, emb)
+    # ...but the impact handle RESTORES the source's artifact via the
+    # sidecar, like the phrase/trigram indexes
+    qidx = catalog.load_index(spark, qdir)
+    cent, _ = qidx.ann_artifacts()
+    assert cent.shape == (4, 16)
+
+
+def test_rebuild_after_vacuum_refits_from_recorded_source(
+        tmp_path, spark, corpus_sdf, ann_index):
+    src, epath, _ = ann_index
+    # make an independent copy of the source index to delete from (the
+    # module fixture must stay pristine for the other tests)
+    work = str(tmp_path / "work")
+    catalog.build_durable_index(spark, corpus_sdf, work, buckets=8,
+                                block_span=64, positional=False)
+    emb = spark.read.parquet(epath)
+    catalog.build_ann_index(spark, work, emb, embeddings_path=epath,
+                            n_centroids=4, ivf_iters=5, pq_iters=5)
+    victim = corpus_sdf.select("doc_id").first()[0]
+    catalog.delete_docs(spark, work, [victim])
+    out = str(tmp_path / "v2")
+    catalog.vacuum_index(spark, work, out)
+    rebuilt = catalog.rebuild_artifacts(spark, work, out)
+    assert "ann_index" in rebuilt
+    # deterministic fit from the same recorded table → identical artifact
+    a = catalog.load_index(spark, work).ann_artifacts()
+    b = catalog.load_index(spark, out).ann_artifacts()
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
+def test_rebuild_with_missing_source_table_raises(tmp_path, spark,
+                                                  corpus_sdf):
+    src = str(tmp_path / "src")
+    catalog.build_durable_index(spark, corpus_sdf, src, buckets=8,
+                                block_span=64, positional=False)
+    epath = str(tmp_path / "emb_gone")
+    emb = _emb(spark, n=40)
+    emb.write.parquet(epath)
+    catalog.build_ann_index(spark, src, emb, embeddings_path=epath,
+                            n_centroids=4, ivf_iters=3, pq_iters=3)
+    import shutil
+
+    shutil.rmtree(epath)
+    out = str(tmp_path / "v2")
+    catalog.vacuum_index(spark, src, out)
+    with pytest.raises(ValueError, match="embedding table"):
+        catalog.rebuild_artifacts(spark, src, out)

@@ -162,6 +162,40 @@ def q_bigram_phrase_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, phrase_tf long")
 
 
+def q_chained_phrase_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: a THREE-word phrase ("big data merge") served from the
+    Williams & Zobel §4 bigram CHAIN — positions("big data") ∩
+    (positions("data merge") − 1) over the committed next-word index —
+    must reproduce the 3-way positional-intersection oracle row for
+    row. The artifact only changes the plan (two rare bigram lookups
+    instead of three common unigram decodes), never the counts."""
+    import shutil
+    import tempfile
+
+    from search_engine_spark.operators import phrase as PH
+    from search_engine_spark.sources import catalog
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="chainphrase_contract_")
+    try:
+        d = tmp + "/idx"
+        catalog.build_durable_index(spark, docs, d, conf=SIMPLE,
+                                    buckets=16, block_span=64)
+        catalog.build_phrase_index(spark, d, min_df=1)
+        idx = catalog.load_index(spark, d)
+        # the chain must actually ENGAGE (silently timing the fallback
+        # would make this gate vacuous)
+        assert idx.bigram_lookup("big", "data", positional=True) \
+            is not None
+        rows = PH.phrase_occurrences(
+            idx, ["big", "data", "merge"]).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(r.doc_id), int(r.phrase_tf)) for r in rows],
+        "doc_id long, phrase_tf long")
+
+
 def q_trigram_wildcard_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leading-wildcard expansion through the character-TRIGRAM
     vocabulary index (catalog.build_term_ngram_index — the pg_trgm /
@@ -1874,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "impact_wand_identity": q_impact_wand_identity,
         "bigram_phrase_identity": q_bigram_phrase_identity,
+        "chained_phrase_identity": q_chained_phrase_identity,
         "trigram_wildcard_identity": q_trigram_wildcard_identity,
         "train_split": q_train_split,
         "pack_sequences": q_pack_sequences,
@@ -1971,6 +2006,22 @@ def oracle_sql() -> dict[str, str]:
     # the next-word phrase index serves the same consecutive counts the
     # positional intersection computes — same oracle as phrase_match
     sql["bigram_phrase_identity"] = sql["phrase_match"]
+    # 3-word chain: the oracle is the straight 3-way positional
+    # intersection — the bigram chain must reproduce it exactly
+    sql["chained_phrase_identity"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents),
+        pos AS (SELECT doc_id, unnest(l) AS tok,
+                       unnest(generate_series(1, len(l))) AS pos FROM t),
+        a AS (SELECT doc_id, pos FROM pos WHERE tok = 'big'),
+        b AS (SELECT doc_id, pos FROM pos WHERE tok = 'data'),
+        c AS (SELECT doc_id, pos FROM pos WHERE tok = 'merge')
+        SELECT a.doc_id, COUNT(*) AS phrase_tf
+        FROM a
+        JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        GROUP BY a.doc_id
+    """
     # the trigram vocabulary index bounds a leading-wildcard expansion;
     # the oracle is the full-vocabulary LIKE scan with the same
     # (df DESC, term ASC) cap of 50 — identical rows either way

@@ -227,19 +227,25 @@ def main() -> None:
     from search_engine_spark.operators import phrase as PH
 
     ph_terms = analyze_query("market price", seg_idx.analyzer)
+    ph3_terms = analyze_query("market price growth", seg_idx.analyzer)
 
     def q_ph_pos():
         return PH.search_phrase(seg_idx, ph_terms, k=100).count()
 
     timed("q_phrase_positional", q_ph_pos)
 
+    def q_ph3_pos():
+        return PH.search_phrase(seg_idx, ph3_terms, k=100).count()
+
+    timed("q_phrase3_positional", q_ph3_pos)
+
     def ph_build():
         # cut at min(200, probe-term dfs): head-terms-only keeps this
         # optional-artifact line from dominating e2e, while clamping to
-        # the probe pair's own dfs guarantees the measured phrase is
+        # the probe terms' own dfs guarantees the measured phrases are
         # covered at every SF the driver runs
         dfs = [r.df for r in seg_idx.term_stats
-               .filter(F.col("term").isin(ph_terms)).collect()]
+               .filter(F.col("term").isin(ph3_terms)).collect()]
         cut = max(1, min([200] + dfs))
         return catalog.build_phrase_index(spark, seg_idx.index_dir,
                                           min_df=cut)
@@ -250,11 +256,24 @@ def main() -> None:
         raise RuntimeError("bench phrase pair not covered by the phrase "
                            "index — q_phrase_nextword would silently "
                            "measure the fallback")
+    if any(ph_idx.bigram_lookup(a, b, positional=True) is None
+           for a, b in zip(ph3_terms, ph3_terms[1:])):
+        raise RuntimeError("bench 3-word phrase not chain-covered — "
+                           "q_phrase3_chain would silently measure the "
+                           "fallback")
 
     def q_ph_fast():
         return PH.search_phrase(ph_idx, ph_terms, k=100).count()
 
     timed("q_phrase_nextword", q_ph_fast)
+
+    # round-5: the same 3-word phrase through the W&Z §4 bigram CHAIN
+    # (two rare bigram postings) vs the 3-unigram positional
+    # intersection above
+    def q_ph3_chain():
+        return PH.search_phrase(ph_idx, ph3_terms, k=100).count()
+
+    timed("q_phrase3_chain", q_ph3_chain)
 
     # default serving path through the HTTP surface (round-5 auto
     # routing: with no kernel parameter, an eligible request serves from

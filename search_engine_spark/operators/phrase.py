@@ -25,35 +25,16 @@ from .search import InvertedIndex, topk
 from . import scoring
 
 
-def phrase_occurrences(index: InvertedIndex, phrase_terms: list[str]) -> DataFrame:
-    """→ (doc_id, phrase_tf) for docs containing the phrase consecutively.
+def _shift(off: int):
+    # single-arg lambda on purpose: a 2-arg lambda would make
+    # F.transform pass the ARRAY INDEX as the second argument
+    return lambda x: x - F.lit(off)
 
-    Two-word phrases covered by a committed NEXT-WORD index
-    (catalog.build_phrase_index, Williams & Zobel 2004) serve from ONE
-    pruned bigram-posting lookup instead of decoding both words' full
-    positional postings — common-word phrases are exactly where the
-    positional intersection is expensive. phrase_tf is the same
-    consecutive-occurrence count either way (identity pytest + driver
-    gate); uncovered or longer phrases keep the positional path."""
-    if not phrase_terms:
-        raise ValueError("empty phrase")
-    if len(phrase_terms) == 2 and hasattr(index, "bigram_lookup"):
-        fast = index.bigram_lookup(phrase_terms[0], phrase_terms[1])
-        if fast is not None:
-            return fast.select("doc_id",
-                               F.col("tf").alias("phrase_tf"), "dl")
-    def _shift(off: int):
-        # single-arg lambda on purpose: a 2-arg lambda would make
-        # F.transform pass the ARRAY INDEX as the second argument
-        return lambda x: x - F.lit(off)
 
-    parts = []
-    for i, t in enumerate(phrase_terms):
-        base = index.lookup([t], positional=True)
-        cols = ["doc_id", F.transform("positions", _shift(i)).alias(f"p{i}")]
-        if i == 0 and "dl" in base.columns:
-            cols.append("dl")  # ride dl along for join-free scoring
-        parts.append(base.select(*cols))
+def _intersect_positions(parts: list[DataFrame]) -> DataFrame:
+    """Chain of pre-shifted positional frames (doc_id, pᵢ [, dl on
+    part 0]) → (doc_id, phrase_tf [, dl]): one hash join per frame on
+    the term-filtered postings, pure JVM array_intersect."""
     joined = parts[0]
     arr = F.col("p0")
     for i in range(1, len(parts)):
@@ -62,10 +43,52 @@ def phrase_occurrences(index: InvertedIndex, phrase_terms: list[str]) -> DataFra
     out_cols = ["doc_id", F.size(arr).alias("phrase_tf")]
     if "dl" in joined.columns:
         out_cols.append("dl")
-    return (
-        joined.select(*out_cols)
-        .filter(F.col("phrase_tf") > 0)
-    )
+    return joined.select(*out_cols).filter(F.col("phrase_tf") > 0)
+
+
+def phrase_occurrences(index: InvertedIndex, phrase_terms: list[str]) -> DataFrame:
+    """→ (doc_id, phrase_tf) for docs containing the phrase consecutively.
+
+    Phrases covered by a committed NEXT-WORD index
+    (catalog.build_phrase_index, Williams & Zobel 2004) serve from
+    bigram postings instead of decoding the words' full positional
+    postings — common-word phrases are exactly where the positional
+    intersection is expensive. A TWO-word phrase is ONE tf-only bigram
+    lookup; an m-word phrase (W&Z §4) intersects the positions of its
+    m-1 consecutive bigrams — pos(w₁w₂) ∩ (pos(w₂w₃)−1) ∩ … — the same
+    array_intersect chain as the unigram path but over far rarer
+    posting lists (|pos(wᵢwᵢ₊₁)| ≪ |pos(wᵢ)| for common words).
+    phrase_tf is the same consecutive-occurrence count on every path
+    (identity pytest + driver gates); uncovered pairs or pre-positional
+    artifacts fall back to the unigram positional path."""
+    if not phrase_terms:
+        raise ValueError("empty phrase")
+    if len(phrase_terms) == 2 and hasattr(index, "bigram_lookup"):
+        fast = index.bigram_lookup(phrase_terms[0], phrase_terms[1])
+        if fast is not None:
+            return fast.select("doc_id",
+                               F.col("tf").alias("phrase_tf"), "dl")
+    if len(phrase_terms) >= 3 and hasattr(index, "bigram_lookup"):
+        lookups = [index.bigram_lookup(a, b, positional=True)
+                   for a, b in zip(phrase_terms, phrase_terms[1:])]
+        if all(lk is not None for lk in lookups):
+            parts = []
+            for i, lk in enumerate(lookups):
+                cols = ["doc_id",
+                        F.transform("positions", _shift(i)).alias(f"p{i}")]
+                if i == 0 and "dl" in lk.columns:
+                    cols.append("dl")
+                parts.append(lk.select(*cols))
+            return _intersect_positions(parts)
+
+    parts = []
+    for i, t in enumerate(phrase_terms):
+        base = index.lookup([t], positional=True)
+        cols = ["doc_id", F.transform("positions", _shift(i)).alias(f"p{i}")]
+        if i == 0 and "dl" in base.columns:
+            cols.append("dl")  # ride dl along for join-free scoring
+        parts.append(base.select(*cols))
+    return _intersect_positions(parts)
 
 
 def sloppy_occurrences(index: InvertedIndex, phrase_terms: list[str],

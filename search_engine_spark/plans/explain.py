@@ -86,9 +86,16 @@ def explain_plan(index, query: str, model: str = "bm25") -> dict[str, Any]:
         for i, ph in enumerate(plan.phrases):
             slop = (plan.phrase_slops[i]
                     if i < len(plan.phrase_slops) else 0)
-            fast = (slop == 0 and len(ph) == 2
-                    and hasattr(index, "bigram_lookup")
-                    and index.bigram_lookup(ph[0], ph[1]) is not None)
+            # two words: one tf-only bigram lookup; three+: the W&Z §4
+            # chain needs EVERY consecutive pair covered positionally
+            fast = False
+            if slop == 0 and hasattr(index, "bigram_lookup"):
+                if len(ph) == 2:
+                    fast = index.bigram_lookup(ph[0], ph[1]) is not None
+                elif len(ph) >= 3:
+                    fast = all(
+                        index.bigram_lookup(a, b, positional=True)
+                        is not None for a, b in zip(ph, ph[1:]))
             engaged.append({"phrase": ph, "slop": slop,
                             "next_word_index": bool(fast)})
         artifacts["phrases"] = engaged

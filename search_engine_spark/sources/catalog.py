@@ -542,12 +542,14 @@ class SegmentIndex(InvertedIndex):
         # via the sidecar. Coverage decides DRIVER-SIDE from the stored
         # common-term list — no Spark job to test a pair.
         self._phrase_common: frozenset[str] = frozenset()
+        self._phrase_meta: dict = {}
         self._phrase_segments = None
         pdir = next((d for d in (index_dir, sidecar)
                      if d and _done(d, "phrase_index")), None)
         if pdir:
             with open(os.path.join(pdir, PHRASE_INDEX_META)) as f:
-                self._phrase_common = frozenset(json.load(f)["terms"])
+                self._phrase_meta = json.load(f)
+            self._phrase_common = frozenset(self._phrase_meta["terms"])
             self._phrase_segments = spark.read.parquet(
                 os.path.join(pdir, "phrase_segments"))
         # character-trigram vocabulary index (build_term_ngram_index):
@@ -632,23 +634,31 @@ class SegmentIndex(InvertedIndex):
 
         return sorted({spark_bucket(t, self.meta["buckets"]) for t in terms})
 
-    def bigram_lookup(self, t1: str, t2: str) -> DataFrame | None:
-        """Next-word index point lookup: (term, doc_id, tf, dl) rows for
-        the two-word phrase "t1 t2" where tf is its consecutive-
-        occurrence count — or None when no phrase index is committed or
-        either word is outside its common-term coverage (callers fall
-        back to the positional intersection; results are identical
-        either way, this only changes the plan). Same bucket/term-pruned
-        scan and tombstone exclusion as unigram lookup()."""
+    def bigram_lookup(self, t1: str, t2: str,
+                      positional: bool = False) -> DataFrame | None:
+        """Next-word index point lookup: (term, doc_id, tf, dl
+        [, positions]) rows for the two-word phrase "t1 t2" where tf is
+        its consecutive-occurrence count and positions (when requested)
+        are the FIRST word's positions of each instance — or None when
+        no phrase index is committed, either word is outside its
+        common-term coverage, or ``positional=True`` against a
+        pre-positional (tf-only) artifact (callers fall back to the
+        positional unigram intersection; results are identical either
+        way, this only changes the plan). Same bucket/term-pruned scan
+        and tombstone exclusion as unigram lookup(). ``positional`` is
+        what lets a k-word phrase chain m-1 bigram postings (Williams &
+        Zobel §4) instead of decoding m common unigrams."""
         if self._phrase_segments is None or not self._phrase_common:
             return None
         if t1 not in self._phrase_common or t2 not in self._phrase_common:
+            return None
+        if positional and not self._phrase_meta.get("positional", False):
             return None
         bigram = f"{t1} {t2}"
         blocks = self._phrase_segments.filter(
             F.col("bucket").isin(self._buckets_for([bigram]))
             & (F.col("term") == bigram))
-        decoded = SEG.decode_segments(blocks, positional=False)
+        decoded = SEG.decode_segments(blocks, positional=positional)
         if self._tombstones is not None:
             decoded = decoded.join(F.broadcast(self._tombstones),
                                    "doc_id", "left_anti")
@@ -1111,12 +1121,19 @@ def build_phrase_index(spark: SparkSession, index_dir: str,
     a = rows.select(F.col("term").alias("t1"), "doc_id", "dl", "pos")
     b = rows.select(F.col("term").alias("t2"), "doc_id",
                     (F.col("pos") - 1).alias("pos"))
+    # positions of each bigram instance (= the FIRST word's position)
+    # ride into the artifact: a phrase of m words then serves from the
+    # positional intersection of its m-1 bigram postings — Williams &
+    # Zobel §4's longer-phrase evaluation — instead of decoding m
+    # common unigrams' full positional postings. Two-word phrases keep
+    # reading tf only (column pruning skips the positional payload).
     bigrams = (
         a.join(b, ["doc_id", "pos"])
         .groupBy("t1", "t2", "doc_id", "dl")
-        .agg(F.count("*").cast("int").alias("tf"))
+        .agg(F.count("*").cast("int").alias("tf"),
+             F.sort_array(F.collect_list("pos")).alias("positions"))
         .select(F.concat_ws(" ", "t1", "t2").alias("term"),
-                "doc_id", "tf", "dl")
+                "doc_id", "tf", "dl", "positions")
     )
     # fused encode, same shape as the main build: ONE range exchange
     # establishes the consecutive-run layout, then the shuffle-free
@@ -1134,13 +1151,17 @@ def build_phrase_index(spark: SparkSession, index_dir: str,
     sorted_bg = staged \
         .repartitionByRange(parts, "bucket", "term", "block_id") \
         .sortWithinPartitions("bucket", "term", "block_id", "doc_id")
-    seg = SEG.encode_sorted(sorted_bg, positional=False)
+    seg = SEG.encode_sorted(sorted_bg, positional=True)
     out = os.path.join(index_dir, "phrase_segments")
     seg.sortWithinPartitions("bucket", "term", "block_id") \
         .write.mode("overwrite").options(**TERM_BLOOM) \
         .partitionBy("bucket").parquet(out)
+    # "positional": pre-round-5 artifacts stored tf-only bigrams; a
+    # loader finding positional=False (or absent) serves two-word
+    # phrases but reports longer chains uncovered (positional fallback)
     info = {"min_df": min_df, "max_terms": max_terms,
-            "n_common_terms": len(common), "terms": common}
+            "n_common_terms": len(common), "terms": common,
+            "positional": True}
     with open(os.path.join(index_dir, PHRASE_INDEX_META), "w") as f:
         json.dump(info, f)
     _record(index_dir, "phrase_index", min_df=min_df, max_terms=max_terms,

@@ -112,7 +112,10 @@ def test_executor_phrase_goes_through_fast_path(phrase_indexes):
     assert got == want
 
 
-def test_longer_phrases_keep_positional_path(phrase_indexes):
+def test_longer_phrase_identity_with_artifact(phrase_indexes):
+    """3-word ranked phrase search: chain-served when every consecutive
+    pair is covered (round-5 W&Z §4 chaining), unigram positional path
+    otherwise — identical rank+score REGARDLESS of which path served."""
     before, after = phrase_indexes
     terms = ["market", "price", "growth"]
     want = [(r.doc_id, round(r.score, 9)) for r in
@@ -183,3 +186,72 @@ def test_coverage_cap_rejects_degenerate(tmp_path, spark, corpus_sdf):
                                 block_span=64)
     with pytest.raises(ValueError, match="max_terms"):
         catalog.build_phrase_index(spark, d, min_df=1, max_terms=1)
+
+
+# ---------------------------------------------------------------------------
+# round-5: k-word phrases over the bigram chain (Williams & Zobel §4)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def chain_index(tmp_path_factory, spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta gamma"),
+            (2, "alpha beta alpha gamma"),
+            (3, "beta gamma alpha beta"),
+            (4, "alpha alpha beta beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path_factory.mktemp("chainidx") / "idx")
+    catalog.build_durable_index(spark, docs, d, buckets=8, block_span=16)
+    catalog.build_phrase_index(spark, d, min_df=1)
+    return catalog.load_index(spark, d)
+
+
+def _occ(idx, terms):
+    return sorted((r.doc_id, r.phrase_tf) for r in
+                  PH.phrase_occurrences(idx, terms).collect())
+
+
+def test_kword_chain_ground_truth(chain_index):
+    idx = chain_index
+    # the chain must actually engage (positional bigram coverage)
+    assert idx.bigram_lookup("alpha", "beta", positional=True) is not None
+    assert _occ(idx, ["alpha", "beta", "gamma"]) == [(1, 2)]
+    assert _occ(idx, ["beta", "beta", "gamma"]) == [(4, 1)]
+    # four words chain three bigrams
+    assert _occ(idx, ["alpha", "beta", "gamma", "alpha"]) == [(1, 1)]
+    # no match anywhere -> empty
+    assert _occ(idx, ["gamma", "beta", "alpha"]) == []
+
+
+def test_kword_chain_fallback_identity(chain_index, monkeypatch):
+    """A pre-round-5 (tf-only) artifact reports longer chains uncovered;
+    the unigram positional fallback must answer identically."""
+    idx = chain_index
+    want = _occ(idx, ["alpha", "beta", "gamma"])
+    monkeypatch.setitem(idx._phrase_meta, "positional", False)
+    assert idx.bigram_lookup("alpha", "beta", positional=True) is None
+    # two-word lookups still serve (tf-only read)
+    assert idx.bigram_lookup("alpha", "beta") is not None
+    assert _occ(idx, ["alpha", "beta", "gamma"]) == want == [(1, 2)]
+
+
+def test_kword_chain_excludes_tombstones(tmp_path, spark, chain_index):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta gamma"),
+            (2, "alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "idx")
+    catalog.build_durable_index(spark, docs, d, buckets=8, block_span=16)
+    catalog.build_phrase_index(spark, d, min_df=1)
+    catalog.delete_docs(spark, d, [1])
+    idx = catalog.load_index(spark, d)
+    assert idx.bigram_lookup("alpha", "beta", positional=True) is not None
+    assert _occ(idx, ["alpha", "beta", "gamma"]) == [(2, 1)]
+
+

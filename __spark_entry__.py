@@ -1549,6 +1549,28 @@ def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ltr.extract_features(idx, qf, k=5, score_round=4)
 
 
+#: pinned LTR gate weights (LTR_FEATURE_NAMES order): the driver gate
+#: scores with a FIXED model — training is float-sum-order nondetermin-
+#: istic (~1e-12) and stays pytest-gated, the classifier's protocol
+_LTR_GATE_W = [0.2, 0.1, 0.05, 0.3, 0.15, -0.1]
+
+
+def q_ltr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: the LTR rerank stage (ltr.rerank) over the 3-query
+    feature block — score = bm25 + w·x with the pinned linear model,
+    re-ranked per query. The oracle replays the whole linear model in
+    SQL over the same candidate cut; the all-zero-weights == plain-BM25
+    identity is pytest-gated (tests/test_ltr.py)."""
+    from search_engine_spark.operators import ltr
+
+    docs = _docs(spark, sf_dir)
+    idx = engine.build_index(docs, SIMPLE, positional=False, cache=False)
+    qf = spark.createDataFrame(_BATCH_QUERY_ROWS,
+                               "query_id long, term string")
+    feats = ltr.extract_features(idx, qf, k=10, score_round=4)
+    return ltr.rerank(feats, _LTR_GATE_W, k=10, score_round=4)
+
+
 def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percolator (operators/percolate.py): three stored queries
     matched conjunctively against every document — distinct-term
@@ -1960,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vacuum_identity": q_vacuum_identity,
         "batch_bm25_topk": q_batch_bm25_topk,
         "ltr_features": q_ltr_features,
+        "ltr_rerank_topk": q_ltr_rerank_topk,
         "percolate_matches": q_percolate,
         "robots_rules": q_robots_rules,
         "stats_facet": q_stats_facet,
@@ -2331,6 +2354,71 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, doc_id, rank, bm25, lm_dirichlet, n_matched,
                sum_tf, dl
         FROM r WHERE rank <= 5
+    """
+    # LTR rerank: the same feature CTEs, candidate cut at the BM25
+    # top-10, then the PINNED linear model replayed term by term in the
+    # engine's accumulation order — score = bm25 + (0 + w0·1 + w1·bm25
+    # + w2·lm + w3·n_matched + w4·ln(1+sum_tf) + w5·ln(1+dl)) — and the
+    # per-query re-rank on the 4dp-rounded score
+    _w = _LTR_GATE_W
+    sql["ltr_rerank_topk"] = f"""
+        WITH tok AS ({_TOK}),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl, SUM(dl) AS lc
+                  FROM dl),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        q(query_id, term) AS (VALUES {batch_vals}),
+        qtf AS (SELECT query_id, term, COUNT(*) AS qtf FROM q GROUP BY 1, 2),
+        qlen AS (SELECT query_id, COUNT(*) AS qlen FROM q GROUP BY 1),
+        w AS (
+            SELECT qtf.query_id, tf.doc_id, tf.term, tf.tf, dl.dl,
+                   LN(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                   * qtf.qtf AS bw,
+                   LN((tf.tf / 1089.0) * (s.lc * 1.0 / df.df) + 1.0)
+                   * qtf.qtf AS lw
+            FROM tf JOIN qtf USING (term) JOIN df USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+        ),
+        f AS (
+            SELECT query_id, doc_id,
+                   ROUND(SUM(bw), 4) AS bm25, SUM(lw) AS lmm,
+                   COUNT(DISTINCT term) AS n_matched,
+                   SUM(tf) AS sum_tf, ANY_VALUE(dl) AS dl
+            FROM w GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT f.query_id, f.doc_id, f.bm25, f.n_matched, f.sum_tf,
+                   f.dl,
+                   ROUND(f.lmm + qlen.qlen
+                         * LN(1089.0 / (f.dl + 1089.0)), 4)
+                       AS lm_dirichlet
+            FROM f JOIN qlen USING (query_id)
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY bm25 DESC, doc_id ASC) AS rank
+            FROM g
+        ),
+        cand AS (SELECT * FROM r WHERE rank <= 10),
+        scored AS (
+            SELECT query_id, doc_id,
+                   ROUND(bm25 + (0.0 + {_w[0]} * 1.0
+                                 + {_w[1]} * bm25
+                                 + {_w[2]} * lm_dirichlet
+                                 + {_w[3]} * n_matched
+                                 + {_w[4]} * LN(1.0 + sum_tf)
+                                 + {_w[5]} * LN(1.0 + dl)), 4) AS score
+            FROM cand
+        ),
+        rr AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, doc_id, rank, score FROM rr WHERE rank <= 10
     """
     # Percolator: conjunctive coverage counting — a doc matches a
     # stored query iff it contains ALL the query's distinct terms

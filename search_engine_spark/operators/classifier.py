@@ -75,28 +75,24 @@ def _dot_sigmoid(weights: list[float]):
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
 
 
-def train_quality_classifier(features: DataFrame, labels: DataFrame,
-                             iters: int = 20, lr: float = 1.0,
-                             l2: float = 0.0,
-                             init: list[float] | None = None) -> list[float]:
-    """Full-batch logistic regression: features (doc_id, x) ⋈ labels
-    (doc_id, label ∈ {0,1}) → weight vector minimizing log-loss by
-    ``iters`` gradient steps w ← w − lr·(∇ + l2·w), ∇ = Σ x·(σ(w·x)−y)/n.
-
-    The join + σ + per-component products happen in ONE aggregate per
-    iteration (d avg() columns, map-side combined); only the d-vector
-    ever reaches the driver. Deterministic up to float-sum order
-    (~1e-12 run-to-run); see the module docstring for why that is fine.
-    """
+def train_logistic(joined: DataFrame, d: int, iters: int = 20,
+                   lr: float = 1.0, l2: float = 0.0,
+                   init: list[float] | None = None) -> list[float]:
+    """The shared distributed full-batch GD core: ``joined`` is a
+    pre-joined (x array<double>[d], label ∈ {0,1}) frame; returns the
+    weight vector after ``iters`` steps w ← w − lr·(∇ + l2·w),
+    ∇ = Σ x·(σ(w·x)−y)/n. ONE map-side-combined aggregate (d avg()
+    columns) per iteration; only the d-vector ever reaches the driver.
+    Used by the quality classifier (doc-keyed) and the LTR pointwise
+    ranker (query-doc-keyed) — one GD, two operators."""
     if iters < 0:
         raise ValueError(f"iters must be >= 0: {iters}")
     if lr <= 0:
         raise ValueError(f"lr must be > 0: {lr}")
-    d = len(FEATURE_NAMES)
     w = list(init) if init is not None else [0.0] * d
     if len(w) != d:
         raise ValueError(f"init must have {d} components, got {len(w)}")
-    joined = features.join(labels, "doc_id").select("x", "label")
+    joined = joined.select("x", "label")
     # one narrow cache: every iteration re-reads (x, label) only
     joined = joined.persist()
     try:
@@ -113,6 +109,21 @@ def train_quality_classifier(features: DataFrame, labels: DataFrame,
     finally:
         joined.unpersist()
     return w
+
+
+def train_quality_classifier(features: DataFrame, labels: DataFrame,
+                             iters: int = 20, lr: float = 1.0,
+                             l2: float = 0.0,
+                             init: list[float] | None = None) -> list[float]:
+    """Full-batch logistic regression: features (doc_id, x) ⋈ labels
+    (doc_id, label ∈ {0,1}) → weight vector minimizing log-loss by
+    ``iters`` gradient steps (train_logistic — the shared GD core).
+    Deterministic up to float-sum order (~1e-12 run-to-run); see the
+    module docstring for why that is fine.
+    """
+    return train_logistic(features.join(labels, "doc_id"),
+                          len(FEATURE_NAMES), iters=iters, lr=lr, l2=l2,
+                          init=init)
 
 
 def classifier_scores(features: DataFrame,

@@ -141,3 +141,97 @@ def extract_features(index: InvertedIndex, query_terms: DataFrame,
                            .cast("long"))
                .drop("warc_date"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Pointwise logistic ranker over the feature block (round-5): the model
+# that CONSUMES extract_features — trained with the classifier module's
+# distributed full-batch GD (one map-side-combined aggregate per
+# iteration, only the d-vector on the driver) and served as a pure-JVM
+# rerank stage over the candidate cut.
+# ---------------------------------------------------------------------------
+
+#: model feature layout (index → meaning); intercept rides as x[0].
+#: Count/length features enter as ln(1+·) so one feature's magnitude
+#: cannot drown the gradient (the standard LTR normalization).
+LTR_FEATURE_NAMES = [
+    "intercept",       # 1.0
+    "bm25",            # the base relevance score
+    "lm_dirichlet",    # the second scorer's opinion
+    "n_matched",       # distinct query terms present
+    "log_sum_tf",      # ln(1 + raw tf mass)
+    "log_dl",          # ln(1 + doc length)
+]
+
+
+def feature_vectors(feats: DataFrame) -> DataFrame:
+    """extract_features output → (query_id, doc_id, bm25, x
+    array<double>): the fixed LTR_FEATURE_NAMES vector, pure column
+    expressions (a projection over the feature block, no second pass).
+    bm25 rides alongside x because the rerank blend anchors on it."""
+    x = F.array(
+        F.lit(1.0),
+        F.col("bm25").cast("double"),
+        F.col("lm_dirichlet").cast("double"),
+        F.col("n_matched").cast("double"),
+        F.log(F.lit(1.0) + F.col("sum_tf").cast("double")),
+        F.log(F.lit(1.0) + F.col("dl").cast("double")),
+    )
+    return feats.select("query_id", "doc_id", "bm25", x.alias("x"))
+
+
+def train_pointwise_ranker(feats: DataFrame, labels: DataFrame,
+                           iters: int = 20, lr: float = 0.1,
+                           l2: float = 0.0,
+                           init: list[float] | None = None) -> list[float]:
+    """Pointwise LTR: logistic regression over (query, doc) feature
+    vectors against relevance labels (query_id, doc_id, label ∈ {0,1})
+    — the classifier module's train_logistic core (ONE aggregate per
+    iteration), keyed on the (query_id, doc_id) pair instead of the
+    doc. Returns the LTR_FEATURE_NAMES weight vector; determinism up to
+    float-sum combine order, so the driver gate scores with PINNED
+    weights and training is pytest-gated (the classifier's protocol)."""
+    from .classifier import train_logistic
+
+    fx = feature_vectors(feats)
+    joined = fx.join(labels, ["query_id", "doc_id"])
+    return train_logistic(joined, len(LTR_FEATURE_NAMES), iters=iters,
+                          lr=lr, l2=l2, init=init)
+
+
+def rerank(feats: DataFrame, weights: list[float], k: int = 100,
+           score_round: int | None = None) -> DataFrame:
+    """The rerank stage: → (query_id, doc_id, rank, score) with
+    score = bm25 + w·x over the candidate feature block — the learned
+    model adjusts the base ranking rather than replacing it, so
+    ALL-ZERO weights reproduce the plain BM25 ranking exactly (the
+    identity the driver gate pins) and a candidate the model has no
+    opinion on keeps its relevance order. Ranking is per query (window
+    over query_id; candidates are already the bounded top-k cut — the
+    window never sees the corpus), ties break (score DESC, doc_id ASC).
+    The ranker is monotone in w·x, so ranking by the linear score
+    equals ranking by σ(w·x) — the sigmoid is dropped for the oracle's
+    sake (DuckDB replays the linear model exactly).
+
+    ``score_round`` applies display rounding BEFORE the rank cut
+    (extract_features' argmax-gate rule) so cross-engine gates cannot
+    wobble on sub-1e-9 float noise."""
+    if len(weights) != len(LTR_FEATURE_NAMES):
+        raise ValueError(
+            f"weights must have {len(LTR_FEATURE_NAMES)} components, "
+            f"got {len(weights)}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    fx = feature_vectors(feats)
+    dot = F.lit(0.0)
+    for j, wj in enumerate(weights):
+        dot = dot + F.lit(float(wj)) * F.col("x").getItem(j)
+    score = F.col("bm25") + dot
+    if score_round is not None:
+        score = F.round(score, score_round)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (fx.withColumn("score", score)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rank", "score"))

@@ -51,10 +51,29 @@ from .sampling import hash_bucket
 SIM_DECIMALS = 6
 
 
+#: k×dim bound on literal-centroid plans: centroids ship as plan
+#: LITERALS (that is what makes the assignment scan shuffle-free), so
+#: plan size grows with k×dim — fine for the documented topic-shard use
+#: (k ≤ hundreds), but a k=10⁴ × dim=768 call would ship ~8M literals
+#: and blow up codegen. 262144 (k·dim, ≈2 MB of doubles) is far above
+#: any sane literal plan and far below where codegen falls over; larger
+#: models belong in the IVF/PQ catalog artifacts (broadcast data, not
+#: plan text).
+MAX_CENTROID_LITERALS = 262_144
+
+
 def _check_centroids(centroids: list[list[float]]) -> int:
     if not centroids:
         raise ValueError("centroids must be non-empty")
     dim = len(centroids[0])
+    if len(centroids) * dim > MAX_CENTROID_LITERALS:
+        raise ValueError(
+            f"k x dim = {len(centroids)} x {dim} = "
+            f"{len(centroids) * dim} exceeds MAX_CENTROID_LITERALS "
+            f"({MAX_CENTROID_LITERALS}): literal-centroid plans of this "
+            "size break codegen. Use the IVF/PQ ANN artifacts "
+            "(catalog.build_ann_index) for large codebooks — they ship "
+            "as data, not as plan text.")
     for i, c in enumerate(centroids):
         if len(c) != dim:
             raise ValueError(
@@ -198,6 +217,11 @@ def kmeans_train(embeddings: DataFrame, k: int | None = None,
         _check_centroids(centroids)
     elif k is not None:
         centroids = seed_centroids(embeddings, k, vec_col, id_col)
+        if k * len(centroids[0]) > MAX_CENTROID_LITERALS:
+            raise ValueError(
+                f"k x dim = {k} x {len(centroids[0])} exceeds "
+                f"MAX_CENTROID_LITERALS ({MAX_CENTROID_LITERALS}) — "
+                "see kmeans_assign's literal-plan bound")
     else:
         raise ValueError("pass k or init")
     dim = len(centroids[0])

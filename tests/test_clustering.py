@@ -284,3 +284,24 @@ def test_ivf_fit_distributed_matches_full_data_replica(spark, emb):
     # the serving stack accepts the distributed fit unchanged
     assigned = SIM.ivf_assign(emb, got)
     assert assigned.select("cell").distinct().count() >= 2
+
+
+def test_literal_centroid_budget(spark):
+    """k x dim beyond MAX_CENTROID_LITERALS refuses with a pointer at
+    the ANN catalog artifacts — literal plans of that size break
+    codegen; below the bound behavior is unchanged."""
+    import pytest
+
+    from search_engine_spark.operators import clustering
+
+    emb = spark.createDataFrame([(1, [1.0, 2.0]), (2, [2.0, 1.0])],
+                                "vec_id long, embedding array<double>")
+    big_dim = clustering.MAX_CENTROID_LITERALS // 4 + 1
+    bad = [[1.0] * big_dim for _ in range(5)]
+    with pytest.raises(ValueError, match="MAX_CENTROID_LITERALS"):
+        clustering.kmeans_assign(emb, bad)
+    with pytest.raises(ValueError, match="MAX_CENTROID_LITERALS"):
+        clustering.kmeans_train(emb, init=bad, iters=1)
+    # small models are untouched
+    out = clustering.kmeans_assign(emb, [[1.0, 0.0], [0.0, 1.0]])
+    assert out.count() == 2

@@ -1255,6 +1255,65 @@ def main() -> int:
         ],
     )
 
+    # 54. chained k-word phrase (round-5, W&Z §4): a 3-word covered
+    # phrase intersects TWO bigram postings from the phrase artifact —
+    # every scan reads phrase_segments (never the unigram segment
+    # store), positional payloads decode for the chain, bucket pruning
+    # + bigram term pushdown apply unchanged
+    three = None
+    for a in info51["terms"]:
+        for b in info51["terms"]:
+            for c in info51["terms"]:
+                if (idx51.bigram_lookup(a, b, positional=True) is not None
+                        and idx51.bigram_lookup(b, c, positional=True)
+                        is not None):
+                    three = [a, b, c]
+                    break
+            if three:
+                break
+        if three:
+            break
+    assert three, "audit corpus must cover some 3-word chain"
+    p54 = plan_of(PHR.phrase_occurrences(idx51, three))
+    check(
+        "Chained 3-word phrase over the next-word index", p54,
+        [
+            ("bucket partition filter present",
+             r"PartitionFilters: \[.*bucket", True),
+            ("bigram terms (with space) pushed to scan",
+             r"PushedFilters: \[.*[Ee]qual[Tt]o\(term,[^)]+ ", True),
+            ("scans read the phrase artifact only",
+             r"phrase_segments", True),
+            ("no unigram segment-store scan",
+             r"idx/segments", False),
+        ],
+    )
+
+    # 55. ANN serving from the committed catalog artifact (round-5):
+    # an nprobe=1 probe prunes to ONE cell partition of the coded
+    # table and the ADC scan reads codes only — never the vectors
+    emb = spark.createDataFrame(
+        [(i, [float((i * (j + 3) + j) % 13) + 1.0 for j in range(8)])
+         for i in range(1, 65)],
+        "vec_id long, embedding array<double>")
+    catalog.build_ann_index(spark, os.path.join(tmp, "idx"), emb,
+                            n_centroids=4, ivf_iters=3, pq_iters=3)
+    idx55 = catalog.load_index(spark, os.path.join(tmp, "idx"))
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 3).collect()[0].embedding]
+    p55 = plan_of(idx55.ann_topk(qv, k=5, nprobe=1))
+    check(
+        "ANN probe over the committed coded table", p55,
+        [
+            ("cell partition filter present",
+             r"PartitionFilters: \[.*cell", True),
+            ("codes-only scan (vectors never read)",
+             r"ReadSchema:.*embedding", False),
+            ("top-k is TakeOrderedAndProject",
+             r"TakeOrderedAndProject", True),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -3,7 +3,8 @@
 spark-submit --py-files dist/engine.zip jobs/build_index.py \
     --input /data/documents_parquet --output /data/index \
     [--buckets 64] [--block-span 131072] [--shards 1] [--no-positions] \
-    [--analyzer full|simple] [--text-col text] [--html] [--resume/--no-resume]
+    [--analyzer full|simple] [--text-col text] [--html] [--resume/--no-resume] \
+    [--phrase-index-min-df 100] [--ann-embeddings /data/emb_parquet]
 
 Input: parquet with (doc_id, text, ...) — or, with --html, the input_hint
 web shape (url, warc_ts, html, ...) where doc_id is derived via
@@ -46,6 +47,15 @@ def main() -> None:
                          "this value — two-word phrases of common words "
                          "then serve from one posting lookup "
                          "(catalog.build_phrase_index)")
+    ap.add_argument("--ann-embeddings",
+                    help="(vec_id, embedding) parquet: after the build, "
+                         "fit + commit the compressed-ANN artifacts "
+                         "(IVF centroids, PQ codebooks, cell-partitioned "
+                         "coded table) under the index dir "
+                         "(catalog.build_ann_index); the path is "
+                         "recorded so merge/vacuum rebuilds can refit")
+    ap.add_argument("--ann-centroids", type=int, default=16,
+                    help="IVF cell count for --ann-embeddings")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--checkpoint-dir",
                     help="reliable checkpoint dir (HDFS/object store) for "
@@ -104,6 +114,11 @@ def main() -> None:
     if args.phrase_index_min_df is not None:
         catalog.build_phrase_index(spark, args.output,
                                    min_df=args.phrase_index_min_df)
+    if args.ann_embeddings:
+        catalog.build_ann_index(
+            spark, args.output, spark.read.parquet(args.ann_embeddings),
+            embeddings_path=args.ann_embeddings,
+            n_centroids=args.ann_centroids)
     for row in catalog.lineage_rows(args.output):
         print(row)
 

@@ -39,6 +39,18 @@ Endpoint parity (reference search/retrieval/urls.py:8-11, views.py):
                                                    --embeddings; plain
                                                    free-text term
                                                    queries only)
+    GET /ann?vec_id=N | &vec=f,...               → ANN top-k from the
+                [&k=10][&nprobe=2][&refine=R]      COMMITTED catalog
+                                                   artifact (IVF cell
+                                                   pruning + ADC over
+                                                   the coded table;
+                                                   refine=R re-scores
+                                                   the top R exactly —
+                                                   needs --embeddings;
+                                                   vec_id lookup needs
+                                                   it too). 400 when
+                                                   the index has no
+                                                   ANN artifact.
     GET /stats                                   → index statistics
                                                    (n_docs, total_tokens,
                                                    avgdl, n_terms; the
@@ -670,6 +682,73 @@ def create_server(index, port: int = 0, spellchecker=None,
                              "rrf_score": float(r.rrf_score)}
                             for i, r in enumerate(rows, 1)],
                         "number_of_results": len(rows),
+                        "retrieval_time":
+                            round(time.perf_counter() - t0, 4),
+                    })
+                elif parts[0] == "ann":
+                    # ANN serving from the committed catalog artifact:
+                    # GET /ann?vec_id=N|vec=f,...[&k][&nprobe][&refine]
+                    if getattr(index, "_ann_meta", None) is None:
+                        raise ValueError(
+                            "ann requires an index with a committed ANN "
+                            "artifact (catalog.build_ann_index)")
+                    q = parse_qs(u.query)
+                    kk = int(q.get("k", ["10"])[0])
+                    if not 1 <= kk <= MAX_K:
+                        raise ValueError(
+                            f"k must be in [1, {MAX_K}], got {kk}")
+                    nprobe = int(q.get("nprobe", ["2"])[0])
+                    if nprobe < 1:
+                        raise ValueError(f"nprobe must be >= 1: {nprobe}")
+                    refine = (int(q["refine"][0])
+                              if "refine" in q else None)
+                    if refine is not None:
+                        if embeddings is None:
+                            raise ValueError(
+                                "refine requires the server to be "
+                                "started with --embeddings (the coded "
+                                "artifact carries codes only)")
+                        if not kk <= refine <= MAX_K:
+                            raise ValueError(
+                                f"refine must be in [k, {MAX_K}], "
+                                f"got {refine}")
+                    if "vec" in q:
+                        qvec = [float(x)
+                                for x in q["vec"][0].split(",") if x]
+                        if not qvec:
+                            raise ValueError("vec= must carry floats")
+                    elif "vec_id" in q:
+                        if embeddings is None:
+                            raise ValueError(
+                                "vec_id lookup requires --embeddings")
+                        from pyspark.sql import functions as _F
+
+                        with lock:
+                            rows = embeddings.filter(
+                                _F.col("vec_id") == int(q["vec_id"][0])
+                            ).limit(1).collect()
+                        if not rows:
+                            self._json(404, {
+                                "error": "vec_id not in the embedding "
+                                         "table"})
+                            return
+                        qvec = [float(x) for x in rows[0].embedding]
+                    else:
+                        raise ValueError(
+                            "ann needs vec= (inline floats) or "
+                            "vec_id= (lookup)")
+                    t0 = time.perf_counter()
+                    with lock:
+                        rows = index.ann_topk(
+                            qvec, k=kk, nprobe=nprobe, refine=refine,
+                            embeddings=embeddings).collect()
+                    self._json(200, {
+                        "results": [
+                            {"rank": i, "vec_id": int(r.vec_id),
+                             "cosine": float(r.cosine)}
+                            for i, r in enumerate(rows, 1)],
+                        "number_of_results": len(rows),
+                        "nprobe": nprobe, "refine": refine,
                         "retrieval_time":
                             round(time.perf_counter() - t0, 4),
                     })

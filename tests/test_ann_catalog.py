@@ -170,3 +170,97 @@ def test_rebuild_with_missing_source_table_raises(tmp_path, spark,
     catalog.vacuum_index(spark, src, out)
     with pytest.raises(ValueError, match="embedding table"):
         catalog.rebuild_artifacts(spark, src, out)
+
+
+def test_ann_served_over_http(spark, ann_index):
+    """GET /ann serves the committed artifact: full-probe + full-refine
+    equals exact cosine top-k; ADC-only answers without the vector
+    table; misuse surfaces as 400."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from jobs.serve import create_server
+
+    d, epath, _ = ann_index
+    emb = spark.read.parquet(epath)
+    idx = catalog.load_index(spark, d)
+    srv = create_server(idx, port=0, embeddings=emb)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+
+    def _get(url):
+        with urllib.request.urlopen(url, timeout=120) as r:
+            return r.status, _json.loads(r.read())
+
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        status, body = _get(base + "/ann?vec_id=7&k=10&nprobe=4&refine=120")
+        assert status == 200
+        q = [float(x) for x in
+             emb.filter(F.col("vec_id") == 7).collect()[0].embedding]
+        want = [(r.vec_id, round(r.cosine, 9)) for r in
+                similarity.cosine_topk(emb, q, 10).collect()]
+        got = [(h["vec_id"], round(h["cosine"], 9))
+               for h in body["results"]]
+        assert got == want
+        # ADC-only probe with an inline vector
+        status, adc = _get(base + "/ann?k=5&nprobe=1&vec="
+                           + ",".join(str(x) for x in q))
+        assert status == 200 and 0 < adc["number_of_results"] <= 5
+        # unknown vec_id → 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base + "/ann?vec_id=999999")
+        assert e.value.code == 404
+        for path in (
+            "/ann",                              # no vector
+            "/ann?vec_id=7&k=0",                 # bad k
+            "/ann?vec_id=7&nprobe=0",            # bad nprobe
+            "/ann?vec_id=7&k=10&refine=5",       # refine < k
+        ):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _get(base + path)
+            assert e.value.code == 400, path
+    finally:
+        srv.shutdown()
+    # no embeddings loaded: refine and vec_id lookup refuse, ADC works
+    bare = create_server(idx, port=0)
+    t2 = threading.Thread(target=bare.serve_forever, daemon=True)
+    t2.start()
+    try:
+        base = f"http://127.0.0.1:{bare.server_address[1]}"
+        vec = ",".join(str(x) for x in q)
+        status, _ = _get(base + f"/ann?k=5&nprobe=4&vec={vec}")
+        assert status == 200
+        for path in (f"/ann?k=5&refine=10&vec={vec}", "/ann?vec_id=7"):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _get(base + path)
+            assert e.value.code == 400, path
+    finally:
+        bare.shutdown()
+
+
+def test_ann_endpoint_requires_artifact(tmp_path, spark, corpus_sdf):
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from jobs.serve import create_server
+
+    d = str(tmp_path / "noann")
+    catalog.build_durable_index(spark, corpus_sdf, d, buckets=8,
+                                block_span=64, positional=False)
+    srv = create_server(catalog.load_index(spark, d), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.server_address[1]}"
+                "/ann?vec_id=1", timeout=120)
+        assert e.value.code == 400
+        assert "artifact" in _json.loads(e.value.read())["error"]
+    finally:
+        srv.shutdown()

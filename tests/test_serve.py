@@ -769,3 +769,31 @@ def test_auto_kernel_requires_durable_index(spark, corpus_sdf):
         assert body["number_of_results"] > 0
     finally:
         srv.shutdown()
+
+
+def test_auto_kernel_serves_impact_store(spark, corpus_sdf, tmp_path):
+    """The default path engages on a quantized-impact store too: the
+    kernel scores the stored impacts (the artifact's serving contract)
+    and stays rank-identical to an explicit wand=1 over the same
+    store."""
+    import threading
+
+    from jobs.serve import create_server
+
+    src = str(tmp_path / "src")
+    catalog.build_durable_index(spark, corpus_sdf, src, buckets=16,
+                                block_span=64)
+    quant = catalog.quantize_index(spark, src, str(tmp_path / "imp"))
+    srv = create_server(catalog.load_index(spark, quant), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        _, body = _get(base + "/results?query=market%20price&k=10")
+        assert body["path"] == "maxscore"
+        assert body["number_of_results"] > 0
+        _, wnd = _get(base + "/results?query=market%20price&k=10&wand=1")
+        assert [r["doc_id"] for r in body["results"]] == \
+            [r["doc_id"] for r in wnd["results"]]
+    finally:
+        srv.shutdown()

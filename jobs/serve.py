@@ -4,6 +4,21 @@ JSON API over a loaded segment index.
 Endpoint parity (reference search/retrieval/urls.py:8-11, views.py):
 
     GET /                                        → liveness/info
+    GET /web[?query=...&date_start=&date_end=    → the reference's HTML
+             &rerun=1]                             template surface
+                                                   (index.html /
+                                                   results.html,
+                                                   views.py:87-97):
+                                                   search form, result
+                                                   cards with publisher
+                                                   host + date + source
+                                                   link, spellcheck
+                                                   notice with a
+                                                   "search instead for"
+                                                   rerun link (rerun=1
+                                                   skips spellcheck);
+                                                   stdlib rendering, no
+                                                   template engine
     GET /results?query=...[&date_start=YYYY-MM-DD&date_end=...]
                 [&model=bm25|bm25-reference|vsm|lm-dirichlet|lm-pyp]
                 [&k=100][&kernel=wand|maxscore|relational|&wand=0|1]
@@ -478,6 +493,101 @@ def create_server(index, port: int = 0, spellchecker=None,
     # memo for /stats derived scalars (one count job, then free)
     stats_memo: dict = {}
 
+    def render_web(query: str | None, k: int, ds, de,
+                   rerun: bool) -> str:
+        """The reference's Django template surface (results.html /
+        index.html, search/retrieval/views.py:87-97) as stdlib string
+        rendering: a search form, the retrieved-count/time line, the
+        spellcheck "Showing results for … / Search instead for" notice
+        linking the RERUN path (spellcheck skipped, the reference's
+        rerun_results), one card per hit (host parsed from the url like
+        the reference's urlparse(result.url).netloc), and the
+        zero-results message. Same context keys, no template engine."""
+        import html as _html
+
+        head = (
+            "<!doctype html><html><head><title>Search</title>"
+            "<style>body{font-family:sans-serif;max-width:52em;"
+            "margin:2em auto;padding:0 1em}.card{border:1px solid #ccc;"
+            "border-radius:6px;padding:.7em 1em;margin:.6em 0}"
+            ".muted{color:#666}</style></head><body>"
+            "<h3>Full-text search</h3>"
+            "<form action='/web' method='GET'>"
+            "<input type='text' name='query' required "
+            f"value='{_html.escape(query or '', quote=True)}' "
+            "placeholder='Type your query here' size='40'> "
+            "<button type='submit'>Search</button> "
+            "<span class='muted'>optional:</span> "
+            "date_start <input name='date_start' size='10' "
+            f"value='{ds.isoformat() if ds else ''}'> "
+            "date_end <input name='date_end' size='10' "
+            f"value='{de.isoformat() if de else ''}'>"
+            "</form>")
+        if not query:
+            return head + "</body></html>"
+        out = run_query(query, k, "bm25", ds, de,
+                        first_execution=not rerun, kernel=None)
+        parts = [head,
+                 f"<p>Retrieved {out['number_of_results']} documents "
+                 f"({out['retrieval_time']} seconds, "
+                 f"{out['path']} path)</p>"]
+        if out["term_been_corrected"]:
+            from urllib.parse import quote
+
+            rerun_q = quote(out["original_query"])
+            dq = (f"&date_start={ds.isoformat()}&date_end="
+                  f"{de.isoformat()}" if ds and de else "")
+            parts.append(
+                "<p>Showing results for: "
+                f"<b>{_html.escape(out['corrected_query'])}</b><br>"
+                "Search instead for: "
+                f"<a href='/web?query={rerun_q}&rerun=1{dq}'>"
+                f"{_html.escape(out['original_query'])}</a></p>")
+        hits = out["results"]
+        meta: dict[int, dict] = {}
+        if hits and index.documents is not None:
+            from pyspark.sql import functions as _F
+
+            ids = [h["doc_id"] for h in hits]
+            cols = [c for c in ("doc_id", "url", "source", "warc_ts",
+                                "warc_date", "title")
+                    if c in index.documents.columns]
+            with lock:
+                for r in (index.documents
+                          .filter(_F.col("doc_id").isin(ids))
+                          .select(*cols).limit(len(ids)).collect()):
+                    meta[r["doc_id"]] = r.asDict()
+        from urllib.parse import urlparse as _urlparse
+
+        for h in hits:
+            m = meta.get(h["doc_id"], {})
+            url = m.get("url")
+            host = _urlparse(url).netloc if url else None
+            when = m.get("warc_date") or m.get("warc_ts")
+            lines = [f"<b>#{h['rank']}</b> "
+                     f"<a href='/article/{h['doc_id']}'>"
+                     f"doc {h['doc_id']}</a> "
+                     f"<span class='muted'>score "
+                     f"{round(h['score'], 4)}</span>"]
+            if m.get("title"):
+                lines.append(f"<div>{_html.escape(str(m['title']))}</div>")
+            if host:
+                lines.append(f"<div class='muted'>Publisher: "
+                             f"{_html.escape(host)} — "
+                             f"<a href='{_html.escape(url, quote=True)}'>"
+                             "go to source</a></div>")
+            if when is not None:
+                w = when.isoformat() if hasattr(when, "isoformat") else when
+                lines.append(f"<div class='muted'>Published on: "
+                             f"{_html.escape(str(w))}</div>")
+            parts.append("<div class='card'>" + "".join(lines) + "</div>")
+        if not hits:
+            parts.append("<p>The provided query (for the date range) "
+                         "did not return any results. Please try "
+                         "another query, or change the date range.</p>")
+        parts.append("</body></html>")
+        return "".join(parts)
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet server
             pass
@@ -486,6 +596,14 @@ def create_server(index, port: int = 0, spellchecker=None,
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _page(self, code: int, html_body: str) -> None:
+            body = html_body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -685,6 +803,21 @@ def create_server(index, port: int = 0, spellchecker=None,
                         "retrieval_time":
                             round(time.perf_counter() - t0, 4),
                     })
+                elif parts[0] == "web":
+                    # the reference's template surface: GET /web (form)
+                    # and GET /web?query=...[&date_start&date_end]
+                    # [&rerun=1] (results page; rerun skips spellcheck
+                    # like /rerun_query)
+                    q = parse_qs(u.query)
+                    kk = int(q.get("k", ["20"])[0])
+                    if not 1 <= kk <= MAX_K:
+                        raise ValueError(
+                            f"k must be in [1, {MAX_K}], got {kk}")
+                    self._page(200, render_web(
+                        q.get("query", [None])[0], kk,
+                        _parse_date(q.get("date_start", [None])[0]),
+                        _parse_date(q.get("date_end", [None])[0]),
+                        rerun=q.get("rerun", ["0"])[0] == "1"))
                 elif parts[0] == "ann":
                     # ANN serving from the committed catalog artifact:
                     # GET /ann?vec_id=N|vec=f,...[&k][&nprobe][&refine]

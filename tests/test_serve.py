@@ -797,3 +797,40 @@ def test_auto_kernel_serves_impact_store(spark, corpus_sdf, tmp_path):
             [r["doc_id"] for r in wnd["results"]]
     finally:
         srv.shutdown()
+
+
+def _get_html(url: str):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.status, r.headers.get("Content-Type", ""), \
+            r.read().decode()
+
+
+def test_web_form_page(server):
+    status, ctype, page = _get_html(server + "/web")
+    assert status == 200 and ctype.startswith("text/html")
+    assert "<form" in page and "name='query'" in page
+
+
+def test_web_results_page(server):
+    """The results.html analog: retrieved-count line, one card per hit
+    with the publisher host parsed from the url, article links, and the
+    zero-results message on an OOV query."""
+    status, ctype, page = _get_html(server + "/web?query=market&k=5")
+    assert status == 200 and ctype.startswith("text/html")
+    assert "Retrieved" in page and "documents" in page
+    assert page.count("class='card'") > 0
+    assert "/article/" in page
+    assert "Publisher:" in page
+    _, _, empty = _get_html(server + "/web?query=zzzqqy&k=5")
+    assert "did not return any results" in empty
+
+
+def test_web_spellcheck_notice_and_rerun_link(server):
+    """First execution corrects and shows the reference's "Search
+    instead for" link; following the rerun link skips spellcheck."""
+    _, _, page = _get_html(server + "/web?query=merket&k=5")
+    assert "Showing results for: <b>market</b>" in page
+    assert "/web?query=merket&rerun=1" in page
+    _, _, rerun = _get_html(server + "/web?query=merket&rerun=1&k=5")
+    assert "Showing results for" not in rerun
+    assert "did not return any results" in rerun  # OOV stays OOV

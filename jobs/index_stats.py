@@ -86,7 +86,8 @@ def collect_stats(spark, index_dir: str) -> dict:
         # serving time, so the report must probe it too (consistent with
         # the term_stats fallback above)
         "artifacts": sorted(
-            a for a in ("vsm_norms", "phrase_index", "term_ngram_index")
+            a for a in ("vsm_norms", "phrase_index", "term_ngram_index",
+                        "ann_index")
             if catalog._done(index_dir, a)
             or (meta.get("sidecar_dir")
                 and catalog._done(meta["sidecar_dir"], a))),

@@ -106,7 +106,13 @@ queries answer in ~15 ms with zero Spark jobs — serving-grade latency;
 rank-identical to the relational path by the wand_bm25_identity /
 maxscore_bm25_identity gates). Ineligible requests FALL BACK to the
 relational path silently; the response's ``path`` key says which path
-served. ``kernel=wand|maxscore`` (or ``wand=1``) forces a kernel and
+served. On a quantized-IMPACT store the default serves the store's
+QUANTIZED scores — that is the artifact's serving contract (you
+deployed a ~1 byte/posting store to be served from the impact byte;
+per-doc error is bounded by the quantizer, test_impact's accuracy
+gate) — while ``wand=0`` still forces the exact relational sidecar
+path, so the two defaults differ on impact stores BY DESIGN and the
+``path`` key discloses it. ``kernel=wand|maxscore`` (or ``wand=1``) forces a kernel and
 keeps the old refusal semantics (400 on date filters etc. — same
 reason jobs/query_topk.py rejects the combination); ``wand=0`` (or
 ``kernel=relational``) forces the relational path.
@@ -318,6 +324,10 @@ def create_server(index, port: int = 0, spellchecker=None,
             # index loaded; anything else falls back to the relational
             # path silently (fallback, not refusal — refusals are for
             # EXPLICIT kernel requests the kernel cannot honor).
+            # Impact stores: the kernel serves the store's QUANTIZED
+            # scores — the artifact's serving contract (error bounded
+            # by the quantizer) — while wand=0 stays exact via the
+            # sidecar; documented divergence, disclosed by "path".
             from search_engine_spark.plans import planner as _planner
 
             relational_only = (
@@ -955,9 +965,31 @@ def create_server(index, port: int = 0, spellchecker=None,
                 else:
                     self._json(404, {"error": "unknown endpoint"})
             except ValueError as e:
-                self._json(400, {"error": str(e)})
+                if self._is_web():
+                    self._error_page(400, str(e))
+                else:
+                    self._json(400, {"error": str(e)})
             except Exception as e:  # surface failures as JSON, keep serving
-                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                if self._is_web():
+                    self._error_page(500, f"{type(e).__name__}: {e}")
+                else:
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def _is_web(self) -> bool:
+            # the /web surface renders errors as HTML (a browser form
+            # user should not see a raw JSON blob for a malformed date)
+            return self.path.split("?")[0].strip("/").split("/")[:1] \
+                == ["web"]
+
+        def _error_page(self, code: int, msg: str) -> None:
+            import html as _html
+
+            self._page(code, (
+                "<!doctype html><html><body style='font-family:"
+                "sans-serif;max-width:52em;margin:2em auto'>"
+                f"<h3>Search error</h3><p>{_html.escape(msg)}</p>"
+                "<p><a href='/web'>Back to search</a></p>"
+                "</body></html>"))
 
     return ThreadingHTTPServer(("127.0.0.1", port), Handler)
 

@@ -724,13 +724,23 @@ class SegmentIndex(InvertedIndex):
     def ann_coded(self) -> DataFrame:
         """The committed (vec_id, cell, code) coded table — the
         corpus-scale ANN scan artifact, partitioned by cell so a probe
-        prunes to its nprobe cells."""
+        prunes to its nprobe cells. Tombstoned docs are EXCLUDED like
+        every other query path (vec_id is doc-keyed by the serving
+        convention — jobs/serve.py --embeddings); ids outside the doc
+        space are simply never tombstoned, so the anti-join is a no-op
+        there."""
         if self._ann_meta is None:
             raise ValueError(
                 f"index at {self.index_dir} has no committed ANN "
                 "artifact — run catalog.build_ann_index first")
-        return self.segments.sparkSession.read.parquet(
+        coded = self.segments.sparkSession.read.parquet(
             os.path.join(self._ann_dir, "ann_coded"))
+        if self._tombstones is not None:
+            coded = coded.join(
+                F.broadcast(self._tombstones.select(
+                    F.col("doc_id").alias("vec_id"))),
+                "vec_id", "left_anti")
+        return coded
 
     def ann_topk(self, qvec: list[float], k: int = 10, nprobe: int = 2,
                  refine: int | None = None,
@@ -1383,7 +1393,9 @@ def rebuild_artifacts(spark: SparkSession, src_dir: str,
         with open(os.path.join(src_dir, ANN_INDEX_META)) as f:
             ameta = json.load(f)
         epath = ameta.get("embeddings_path")
-        if not epath or not os.path.isdir(epath):
+        # exists, not isdir: a single parquet FILE is a valid source
+        # (spark.read.parquet accepts it and build_ann_index recorded it)
+        if not epath or not os.path.exists(epath):
             raise ValueError(
                 f"cannot rebuild the ANN index onto {out_dir}: the "
                 f"source embedding table ({epath!r}) is gone. Re-run "

@@ -264,3 +264,57 @@ def test_ann_endpoint_requires_artifact(tmp_path, spark, corpus_sdf):
         assert "artifact" in _json.loads(e.value.read())["error"]
     finally:
         srv.shutdown()
+
+
+def test_ann_excludes_tombstones(tmp_path, spark, corpus_sdf):
+    """Tombstoned docs disappear from the ANN surface like every other
+    query path (vec_id is doc-keyed by the serving convention)."""
+    d = str(tmp_path / "idx")
+    epath = str(tmp_path / "emb")
+    emb = _emb(spark, n=60)
+    emb.write.parquet(epath)
+    catalog.build_durable_index(spark, corpus_sdf, d, buckets=8,
+                                block_span=64, positional=False)
+    catalog.build_ann_index(spark, d, emb, embeddings_path=epath,
+                            n_centroids=4, ivf_iters=3, pq_iters=3)
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 7).collect()[0].embedding]
+    before = catalog.load_index(spark, d)
+    assert 7 in {r.vec_id for r in
+                 before.ann_topk(q, k=10, nprobe=4, refine=60,
+                                 embeddings=emb).collect()}
+    catalog.delete_docs(spark, d, [7])
+    after = catalog.load_index(spark, d)
+    assert 7 not in {r.vec_id for r in after.ann_coded().collect()}
+    assert 7 not in {r.vec_id for r in
+                     after.ann_topk(q, k=10, nprobe=4, refine=60,
+                                    embeddings=emb).collect()}
+
+
+def test_rebuild_accepts_single_file_source(tmp_path, spark, corpus_sdf):
+    """embeddings_path may be a single parquet FILE (spark.read.parquet
+    accepts it); rebuild must not reject it with the directory check."""
+    import glob
+    import os
+
+    src = str(tmp_path / "src")
+    catalog.build_durable_index(spark, corpus_sdf, src, buckets=8,
+                                block_span=64, positional=False)
+    edir = str(tmp_path / "emb")
+    _emb(spark, n=40).coalesce(1).write.parquet(edir)
+    part = glob.glob(os.path.join(edir, "part-*.parquet"))[0]
+    catalog.build_ann_index(spark, src, spark.read.parquet(part),
+                            embeddings_path=part,
+                            n_centroids=4, ivf_iters=3, pq_iters=3)
+    victim = corpus_sdf.select("doc_id").first()[0]
+    catalog.delete_docs(spark, src, [victim])
+    out = str(tmp_path / "v2")
+    catalog.vacuum_index(spark, src, out)
+    assert "ann_index" in catalog.rebuild_artifacts(spark, src, out)
+
+
+def test_index_stats_reports_ann_artifact(spark, ann_index):
+    from jobs.index_stats import collect_stats
+
+    d, _, _ = ann_index
+    assert "ann_index" in collect_stats(spark, d)["artifacts"]

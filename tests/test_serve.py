@@ -834,3 +834,18 @@ def test_web_spellcheck_notice_and_rerun_link(server):
     _, _, rerun = _get_html(server + "/web?query=merket&rerun=1&k=5")
     assert "Showing results for" not in rerun
     assert "did not return any results" in rerun  # OOV stays OOV
+
+
+def test_web_errors_render_html(server):
+    """The /web surface renders errors as HTML (a browser form user
+    must not get a raw JSON blob for a malformed date)."""
+    import urllib.error
+
+    for bad in ("/web?query=market&date_start=2021-01-01",  # half-open
+                "/web?query=market&k=0"):                   # bad k
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get_html(server + bad)
+        assert e.value.code == 400, bad
+        assert e.value.headers.get("Content-Type", "") \
+            .startswith("text/html"), bad
+        assert "Search error" in e.value.read().decode()

@@ -1549,6 +1549,21 @@ def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ltr.extract_features(idx, qf, k=5, score_round=4)
 
 
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py — Xie et al. 2023,
+    hashed-n-gram instantiation): target = the src0 slice of the
+    documents table, raw pool = the whole table, dim=512 hashed
+    unigram+bigram features, Gumbel-top-50 with the deterministic
+    content-hash draw. The oracle replays EVERY step — bucket hashing,
+    the smoothed target/raw fits, the broadcast log-ratio weights, the
+    Gumbel keys, and the rounded-key cut — in DuckDB."""
+    from search_engine_spark.operators import dsir
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("source") == "src0")
+    return dsir.dsir_select(docs, target, k=50, dim=512)
+
+
 #: pinned LTR gate weights (LTR_FEATURE_NAMES order): the driver gate
 #: scores with a FIXED model — training is float-sum-order nondetermin-
 #: istic (~1e-12) and stays pytest-gated, the classifier's protocol
@@ -1983,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_bm25_topk": q_batch_bm25_topk,
         "ltr_features": q_ltr_features,
         "ltr_rerank_topk": q_ltr_rerank_topk,
+        "dsir_topk": q_dsir_topk,
         "percolate_matches": q_percolate,
         "robots_rules": q_robots_rules,
         "stats_facet": q_stats_facet,
@@ -2419,6 +2435,59 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         )
         SELECT query_id, doc_id, rank, score FROM rr WHERE rank <= 10
+    """
+    # DSIR: hashed unigram+bigram features at dim=512, smoothed
+    # target/raw bucket LMs, per-doc log importance weights over a
+    # broadcast log-ratio table, and the deterministic Gumbel-top-50 —
+    # every constant mirrors operators/dsir.py (SALT 'dsir:',
+    # GUMBEL_SALT 'dsirg:', alpha=1e-4, 52-bit md5 uniform, 6dp
+    # rounding BEFORE the cut)
+    sql["dsir_topk"] = r"""
+        WITH w AS (SELECT doc_id, source,
+                          list_filter(regexp_split_to_array(
+                              COALESCE(text, ''), '\s+'),
+                              x -> x != '') AS toks
+                   FROM documents),
+        uni AS (SELECT doc_id, source, unnest(toks) AS term FROM w),
+        big AS (SELECT doc_id, source,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(toks) - 1, 0)),
+                           i -> toks[i] || ' ' || toks[i + 1])) AS term
+                FROM w),
+        g AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+        f AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(term || 'dsir:'), 1, 8))
+                          AS BIGINT) % 512 AS bucket,
+                     COUNT(*) AS tf
+              FROM g GROUP BY 1, 2),
+        ft AS (SELECT CAST(('0x' || substr(md5(term || 'dsir:'), 1, 8))
+                          AS BIGINT) % 512 AS bucket,
+                      COUNT(*) AS c
+               FROM g WHERE source = 'src0' GROUP BY 1),
+        fr AS (SELECT bucket, SUM(tf) AS c FROM f GROUP BY 1),
+        tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tot FROM g
+               WHERE source = 'src0'),
+        rt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tot FROM g),
+        bk AS (SELECT unnest(generate_series(0, 511)) AS bucket),
+        lw AS (SELECT bk.bucket,
+                      (LN(COALESCE(ft.c, 0) + 0.0001)
+                       - LN(tt.tot + 0.0001 * 512))
+                    - (LN(COALESCE(fr.c, 0) + 0.0001)
+                       - LN(rt.tot + 0.0001 * 512)) AS lw
+               FROM bk LEFT JOIN ft USING (bucket)
+               LEFT JOIN fr USING (bucket)
+               CROSS JOIN tt CROSS JOIN rt),
+        wgt AS (SELECT f.doc_id, ROUND(SUM(f.tf * lw.lw), 6) AS logw
+                FROM f JOIN lw USING (bucket) GROUP BY 1),
+        keyed AS (SELECT doc_id, logw,
+                         ROUND(logw + (-LN(-LN(
+                             (CAST(('0x' || substr(md5(
+                                  CAST(doc_id AS VARCHAR) || 'dsirg:'),
+                                  1, 13)) AS BIGINT) + 0.5)
+                             / 4503599627370496.0))), 6) AS key
+                  FROM wgt)
+        SELECT doc_id, logw, key FROM keyed
+        ORDER BY key DESC, doc_id ASC LIMIT 50
     """
     # Percolator: conjunctive coverage counting — a doc matches a
     # stored query iff it contains ALL the query's distinct terms

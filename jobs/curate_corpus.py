@@ -10,7 +10,8 @@ spark-submit --py-files dist/engine.zip jobs/curate_corpus.py \
     [--max-bits-per-token 14] [--url-dedup] \
     [--blocked-domains spam.com,seo-farm.co.uk | @/data/blocklist.txt] \
     [--mixture src0:0.5,src1:0.5] [--splits train:0.9,val:0.1] \
-    [--decontam-eval /data/benchmarks_parquet [--decontam-n 13]]
+    [--decontam-eval /data/benchmarks_parquet [--decontam-n 13]] \
+    [--dsir-target /data/target_parquet --dsir-keep 100000]
 
 Pipeline (operators/curation.py): optional PII scrub → optional
 domain blocklist → optional URL dedup → language filter →
@@ -107,6 +108,15 @@ def main() -> None:
     ap.add_argument("--decontam-n", type=int, default=13,
                     help="n-gram size for decontamination (default 13, "
                          "the GPT-3/Pile standard)")
+    ap.add_argument("--dsir-target", default=None, metavar="PARQUET",
+                    help="parquet path of a TARGET corpus (text "
+                         "column): DSIR-resample the survivors toward "
+                         "its hashed-n-gram distribution as the final "
+                         "cut (operators.dsir; needs --dsir-keep)")
+    ap.add_argument("--dsir-keep", type=int, default=None,
+                    help="number of docs the DSIR stage keeps")
+    ap.add_argument("--dsir-dim", type=int, default=10_000,
+                    help="DSIR feature-hash width (default 10000)")
     ap.add_argument("--splits", default=None,
                     help="add a deterministic split column, e.g. "
                          "'train:0.9,val:0.05,test:0.05'")
@@ -174,6 +184,10 @@ def main() -> None:
         eval_docs=(spark.read.parquet(args.decontam_eval)
                    if args.decontam_eval else None),
         decontam_n=args.decontam_n,
+        dsir_target=(spark.read.parquet(args.dsir_target)
+                     if args.dsir_target else None),
+        dsir_keep=args.dsir_keep,
+        dsir_dim=args.dsir_dim,
     )
     if args.mixture:
         from search_engine_spark.operators import sampling

@@ -66,6 +66,9 @@ def curate(
     url_col: str = "url",
     eval_docs: DataFrame | None = None,
     decontam_n: int = 13,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int | None = None,
+    dsir_dim: int = 10_000,
     text_col: str = "text",
     collect_funnel: bool = True,
     _kills_acc: list | None = None,
@@ -122,11 +125,17 @@ def curate(
     docs sharing >= that many winnowing fingerprints with a LOWER-id
     doc are dropped (dedup.winnow_overlap_pairs) — catches long quoted
     passages that whole-document Jaccard misses.
-    ``eval_docs`` enables benchmark decontamination as the LAST stage
-    (it runs on the fewest surviving docs there, and dedup cannot
+    ``eval_docs`` enables benchmark decontamination near the end
+    (it runs on few surviving docs there, and dedup cannot
     resurrect a contaminated text): any doc sharing a word
     ``decontam_n``-gram with ``eval_docs`` is dropped
     (operators.decontam).
+    ``dsir_target`` (+ ``dsir_keep``) enables DSIR target-distribution
+    resampling (operators.dsir, Xie et al. 2023) as the FINAL cut:
+    from the cleaned/deduped/decontaminated survivors, keep the
+    ``dsir_keep`` docs Gumbel-resampled toward the target corpus's
+    hashed-n-gram distribution (deterministic draws, ``dsir_dim``
+    feature buckets).
     ``collect_funnel=False`` keeps the whole pipeline lazy (one action at
     the caller's sink) instead of persisting + counting per stage.
 
@@ -314,6 +323,23 @@ def curate(
         cur = decontam.decontaminate(cur, eval_docs, n=decontam_n,
                                      text_col=text_col)
         checkpoint("decontaminate")
+    if dsir_target is not None:
+        # DSIR target-distribution resampling (operators.dsir) as the
+        # FINAL cut: selection runs on the cleaned, deduped,
+        # decontaminated survivors (selecting first would waste weight
+        # mass on docs later stages kill anyway), exactly where the
+        # pretraining pipelines place it — after hygiene, before
+        # tokenization
+        if dsir_keep is None:
+            raise ValueError("dsir_target needs dsir_keep (the number "
+                             "of docs to resample)")
+        from . import dsir as DS
+
+        sel = DS.dsir_select(cur, dsir_target, k=dsir_keep,
+                             dim=dsir_dim, text_col=text_col
+                             ).select("doc_id")
+        cur = cur.join(sel, "doc_id", "left_semi")
+        checkpoint("dsir_select")
     if prev_persisted is not None:
         _PERSISTED.add(prev_persisted)
     return cur, funnel

@@ -92,3 +92,31 @@ def test_validation(spark):
     with pytest.raises(ValueError, match="widths"):
         dsir.importance_weights(dsir.hashed_ngram_tf(raw, dim=8),
                                 [0.0] * 8, [0.0] * 9)
+
+
+def test_curation_funnel_dsir_stage(spark):
+    """curate(dsir_target=..., dsir_keep=K) appends DSIR selection as
+    the final funnel stage: K survivors, enriched toward the target."""
+    from search_engine_spark.operators import curation
+
+    _, target = _corpus(spark)
+    # unique texts (a per-doc token) so the funnel's mandatory
+    # exact-dedup stage keeps all 200 docs and DSIR sees the full pool
+    fin = ["market", "price", "stock", "bond", "yield", "rate"]
+    spo = ["match", "goal", "team", "score", "league", "coach"]
+    raw = spark.createDataFrame(
+        [(i, " ".join([(fin if i <= 100 else spo)[(i + j) % 6]
+                       for j in range(12)] + [f"u{i}"]))
+         for i in range(1, 201)],
+        "doc_id long, text string")
+    out, funnel = curation.curate(raw, languages=None,
+                                  dsir_target=target, dsir_keep=40,
+                                  dsir_dim=256)
+    assert funnel[-1]["stage"] == "dsir_select"
+    assert funnel[-1]["rows"] == 40
+    rows = out.select("doc_id").collect()
+    assert len(rows) == 40
+    assert sum(1 for r in rows if r.doc_id <= 100) >= 32
+
+    with pytest.raises(ValueError, match="dsir_keep"):
+        curation.curate(raw, languages=None, dsir_target=target)

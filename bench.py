@@ -497,6 +497,9 @@ def main() -> None:
         .filter(F.col("killed_by").isNull()).count(),
         # within-session event-type co-occurrence + lift
         "p_session_cooc": lambda: _session_cooc(),
+        # DSIR target-distribution resampling (hashed n-gram fits +
+        # broadcast log-ratio weights + deterministic Gumbel-top-k)
+        "p_dsir_select": lambda: _dsir(docs),
     }
     def _hash_kmeans(docs_df):
         from search_engine_spark.operators import clustering, vectorize
@@ -521,6 +524,13 @@ def main() -> None:
 
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return EV2.session_cooccurrence(ev, 30, min_sessions=2).count()
+
+    def _dsir(docs_df):
+        from search_engine_spark.operators import dsir as DS
+
+        target = docs_df.filter(F.col("source") == "src0")
+        return DS.dsir_select(docs_df, target,
+                              k=max(1, n_docs // 10), dim=2048).count()
 
     def _quality_clf(docs_df):
         from search_engine_spark.operators import classifier

@@ -137,13 +137,22 @@ def curate(
     hashed-n-gram distribution (deterministic draws, ``dsir_dim``
     feature buckets).
     ``collect_funnel=False`` keeps the whole pipeline lazy (one action at
-    the caller's sink) instead of persisting + counting per stage.
+    the caller's sink) instead of persisting + counting per stage —
+    EXCEPT the DSIR stage, whose distribution fits are inherently eager
+    (two driver-sized collects); with it enabled the pre-DSIR survivors
+    are persisted for the stage's duration so those fits don't replay
+    the upstream funnel per action.
 
     With ``collect_funnel=True`` the returned frame is persisted; it is
     released automatically when curate() is next called (or via
     ``release_caches()``), so repeated calls don't accumulate
     corpus-sized cached frames.
     """
+    if dsir_target is not None and dsir_keep is None:
+        # trivially pre-checkable — refuse BEFORE hours of funnel work,
+        # not at the final stage
+        raise ValueError("dsir_target needs dsir_keep (the number of "
+                         "docs to resample)")
     release_caches()
     funnel: list[dict] = []
     cur = docs
@@ -330,15 +339,22 @@ def curate(
         # mass on docs later stages kill anyway), exactly where the
         # pretraining pipelines place it — after hygiene, before
         # tokenization
-        if dsir_keep is None:
-            raise ValueError("dsir_target needs dsir_keep (the number "
-                             "of docs to resample)")
         from . import dsir as DS
 
+        if not collect_funnel:
+            # the DSIR fits are EAGER (two driver-sized collects), so a
+            # lazy pipeline would otherwise replay every upstream stage
+            # for the raw fit, again for the weight aggregate, and once
+            # more at the caller's sink — persist the survivors for the
+            # stage's duration (released with the other funnel caches)
+            cur = cur.persist()
         sel = DS.dsir_select(cur, dsir_target, k=dsir_keep,
                              dim=dsir_dim, text_col=text_col
                              ).select("doc_id")
-        cur = cur.join(sel, "doc_id", "left_semi")
+        out_sel = cur.join(sel, "doc_id", "left_semi")
+        if not collect_funnel:
+            _PERSISTED.add(cur)
+        cur = out_sel
         checkpoint("dsir_select")
     if prev_persisted is not None:
         _PERSISTED.add(prev_persisted)

@@ -102,6 +102,14 @@ def fit_bucket_logprobs(feats: DataFrame, dim: int,
     counts = [0] * dim
     total = 0
     for r in rows:
+        if not 0 <= r["bucket"] < dim:
+            # a bare IndexError here would hide the real mistake: the
+            # features were hashed at a different dim than the fit's
+            raise ValueError(
+                f"feature bucket {r['bucket']} is outside [0, {dim}) — "
+                "fit with the SAME dim the features were hashed at "
+                "(hashed_ngram_tf(dim=...) and fit_bucket_logprobs(dim) "
+                "must agree; dsir_select keeps them consistent)")
         counts[r["bucket"]] = int(r["c"])
         total += int(r["c"])
     denom = math.log(total + alpha * dim)
@@ -113,7 +121,13 @@ def importance_weights(feats: DataFrame, log_target: list[float],
     """→ (doc_id, logw): per-doc log importance weight, rounded to 6 dp
     (the cross-engine display-rounding contract). The log-ratio vector
     rides as a broadcast (bucket, lw) table — O(dim) bytes — joined
-    onto the sparse feature rows; ONE aggregate per corpus."""
+    onto the sparse feature rows; ONE aggregate per corpus.
+
+    The feature frame MUST be hashed at dim == len(log_target): a
+    narrower table would silently drop every higher bucket through the
+    inner join (``dsir_select`` keeps the three widths consistent;
+    ``fit_bucket_logprobs`` rejects out-of-range buckets when you wire
+    the pieces manually)."""
     if len(log_target) != len(log_raw):
         raise ValueError(
             f"distribution widths differ: {len(log_target)} vs "

@@ -1368,7 +1368,12 @@ def rebuild_artifacts(spark: SparkSession, src_dir: str,
     a freshly built/merged/vacuumed index: the next-word phrase index
     (same min_df/max_terms as the source's phrase_index.json), the
     trigram vocabulary index, and the ANN index (refit from the source
-    embedding table recorded in ann_index.json). Merge and vacuum write
+    embedding table recorded in ann_index.json, MINUS the source's
+    tombstoned ids — the vacuum folded those deletes, and the ANN
+    surface must not resurrect them; keep the embedding table itself in
+    step with the corpus across generations, the pointer is a
+    convenience for one rebuild hop, not a lineage system). Merge and
+    vacuum write
     a NEW directory with fresh corpus-global stats, so artifacts cannot
     be carried over — they are derived data and must be recomputed
     (this is what a segment-file engine's merge policy does with its
@@ -1401,8 +1406,21 @@ def rebuild_artifacts(spark: SparkSession, src_dir: str,
                 f"source embedding table ({epath!r}) is gone. Re-run "
                 "build_ann_index with the current table, or delete the "
                 "source artifact to drop it.")
+        emb = spark.read.parquet(epath)
+        # a vacuum FOLDS tombstones into the postings, so the new index
+        # carries none — but the recorded embedding table still holds
+        # the deleted docs' vectors. Exclude the SOURCE's tombstoned
+        # ids before refitting, or the ANN surface of the vacuumed
+        # index would resurrect docs every other path dropped (ids
+        # outside the doc space are never tombstoned → no-op there).
+        tombs = load_tombstones(spark, src_dir)
+        if tombs is not None:
+            emb = emb.join(
+                F.broadcast(tombs.select(
+                    F.col("doc_id").alias(ameta["id_col"]))),
+                ameta["id_col"], "left_anti")
         build_ann_index(
-            spark, out_dir, spark.read.parquet(epath),
+            spark, out_dir, emb,
             embeddings_path=epath,
             n_centroids=ameta["n_centroids"], ivf_iters=ameta["ivf_iters"],
             pq_m=ameta["pq_m"], pq_ksub=ameta["pq_ksub"],

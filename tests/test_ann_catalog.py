@@ -141,16 +141,27 @@ def test_rebuild_after_vacuum_refits_from_recorded_source(
     emb = spark.read.parquet(epath)
     catalog.build_ann_index(spark, work, emb, embeddings_path=epath,
                             n_centroids=4, ivf_iters=5, pq_iters=5)
-    victim = corpus_sdf.select("doc_id").first()[0]
+    # a victim inside the embedding id range, so the exclusion must bite
+    victim = int(corpus_sdf.filter(F.col("doc_id") <= 120)
+                 .select("doc_id").first()[0])
     catalog.delete_docs(spark, work, [victim])
     out = str(tmp_path / "v2")
     catalog.vacuum_index(spark, work, out)
     rebuilt = catalog.rebuild_artifacts(spark, work, out)
     assert "ann_index" in rebuilt
-    # deterministic fit from the same recorded table → identical artifact
-    a = catalog.load_index(spark, work).ann_artifacts()
-    b = catalog.load_index(spark, out).ann_artifacts()
-    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+    oidx = catalog.load_index(spark, out)
+    # the vacuumed docs stay DEAD on the ANN surface: the refit
+    # excludes the source's tombstoned ids even though the recorded
+    # table still holds their vectors (and the new index carries no
+    # tombstones to mask them at read time)
+    assert victim not in {r.vec_id for r in oidx.ann_coded().collect()}
+    # deterministic fit == a fresh fit over the live-vector table
+    live = emb.filter(F.col("vec_id") != victim)
+    b = oidx.ann_artifacts()
+    assert np.array_equal(
+        b[0], similarity.ivf_fit(live, n_centroids=4, iters=5))
+    assert np.array_equal(
+        b[1], similarity.pq_fit(live, m=8, ksub=16, iters=5))
 
 
 def test_rebuild_with_missing_source_table_raises(tmp_path, spark,

@@ -120,3 +120,10 @@ def test_curation_funnel_dsir_stage(spark):
 
     with pytest.raises(ValueError, match="dsir_keep"):
         curation.curate(raw, languages=None, dsir_target=target)
+
+
+def test_dim_mismatch_is_diagnosed(spark):
+    raw, _ = _corpus(spark)
+    feats512 = dsir.hashed_ngram_tf(raw, dim=512)
+    with pytest.raises(ValueError, match="SAME dim"):
+        dsir.fit_bucket_logprobs(feats512, 256)

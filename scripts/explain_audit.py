@@ -1314,6 +1314,29 @@ def main() -> int:
         ],
     )
 
+    # 56. DSIR importance weights (round-5): the log-ratio vector joins
+    # the sparse hashed features as a BROADCAST table (O(dim) bytes,
+    # never a dim-wide literal plan) and the per-doc weight is one
+    # map-side-combined aggregate — no sort-merge join, no Python
+    from search_engine_spark.operators import dsir as DSIR
+
+    feats56 = DSIR.hashed_ngram_tf(docs, dim=256)
+    lt56 = DSIR.fit_bucket_logprobs(
+        DSIR.hashed_ngram_tf(docs.limit(50), dim=256), 256)
+    lr56 = DSIR.fit_bucket_logprobs(feats56, 256)
+    p56 = plan_of(DSIR.importance_weights(feats56, lt56, lr56))
+    check(
+        "DSIR importance weights", p56,
+        [
+            ("log-ratio table joins as broadcast",
+             r"BroadcastHashJoin|BroadcastExchange", True),
+            ("no sort-merge join", r"SortMergeJoin", False),
+            ("map-side partial aggregate", r"HashAggregate", True),
+            ("no Python in the weight pass",
+             r"ArrowEvalPython|BatchEvalPython|MapInPandas", False),
+        ],
+    )
+
     out = os.path.join(ROOT, "BENCH", "PLANS.md")
     with open(out, "w") as f:
         f.write("# Physical-plan audit (`scripts/explain_audit.py`)\n\n"

@@ -849,3 +849,14 @@ def test_web_errors_render_html(server):
         assert e.value.headers.get("Content-Type", "") \
             .startswith("text/html"), bad
         assert "Search error" in e.value.read().decode()
+
+
+def test_web_escapes_user_input(server):
+    """Query text renders escaped everywhere it appears (form value,
+    correction notice) — no markup injection through the search box."""
+    from urllib.parse import quote
+
+    evil = '<script>alert(1)</script> market'
+    _, _, page = _get_html(server + "/web?query=" + quote(evil) + "&k=3")
+    assert "<script>alert" not in page
+    assert "&lt;script&gt;" in page

@@ -36,9 +36,13 @@ _PERSISTED = PersistRegistry()
 
 def release_caches() -> None:
     """Unpersist frames retained by earlier curate() calls (including
-    the candidate-pair cache inside the MinHash stage)."""
+    the candidate-pair cache inside the MinHash stage and the DSIR
+    stage's raw-feature cache)."""
     _PERSISTED.drain()
     dedup.release_caches()
+    from . import dsir
+
+    dsir.release_caches()
 
 
 def curate(

@@ -42,7 +42,16 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._cache import PersistRegistry
 from .sampling import hash_bucket
+
+_PERSISTED = PersistRegistry()
+
+
+def release_caches() -> None:
+    """Unpersist the raw-feature frame retained by the last
+    dsir_select call (the dedup/curation module idiom)."""
+    _PERSISTED.drain()
 
 #: feature-hash salt: keeps the DSIR bucket stream independent of the
 #: split/sample/mixture/HashingTF streams (see sampling.hash_bucket)
@@ -172,7 +181,16 @@ def dsir_select(docs: DataFrame, target_docs: DataFrame, k: int,
     carry no evidence either way)."""
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
-    feats_raw = hashed_ngram_tf(docs, dim, text_col, bigrams)
+    release_caches()
+    # the raw feature frame feeds TWO actions — the distribution fit
+    # (an eager collect) and the weight aggregate (the caller's action)
+    # — so persist it for the call's lifetime or the corpus-scale
+    # explode+aggregate runs twice (measured ~2x the whole operator at
+    # sf0.1). Released at the next dsir_select / release_caches(), the
+    # dedup/curation cache idiom; the target frame is read once and
+    # stays lazy.
+    feats_raw = hashed_ngram_tf(docs, dim, text_col, bigrams).persist()
+    _PERSISTED.add(feats_raw)
     feats_t = hashed_ngram_tf(target_docs, dim, text_col, bigrams)
     lt = fit_bucket_logprobs(feats_t, dim, alpha)
     lr = fit_bucket_logprobs(feats_raw, dim, alpha)
